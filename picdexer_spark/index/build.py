@@ -1,0 +1,287 @@
+"""Index build: pages -> docs / postings / term_stats / stats / metrics / lineage.
+
+The Spark re-expression of the reference's concurrent dataflow
+(browse -> dispatch -> extract -> convert -> bulk-push, reference:
+cmd/assemble.go:98-162) fused with the index build its ES deployment performs:
+
+  stage A  extract     mapInPandas (Arrow) html->text, byte-identical per url
+                       (analogue of the exiftool stage, metadata.go:92-157);
+                       failed rows dropped + counted, not fatal
+                       (metadata.go:107-112)
+  stage B  identity    dense doc_id = global rank of url (content-addressed,
+                       idempotent identity — analogue of md5-content FileID,
+                       common.go:44-63) via scalable two-phase range-rank
+  stage C  tokenize    JVM-side regexp_extract_all + explode + partial-agg
+                       groupBy -> (term, doc_id, tf, dl); stays inside
+                       whole-stage codegen, map-side combine collapses to
+                       distinct postings before any shuffle
+  stage D  postings    groupBy(term, salt) applyInPandas -> delta+varint
+                       blocks with block-max metadata. salt = doc_id div
+                       shard_range: EXPLICIT SALTING of head terms — Zipf
+                       head terms ("the") split into bounded doc-range
+                       sub-groups so no reducer sees more than shard_range
+                       postings for one term; because salts are contiguous
+                       doc ranges, the global posting list is the
+                       concatenation of salted runs (no re-merge needed) and
+                       every (term, shard) group stays sorted by doc_id
+  stage E  commit      write all tables into a new snapshot dir, atomically
+                       advance MANIFEST (resumable; Iceberg-snapshot
+                       semantics, see sources/catalog.py)
+
+Scale notes (100 TB / 10^12 docs): the only full-corpus shuffles are the
+doc_id range-rank (one-time, by url) and the single postings exchange on
+(term, salt) whose volume is the distinct-postings stream (already partially
+aggregated map-side). shard_range bounds per-group memory at
+O(shard_range * bytes/posting); head-term skew is defused by construction.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from picdexer_spark.functions.extract import extract_pages_batches
+from picdexer_spark.functions.tokenize import tokens_col
+from picdexer_spark.index.codec import BLOCK_SIZE, encode_blocks
+from picdexer_spark.sources.catalog import (
+    DOCS_SCHEMA,
+    POSTINGS_SCHEMA,
+    IndexCatalog,
+)
+
+
+@dataclass
+class IndexConfig:
+    """Build knobs. Defaults sized for local[32] test scale; at cluster scale
+    shard_range ~ 2**20 (1M docs/shard -> 10^6 shards at 10^12 docs) keeps
+    per-group memory bounded while bounding tail-term fragmentation."""
+
+    shard_range: int = 1 << 20
+    block_size: int = BLOCK_SIZE
+    import_id: str = "import-0"
+    id_offset: int = 0  # starting doc_id (incremental builds append)
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class BuildResult:
+    snapshot_id: str
+    n_docs: int
+    n_postings_rows: int
+    docs_dropped: int
+
+
+# ---------------------------------------------------------------------------
+# stage B: dense doc_id assignment (deterministic, scalable, resumable)
+# ---------------------------------------------------------------------------
+def assign_doc_ids(df: DataFrame, url_col: str = "url", offset: int = 0) -> DataFrame:
+    """doc_id = `offset` + dense rank of url (lexicographic, UTF-8).
+
+    Two-phase global rank: range-partition by url, rank within partition,
+    add per-partition offsets (computed from partition counts). Never a
+    single-partition window, never monotonically_increasing_id — the result
+    is a pure function of the url SET, so it is stable across retries and
+    resumable (incremental builds pass offset = committed n_docs).
+    """
+    part = (
+        df.repartitionByRange(F.col(url_col))
+        .sortWithinPartitions(url_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, offset
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(url_col)
+    out = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.col("_offset") + F.col("_rn") - F.lit(1))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage D: posting-block encoder (runs per (term, shard) group, Arrow batch)
+# ---------------------------------------------------------------------------
+def _make_block_encoder(block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        dls = pdf["dl"].to_numpy(np.uint64)
+        blocks = encode_blocks(ids, tfs, dls, block_size)
+        term = pdf["term"].iat[0]
+        shard = int(pdf["shard_id"].iat[0])
+        return pd.DataFrame(
+            {
+                "term": term,
+                "shard_id": shard,
+                "block_no": [b["block_no"] for b in blocks],
+                "first_doc": [b["first_doc"] for b in blocks],
+                "last_doc": [b["last_doc"] for b in blocks],
+                "n": [b["n"] for b in blocks],
+                "max_tf": [b["max_tf"] for b in blocks],
+                "min_dl": [b["min_dl"] for b in blocks],
+                "doc_ids_enc": [b["doc_ids_enc"] for b in blocks],
+                "tfs_enc": [b["tfs_enc"] for b in blocks],
+                "dls_enc": [b["dls_enc"] for b in blocks],
+            }
+        )
+
+    return encode_group
+
+
+# ---------------------------------------------------------------------------
+# the build
+# ---------------------------------------------------------------------------
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Stage A: fill `text` from `html` (vectorized Arrow pass)."""
+    out_schema = (
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string, extract_ok boolean"
+    )
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    return pages.select(*cols).mapInPandas(extract_pages_batches, out_schema)
+
+
+def tf_stream(docs: DataFrame) -> DataFrame:
+    """Stage C: (term, doc_id, tf, dl) — all JVM, partial-agg before shuffle."""
+    toks = docs.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode(tokens_col("text")).alias("term")
+    )
+    return toks.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    sources: list[str] | None = None,
+) -> BuildResult:
+    """Full batch build of a new snapshot from a `pages` DataFrame."""
+    cfg = cfg or IndexConfig()
+    cat = IndexCatalog(index_dir)
+    snap = cat.new_snapshot_id()
+    snap_dir = os.path.join(index_dir, "snapshots", snap)
+
+    # A: extract (drop+count failed rows — reference drops & logs per-row
+    # extract errors, metadata.go:107-112; sink errors abort the job, which
+    # Spark gives us via task failure)
+    extracted = extract_text(pages)
+    ok = extracted.filter(F.col("extract_ok")).drop("extract_ok", "html")
+
+    # B: identity + doc store
+    with_ids = assign_doc_ids(ok, offset=cfg.id_offset)
+    docs = with_ids.select(
+        "doc_id",
+        "url",
+        "warc_ts",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("doc_len"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "text",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    (
+        docs.repartitionByRange(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap_dir, "docs"))
+    )
+    docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
+
+    # C: term stream (JVM codegen end-to-end)
+    tf = tf_stream(docs_written)
+
+    # D: salted posting build — salt = doc-range shard (head-term skew)
+    salted = tf.withColumn(
+        "shard_id", F.expr(f"doc_id div {cfg.shard_range}")
+    )
+    postings = salted.groupBy("term", "shard_id").applyInPandas(
+        _make_block_encoder(cfg.block_size), POSTINGS_SCHEMA
+    )
+    # range-partition by term so parquet row-group min/max enables
+    # query-time `term IN (...)` row-group pruning
+    (
+        postings.repartitionByRange("term", "shard_id")
+        .sortWithinPartitions("term", "shard_id", "block_no")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap_dir, "postings"))
+    )
+    postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
+
+    # term_stats (df/cf): partial-agg -> one row per term, no skew issue
+    (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap_dir, "term_stats"))
+    )
+
+    # global stats
+    n_docs, total_len = docs_written.agg(
+        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+    ).first()
+    dropped = extracted.filter(~F.col("extract_ok")).count()
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(int(n_docs), int(total_len), float(avgdl), int(dropped), cfg.import_id)],
+        "n_docs long, total_len long, avgdl double, docs_dropped long, import_id string",
+    ).write.mode("overwrite").parquet(os.path.join(snap_dir, "stats"))
+
+    # metrics: per-shard build observability (the Kibana Statistics dashboard
+    # analogue, kibana.ndjson:9)
+    bytes_col = (
+        F.length("doc_ids_enc") + F.length("tfs_enc") + F.length("dls_enc")
+    )
+    shard_docs = docs_written.groupBy(
+        F.expr(f"doc_id div {cfg.shard_range}").alias("shard_id")
+    ).agg(F.count("*").alias("docs_indexed"))
+    shard_posts = postings_written.groupBy("shard_id").agg(
+        F.sum("n").alias("postings_emitted"),
+        F.sum(bytes_col).alias("bytes_compressed"),
+    )
+    (
+        shard_docs.join(shard_posts, "shard_id", "full_outer")
+        .withColumn("snapshot_id", F.lit(snap))
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap_dir, "metrics"))
+    )
+
+    # lineage: ImportID tagging (reference: internal/common/context.go:11-24)
+    lineage_src = pages.withColumn(
+        "source_partition",
+        F.coalesce(F.input_file_name(), F.lit("inline")),
+    )
+    (
+        lineage_src.groupBy("source_partition")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("import_id", F.lit(cfg.import_id))
+        .withColumn("snapshot_id", F.lit(snap))
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap_dir, "lineage"))
+    )
+
+    n_posting_rows = postings_written.count()
+    docs.unpersist()
+    cat.commit(snap, sources or [])
+    return BuildResult(snap, int(n_docs), int(n_posting_rows), int(dropped))

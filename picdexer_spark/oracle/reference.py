@@ -1,0 +1,95 @@
+"""Pure-Python reference engine: tokenize -> dict postings -> BM25 loop.
+
+Small, slow, obviously correct. This is the rank-identity oracle — it plays
+the role Elasticsearch plays for the reference (picdexer's integration tests
+assert against a mocked ES `_bulk`/`_search`, reference:
+internal/elasticsearch/elasticsearch_test.go:46-121), and the role the golden
+`picture.jpg` fixture plays for extraction (reference:
+internal/metadata/metadata_test.go:301-334).
+
+BM25 spec (pinned; identical in the Spark engine and the DuckDB oracle SQL):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))        # ES/Lucene idf
+    score(t, d) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    k1 = 1.2, b = 0.75                                        # ES defaults
+    avgdl       = sum(dl) / N   (float64)
+    query terms deduplicated; per-doc score = sum over UNIQUE terms in
+    ASCENDING term order (pins float64 summation order for rank identity)
+    tie-break   = score desc, doc_id asc
+"""
+
+from __future__ import annotations
+
+import math
+
+from picdexer_spark.functions.tokenize import term_freqs_py, tokenize_py
+
+K1 = 1.2
+B = 0.75
+
+
+class OracleIndex:
+    """In-memory inverted index + BM25 scorer over (doc_id, text) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs:
+            tfs = term_freqs_py(text or "")
+            self.doc_len[doc_id] = sum(tfs.values())
+            for term, tf in tfs.items():
+                self.postings.setdefault(term, {})[doc_id] = tf
+        self.n_docs = len(self.doc_len)
+        self.total_len = sum(self.doc_len.values())
+        self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score_one(self, term: str, doc_id: int) -> float:
+        tf = self.postings.get(term, {}).get(doc_id)
+        if not tf:
+            return 0.0
+        dl = self.doc_len[doc_id]
+        return (
+            self.idf(term)
+            * (tf * (K1 + 1.0))
+            / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        )
+
+    def search(
+        self, terms: list[str], mode: str = "disjunctive", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score); mode 'conjunctive' (AND) or 'disjunctive' (OR)."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return []
+        if mode == "conjunctive":
+            cand: set[int] | None = None
+            for t in uniq:
+                docs = set(self.postings.get(t, {}))
+                cand = docs if cand is None else cand & docs
+                if not cand:
+                    return []
+            candidates = cand or set()
+        elif mode == "disjunctive":
+            candidates = set()
+            for t in uniq:
+                candidates |= set(self.postings.get(t, {}))
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        scored = []
+        for d in candidates:
+            s = 0.0
+            for t in uniq:  # ascending term order — pinned summation order
+                s += self.score_one(t, d)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def extract_tokens(self, text: str) -> list[str]:
+        return tokenize_py(text)

@@ -1,0 +1,129 @@
+"""Distributed BM25 top-k search over the postings table.
+
+The query-side analogue of ES `_search` that the reference's Kibana saved
+objects issue (reference: internal/setup/assets/kibana.ndjson:1,8 — analyzed
+`text` fields scored with BM25, `_score` field) — what Lucene does for the
+reference deployment, re-expressed as a Spark plan:
+
+  postings.filter(term IN q)        -- parquet row-group pruning: postings
+                                       are range-partitioned+sorted by term,
+                                       so non-matching row groups never load
+    .groupBy(shard_id)              -- shuffle of CANDIDATE blocks only
+    .applyInPandas(score_shard)     -- exact block-max top-k per doc-range
+                                       shard (query/wand.py); per-shard top-k
+                                       is sufficient: global top-k is a
+                                       subset of the union of shard top-ks
+    .orderBy(score desc, doc_id)    -- TakeOrdered k (driver merge)
+
+Global statistics (N, avgdl, per-term global df) come from the tiny
+stats/term_stats tables — a <=|q|-row collect broadcast into the UDF closure,
+the broadcast-small-dim pattern.
+
+BM25 spec pinned in oracle/reference.py; k1=1.2 b=0.75 (ES defaults).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from picdexer_spark.oracle.reference import B, K1
+from picdexer_spark.query.wand import (
+    TermBlocks,
+    score_conjunctive,
+    score_disjunctive,
+)
+from picdexer_spark.sources.catalog import IndexCatalog
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
+    asc = sorted(terms)
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        blocks: dict[str, TermBlocks] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            blocks[t] = TermBlocks(
+                g["first_doc"].to_numpy(np.int64),
+                g["last_doc"].to_numpy(np.int64),
+                g["max_tf"].to_numpy(np.int64),
+                g["min_dl"].to_numpy(np.int64),
+                list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
+            )
+        if mode == "conjunctive":
+            ids, scores = score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k)
+        else:
+            ids, scores = score_disjunctive(
+                asc, blocks, idf_map, K1, B, avgdl, k, prune=prune
+            )
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return score_shard
+
+
+class SearchEngine:
+    """BM25 top-k query engine bound to one committed index snapshot."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 snapshot_id: str | None = None):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.snapshot_id = snapshot_id or self.cat.current_snapshot()
+        self.postings = self.cat.read(spark, "postings", self.snapshot_id)
+        self.term_stats = self.cat.read(spark, "term_stats", self.snapshot_id)
+        st = self.cat.read(spark, "stats", self.snapshot_id).first()
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self.term_stats.filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        k: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Top-k (doc_id, score), globally ordered (score desc, doc_id asc)."""
+        if mode not in ("conjunctive", "disjunctive"):
+            raise ValueError(f"unknown mode {mode!r}")
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty()
+        dfs = self.term_dfs(uniq)
+        if mode == "conjunctive" and any(t not in dfs for t in uniq):
+            return self._empty()  # a required term matches nothing
+        present = [t for t in uniq if t in dfs]
+        if not present:
+            return self._empty()
+        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+
+        cand = self.postings.filter(F.col("term").isin(present))
+        scorer = _make_shard_scorer(present, idf_map, k, mode, self.avgdl, prune)
+        per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
+        """Collected [(doc_id, score)], the oracle-comparable form."""
+        return [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search(terms, mode, k, prune).collect()
+        ]

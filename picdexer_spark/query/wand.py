@@ -1,0 +1,247 @@
+"""Block-max scoring kernels: exact top-k BM25 over decoded posting blocks.
+
+Pure numpy, runs inside the per-shard scoring UDF (query/bm25.py). Pruning is
+block-granular ("block-max WAND" in the BMW family): per-block upper bounds
+ub = idf * (max_tf*(k1+1)) / (max_tf + k1*(1-b+b*min_dl/avgdl)) — valid since
+BM25 is monotone increasing in tf and decreasing in dl — drive both
+(a) conjunctive block-range pruning (a candidate block survives only if every
+other required term has an overlapping block) and (b) disjunctive segment
+pruning (doc-range segments whose summed ub cannot beat the current kth
+score are skipped; segments processed in descending ub-sum so the cutoff is
+an early exit). Pruning is exact, never approximate — rank-identity tests
+compare against the exhaustive path bit-for-bit.
+
+Determinism contract (must match oracle/reference.py exactly):
+- float64 throughout; per-doc score = sum of per-term parts in ASCENDING
+  term order; part = idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+  with the same evaluation order as the oracle's Python expression;
+- tie-break: score desc, doc_id asc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from picdexer_spark.index.codec import decode_block
+
+
+def _score_part(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    # expression shape mirrors oracle/reference.py::score_one exactly
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def block_ub(max_tf: float, min_dl: float, idf: float, k1: float, b: float,
+             avgdl: float) -> float:
+    return float(
+        idf * (max_tf * (k1 + 1.0)) / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+    )
+
+
+def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k with (score desc, doc_id asc) tie-break."""
+    if doc_ids.size == 0:
+        return doc_ids.astype(np.int64), scores
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order].astype(np.int64), scores[order]
+
+
+class TermBlocks:
+    """All posting blocks of one term within the scoring group, decoded lazily."""
+
+    __slots__ = ("first", "last", "max_tf", "min_dl", "enc", "_cache")
+
+    def __init__(self, first, last, max_tf, min_dl, enc):
+        order = np.argsort(first, kind="stable")
+        self.first = np.asarray(first, np.int64)[order]
+        self.last = np.asarray(last, np.int64)[order]
+        self.max_tf = np.asarray(max_tf, np.int64)[order]
+        self.min_dl = np.asarray(min_dl, np.int64)[order]
+        self.enc = [enc[i] for i in order]
+        self._cache: dict[int, tuple] = {}
+
+    def n_blocks(self) -> int:
+        return self.first.size
+
+    def decode(self, i: int):
+        got = self._cache.get(i)
+        if got is None:
+            ids_enc, tfs_enc, dls_enc = self.enc[i]
+            got = decode_block(int(self.first[i]), ids_enc, tfs_enc, dls_enc)
+            self._cache[i] = got
+        return got
+
+    def decode_many(self, idxs: np.ndarray):
+        ids, tfs, dls = [], [], []
+        for i in idxs:
+            a, t, d = self.decode(int(i))
+            ids.append(a)
+            tfs.append(t)
+            dls.append(d)
+        if not ids:
+            z = np.zeros(0, np.uint64)
+            return z, z, z
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
+    def blocks_overlapping(self, lo: int, hi: int) -> np.ndarray:
+        """Indices of blocks intersecting [lo, hi] (inclusive)."""
+        i0 = int(np.searchsorted(self.last, lo, side="left"))
+        i1 = int(np.searchsorted(self.first, hi, side="right"))
+        return np.arange(i0, i1)
+
+    def lookup(self, cand: np.ndarray):
+        """(tf, dl, mask) for candidate doc_ids (sorted uint64)."""
+        if cand.size == 0 or self.n_blocks() == 0:
+            z = np.zeros(cand.size, np.uint64)
+            return z, z, np.zeros(cand.size, bool)
+        need = np.unique(
+            np.clip(
+                np.searchsorted(self.first, cand.astype(np.int64), side="right") - 1,
+                0,
+                self.n_blocks() - 1,
+            )
+        )
+        ids, tfs, dls = self.decode_many(need)
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.clip(pos, 0, max(ids.size - 1, 0))
+        hit = (pos < ids.size) & (ids[pos_c] == cand) if ids.size else np.zeros(cand.size, bool)
+        out_tf = np.zeros(cand.size, np.uint64)
+        out_dl = np.zeros(cand.size, np.uint64)
+        out_tf[hit] = tfs[pos_c[hit]]
+        out_dl[hit] = dls[pos_c[hit]]
+        return out_tf, out_dl, hit
+
+
+def score_conjunctive(
+    terms: list[str],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+):
+    """Exact conjunctive (AND) top-k within one scoring group."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    if any(t not in blocks or blocks[t].n_blocks() == 0 for t in terms):
+        return empty
+    asc = sorted(terms)
+    # drive from the term with the fewest postings in this group
+    sizes = {t: int(blocks[t].last.size) for t in terms}
+    driver = min(terms, key=lambda t: (sizes[t], t))
+    others = [t for t in asc if t != driver]
+
+    # block-range pruning: a driver block survives only if EVERY other term
+    # has at least one block overlapping its [first, last] range
+    tb = blocks[driver]
+    keep = np.ones(tb.n_blocks(), bool)
+    for t in others:
+        ob = blocks[t]
+        i0 = np.searchsorted(ob.last, tb.first, side="left")
+        has = (i0 < ob.n_blocks()) & (
+            ob.first[np.clip(i0, 0, ob.n_blocks() - 1)] <= tb.last
+        )
+        keep &= has
+    if not keep.any():
+        return empty
+
+    cand, cand_tf, cand_dl = tb.decode_many(np.flatnonzero(keep))
+    per_term_tf = {driver: (cand_tf, cand_dl)}
+    mask = np.ones(cand.size, bool)
+    for t in others:
+        tfs, dls, hit = blocks[t].lookup(cand)
+        mask &= hit
+        per_term_tf[t] = (tfs, dls)
+        if not mask.any():
+            return empty
+    cand = cand[mask]
+    scores = np.zeros(cand.size, np.float64)
+    for t in asc:  # pinned summation order
+        tfs, dls = per_term_tf[t]
+        scores += _score_part(tfs[mask], dls[mask], idf[t], k1, b, avgdl)
+    return _topk(cand.astype(np.int64), scores, k)
+
+
+def score_disjunctive(
+    terms: list[str],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    prune: bool = True,
+):
+    """Exact disjunctive (OR) top-k with block-max segment pruning."""
+    asc = [t for t in sorted(terms) if t in blocks and blocks[t].n_blocks() > 0]
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    if not asc:
+        return empty
+
+    # segment sweep: doc-id space cut at every block boundary; per segment,
+    # sum of overlapping block UBs = max achievable score there
+    bounds = []
+    per_block = []  # (term, block_idx, lo, hi, ub)
+    for t in asc:
+        tb = blocks[t]
+        for i in range(tb.n_blocks()):
+            lo, hi = int(tb.first[i]), int(tb.last[i])
+            ub = block_ub(float(tb.max_tf[i]), float(tb.min_dl[i]),
+                          idf[t], k1, b, avgdl)
+            per_block.append((t, i, lo, hi, ub))
+            bounds.append(lo)
+            bounds.append(hi + 1)
+    edges = np.unique(np.asarray(bounds, np.int64))
+    nseg = edges.size - 1
+    if nseg <= 0:
+        return empty
+    seg_ub = np.zeros(nseg + 1, np.float64)
+    seg_blocks: list[list[int]] = [[] for _ in range(nseg)]
+    for bi, (t, i, lo, hi, ub) in enumerate(per_block):
+        s0 = int(np.searchsorted(edges, lo, side="right") - 1)
+        s1 = int(np.searchsorted(edges, hi + 1, side="left"))
+        seg_ub[s0] += ub
+        seg_ub[s1] -= ub
+        for s in range(s0, s1):
+            seg_blocks[s].append(bi)
+    seg_ub = np.cumsum(seg_ub[:-1])
+
+    order = np.argsort(-seg_ub, kind="stable") if prune else np.arange(nseg)
+    top_ids = np.zeros(0, np.int64)
+    top_scores = np.zeros(0, np.float64)
+    theta = -np.inf
+    for s in order:
+        if prune and seg_ub[s] < theta:
+            break  # segments are in desc ub order -> all remaining prune too
+        lo, hi = int(edges[s]), int(edges[s + 1]) - 1
+        # gather per-term candidate slices within [lo, hi]
+        seg_ids: np.ndarray | None = None
+        parts: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for t in asc:
+            tb = blocks[t]
+            idxs = [bi for bi in seg_blocks[s] if per_block[bi][0] == t]
+            if not idxs:
+                continue
+            bidx = np.asarray([per_block[bi][1] for bi in idxs], np.int64)
+            ids, tfs, dls = tb.decode_many(bidx)
+            j0, j1 = np.searchsorted(ids, [np.uint64(lo), np.uint64(hi + 1)])
+            if j1 > j0:
+                parts.append((t, ids[j0:j1], tfs[j0:j1], dls[j0:j1]))
+        if not parts:
+            continue
+        all_ids = np.unique(np.concatenate([p[1] for p in parts]))
+        scores = np.zeros(all_ids.size, np.float64)
+        for t, ids, tfs, dls in parts:  # parts already in asc term order
+            pos = np.searchsorted(all_ids, ids)
+            scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+        top_ids = np.concatenate([top_ids, all_ids.astype(np.int64)])
+        top_scores = np.concatenate([top_scores, scores])
+        if top_ids.size > max(4 * k, 256):
+            top_ids, top_scores = _topk(top_ids, top_scores, k)
+        if top_ids.size >= k:
+            kth = _topk(top_ids, top_scores, k)[1]
+            theta = kth[-1] if kth.size >= k else -np.inf
+    return _topk(top_ids, top_scores, k)

@@ -1,0 +1,124 @@
+"""Index catalog: on-disk layout, snapshot commit protocol, DDL analogue.
+
+The reference's setup stage delete-then-PUTs two ES index mappings and
+imports Kibana saved objects — i.e. CREATE OR REPLACE of the schema objects
+(reference: internal/setup/setup.go:48-77, 92-148; esManager.go:43-90). Our
+analogue owns four tables plus a manifest:
+
+    <index_dir>/
+      snapshots/snap-NNNNNN/
+        docs/        doc_id, url, warc_ts, lang, doc_len, text_md5, text
+        postings/    term, shard_id, block_no, first_doc, last_doc, n,
+                     max_tf, min_dl, doc_ids_enc, tfs_enc, dls_enc
+        term_stats/  term, df, cf
+        stats/       n_docs, total_len, avgdl        (single row)
+        metrics/     shard_id, docs_indexed, postings_emitted,
+                     bytes_compressed, snapshot_id
+        lineage/     import_id, source_partition, n_rows, snapshot_id
+      MANIFEST.json  {"current": "snap-NNNNNN", "snapshots": [...],
+                      "processed_sources": [...]}
+
+Commit protocol (Iceberg-snapshot semantics without the Iceberg jars — the
+runtime image has no Iceberg; with jars present these would be `CREATE OR
+REPLACE TABLE ... USING iceberg` + snapshot reads): a build writes a complete
+new snapshot directory, then atomically replaces MANIFEST.json via
+os.replace. A crash mid-build leaves the previous manifest intact — restart
+re-reads the manifest and resumes from the last committed snapshot, which is
+the resumability contract (north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage")
+
+POSTINGS_SCHEMA = (
+    "term string, shard_id long, block_no int, first_doc long, last_doc long,"
+    " n int, max_tf long, min_dl long,"
+    " doc_ids_enc binary, tfs_enc binary, dls_enc binary"
+)
+
+DOCS_SCHEMA = (
+    "doc_id long, url string, warc_ts timestamp, lang string,"
+    " doc_len long, text_md5 string, text string"
+)
+
+
+class IndexCatalog:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest_path = os.path.join(index_dir, "MANIFEST.json")
+
+    # ---- manifest -------------------------------------------------------
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"current": None, "snapshots": [], "processed_sources": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic commit point
+
+    def current_snapshot(self) -> str | None:
+        return self.read_manifest()["current"]
+
+    def new_snapshot_id(self) -> str:
+        m = self.read_manifest()
+        n = len(m["snapshots"]) + 1
+        return f"snap-{n:06d}"
+
+    def snapshot_dir(self, snapshot_id: str | None = None) -> str:
+        sid = snapshot_id or self.current_snapshot()
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.index_dir}")
+        return os.path.join(self.index_dir, "snapshots", sid)
+
+    def table_path(self, table: str, snapshot_id: str | None = None) -> str:
+        assert table in TABLES, table
+        return os.path.join(self.snapshot_dir(snapshot_id), table)
+
+    def commit(self, snapshot_id: str, processed_sources: list[str]) -> None:
+        """Atomically advance `current` to a fully-written snapshot dir."""
+        m = self.read_manifest()
+        m["snapshots"].append(
+            {"id": snapshot_id, "committed_at": time.time(),
+             "sources": processed_sources}
+        )
+        m["current"] = snapshot_id
+        seen = set(m["processed_sources"])
+        m["processed_sources"] += [s for s in processed_sources if s not in seen]
+        self._write_manifest(m)
+
+    def abort_uncommitted(self) -> None:
+        """Drop snapshot dirs never committed (crash leftovers)."""
+        m = self.read_manifest()
+        committed = {s["id"] for s in m["snapshots"]}
+        snaps_root = os.path.join(self.index_dir, "snapshots")
+        if not os.path.isdir(snaps_root):
+            return
+        for d in os.listdir(snaps_root):
+            if d not in committed:
+                shutil.rmtree(os.path.join(snaps_root, d), ignore_errors=True)
+
+    # ---- table IO -------------------------------------------------------
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: str | None = None) -> DataFrame:
+        return spark.read.parquet(self.table_path(table, snapshot_id))
+
+    def register_views(self, spark: SparkSession,
+                       snapshot_id: str | None = None) -> None:
+        """CREATE OR REPLACE VIEW analogue for dashboard queries."""
+        for t in TABLES:
+            path = self.table_path(t, snapshot_id)
+            if os.path.isdir(path):
+                spark.read.parquet(path).createOrReplaceTempView(t)

@@ -1,0 +1,70 @@
+"""Tokenizer golden vectors + oracle BM25 hand-computed micro-corpus
+(FIXTURES.md §4), plus extraction inverse property."""
+
+import math
+
+import pandas as pd
+
+from picdexer_spark.functions.extract import (
+    extract_text_series,
+    wrap_html_series,
+)
+from picdexer_spark.functions.tokenize import term_freqs_py, tokenize_py
+from picdexer_spark.oracle.reference import B, K1, OracleIndex
+
+
+def test_tokenizer_golden():
+    assert tokenize_py("Hello, World! 42") == ["hello", "world", "42"]
+    assert tokenize_py("a-b_c d.e") == ["a", "b", "c", "d", "e"]
+    assert tokenize_py("") == []
+    assert tokenize_py("   ") == []
+    assert tokenize_py("ALLCAPS MiXeD") == ["allcaps", "mixed"]
+    assert tokenize_py("x1y2 3z") == ["x1y2", "3z"]
+    assert tokenize_py(None) == []
+
+
+def test_term_freqs():
+    assert term_freqs_py("a b a B") == {"a": 2, "b": 2}
+
+
+def _bm25_hand(tf, df, n, dl, avgdl):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def test_bm25_micro_corpus():
+    # 3-doc corpus, hand-checkable
+    docs = [(0, "cat dog"), (1, "cat cat fish"), (2, "dog dog dog bird")]
+    idx = OracleIndex(docs)
+    assert idx.n_docs == 3
+    assert idx.avgdl == (2 + 3 + 4) / 3
+    assert idx.df("cat") == 2 and idx.df("dog") == 2 and idx.df("bird") == 1
+    # score of 'cat' in doc 1: tf=2, dl=3
+    expect = _bm25_hand(2, 2, 3, 3, 3.0)
+    assert abs(idx.score_one("cat", 1) - expect) < 1e-12
+    top = idx.search(["cat"], "disjunctive", 10)
+    assert [d for d, _ in top] == [1, 0]
+    # conjunctive
+    assert [d for d, _ in idx.search(["cat", "dog"], "conjunctive", 10)] == [0]
+    assert idx.search(["nosuch"], "disjunctive", 10) == []
+    assert idx.search(["cat", "nosuch"], "conjunctive", 10) == []
+
+
+def test_tie_break_doc_id_asc():
+    docs = [(5, "x y"), (3, "x y"), (9, "x y")]  # identical docs -> tied scores
+    idx = OracleIndex(docs)
+    assert [d for d, _ in idx.search(["x"], "disjunctive", 3)] == [3, 5, 9]
+
+
+def test_extract_inverse():
+    texts = pd.Series(
+        ["plain words here", "with & ampersand < tag > 'q' \"dq\"", "", "a  b"]
+    )
+    urls = pd.Series([f"https://site{i}.example/p/{i}" for i in range(4)])
+    html = wrap_html_series(texts, urls)
+    back = extract_text_series(html)
+    assert list(back) == list(texts)
+    # it's a real wrapper: boilerplate surrounds the (escaped) text
+    assert html[0].startswith(b"<html><head><title>") and b"<nav>" in html[0]
+    assert texts[0].encode() in html[0]
+    assert b"&amp;" in html[1] and b"&lt;" in html[1]
