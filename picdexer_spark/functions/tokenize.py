@@ -9,7 +9,12 @@ the DuckDB oracle SQL produce byte-identical token streams:
 
     tokens(text) = all matches of [a-z0-9]+ over lower(text)
 
-- Spark (JVM, codegen): ``F.regexp_extract_all(F.lower(col), '[a-z0-9]+', 0)``
+- Spark (JVM, codegen): ``filter(split(lower(col), '[^a-z0-9]+'), x -> x != '')``
+  — equivalent to the findall form (split consumes maximal separator runs,
+  leaving exactly the maximal alnum runs plus possible empty head/tail
+  entries, which the filter drops; empty text -> ['']->[]), chosen because
+  Spark's regexp_extract_all measured 4-8x slower than split on the same
+  corpus.
 - Python oracle:        ``re.findall('[a-z0-9]+', text.lower())``
 - DuckDB oracle SQL:    ``regexp_extract_all(lower(text), '[a-z0-9]+')``
 
@@ -27,6 +32,8 @@ from pyspark.sql import functions as F
 
 #: the single tokenizer regex — shared verbatim by all three engines
 TOKEN_PATTERN = "[a-z0-9]+"
+#: complement form used by the (faster) Spark split tokenizer
+SEPARATOR_PATTERN = "[^a-z0-9]+"
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
@@ -46,7 +53,9 @@ def term_freqs_py(text: str) -> dict[str, int]:
 def tokens_col(col: Column | str) -> Column:
     """Spark tokenizer column: array<string> of tokens, JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+    return F.filter(
+        F.split(F.lower(c), SEPARATOR_PATTERN), lambda x: x != F.lit("")
+    )
 
 
 def duckdb_tokens_sql(col_sql: str) -> str:

@@ -81,7 +81,9 @@ class BuildResult:
 # ---------------------------------------------------------------------------
 # stage B: dense doc_id assignment (deterministic, scalable, resumable)
 # ---------------------------------------------------------------------------
-def assign_doc_ids(df: DataFrame, url_col: str = "url", offset: int = 0) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame, url_col: str = "url", offset: int = 0
+) -> tuple[DataFrame, DataFrame]:
     """doc_id = `offset` + dense rank of url (lexicographic, UTF-8).
 
     Two-phase global rank: range-partition by url, rank within partition,
@@ -89,6 +91,9 @@ def assign_doc_ids(df: DataFrame, url_col: str = "url", offset: int = 0) -> Data
     single-partition window, never monotonically_increasing_id — the result
     is a pure function of the url SET, so it is stable across retries and
     resumable (incremental builds pass offset = committed n_docs).
+
+    Returns (df_with_doc_id, persisted_handle) — the caller unpersists the
+    handle once downstream results are materialized.
     """
     part = (
         df.repartitionByRange(F.col(url_col))
@@ -115,38 +120,65 @@ def assign_doc_ids(df: DataFrame, url_col: str = "url", offset: int = 0) -> Data
         .withColumn("doc_id", F.col("_offset") + F.col("_rn") - F.lit(1))
         .drop("_pid", "_rn", "_offset")
     )
-    return out
+    return out, part
 
 
 # ---------------------------------------------------------------------------
-# stage D: posting-block encoder (runs per (term, shard) group, Arrow batch)
+# stage D: posting-block encoder.
+#
+# NOT applyInPandas: at web scale the (term, shard) group count approaches the
+# distinct-posting count for tail terms, and Spark's grouped-map pays an
+# Arrow round-trip + pandas construction PER GROUP (measured 200s+ for a 2k-doc
+# corpus). Instead: one shuffle (repartition on (term, shard)), sort within
+# partitions by (term, shard, doc_id), then a mapInPandas pass that slices
+# group boundaries with numpy and carries the trailing (possibly split) group
+# across Arrow batches — whole-partition batching, per-group cost is two
+# numpy slices.
 # ---------------------------------------------------------------------------
-def _make_block_encoder(block_size: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+def _make_partition_encoder(block_size: int):
+    cols = [
+        "term", "shard_id", "block_no", "first_doc", "last_doc", "n",
+        "max_tf", "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc",
+    ]
+
+    def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].to_numpy()
+        shard = pdf["shard_id"].to_numpy(np.int64)
         ids = pdf["doc_id"].to_numpy(np.uint64)
         tfs = pdf["tf"].to_numpy(np.uint64)
         dls = pdf["dl"].to_numpy(np.uint64)
-        blocks = encode_blocks(ids, tfs, dls, block_size)
-        term = pdf["term"].iat[0]
-        shard = int(pdf["shard_id"].iat[0])
-        return pd.DataFrame(
-            {
-                "term": term,
-                "shard_id": shard,
-                "block_no": [b["block_no"] for b in blocks],
-                "first_doc": [b["first_doc"] for b in blocks],
-                "last_doc": [b["last_doc"] for b in blocks],
-                "n": [b["n"] for b in blocks],
-                "max_tf": [b["max_tf"] for b in blocks],
-                "min_dl": [b["min_dl"] for b in blocks],
-                "doc_ids_enc": [b["doc_ids_enc"] for b in blocks],
-                "tfs_enc": [b["tfs_enc"] for b in blocks],
-                "dls_enc": [b["dls_enc"] for b in blocks],
-            }
-        )
+        change = np.flatnonzero((term[1:] != term[:-1]) | (shard[1:] != shard[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [term.size]))
+        out = {c: [] for c in cols}
+        for s, e in zip(starts, ends):
+            for b in encode_blocks(ids[s:e], tfs[s:e], dls[s:e], block_size):
+                out["term"].append(term[s])
+                out["shard_id"].append(int(shard[s]))
+                for k, v in b.items():
+                    out[k].append(v)
+        return pd.DataFrame(out)
 
-    return encode_group
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing group — it may continue in the next batch
+            term = pdf["term"].to_numpy()
+            shard = pdf["shard_id"].to_numpy(np.int64)
+            tail_start = int(np.argmax((term == term[-1]) & (shard == shard[-1])))
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                yield _encode_groups(head)
+        if carry is not None and len(carry):
+            yield _encode_groups(carry)
+
+    return encode_partition
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +222,7 @@ def build_index(
     ok = extracted.filter(F.col("extract_ok")).drop("extract_ok", "html")
 
     # B: identity + doc store
-    with_ids = assign_doc_ids(ok, offset=cfg.id_offset)
+    with_ids, _parted = assign_doc_ids(ok, offset=cfg.id_offset)
     docs = with_ids.select(
         "doc_id",
         "url",
@@ -208,6 +240,7 @@ def build_index(
         .parquet(os.path.join(snap_dir, "docs"))
     )
     docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
+    _parted.unpersist()
 
     # C: term stream (JVM codegen end-to-end)
     tf = tf_stream(docs_written)
@@ -216,8 +249,10 @@ def build_index(
     salted = tf.withColumn(
         "shard_id", F.expr(f"doc_id div {cfg.shard_range}")
     )
-    postings = salted.groupBy("term", "shard_id").applyInPandas(
-        _make_block_encoder(cfg.block_size), POSTINGS_SCHEMA
+    postings = (
+        salted.repartition("term", "shard_id")
+        .sortWithinPartitions("term", "shard_id", "doc_id")
+        .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
     )
     # range-partition by term so parquet row-group min/max enables
     # query-time `term IN (...)` row-group pruning
@@ -241,7 +276,8 @@ def build_index(
     n_docs, total_len = docs_written.agg(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).first()
-    dropped = extracted.filter(~F.col("extract_ok")).count()
+    # dropped = input rows minus indexed rows — avoids re-running extraction
+    dropped = pages.count() - int(n_docs)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     spark.createDataFrame(
         [(int(n_docs), int(total_len), float(avgdl), int(dropped), cfg.import_id)],
