@@ -1,0 +1,172 @@
+"""The Kibana dashboard query surface (SURVEY.md §2.2, Q1-Q12) as Spark ops.
+
+Each function mirrors one saved-object query the reference installs into
+Kibana (reference: internal/setup/assets/kibana.ndjson, record lines cited
+per function) — the aggregation semantics ES executes for picdexer,
+re-expressed as DataFrame plans over the engine's tables (or any table with
+the same shape). All are pure built-in ops: groupBy/window/orderBy stay in
+whole-stage codegen; top-k is TakeOrdered; the Other bucket is the classic
+"total minus top-k" union.
+
+Determinism: every ordered result carries an explicit total tie-break so
+row sets are stable across engines (ES uses doc order; we pin key order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(c: Column) -> Column:
+    """Epoch seconds for timestamp or timestamp_ntz columns (ntz can't cast
+    straight to bigint in Spark 4; go through ltz with the session TZ=UTC)."""
+    return c.cast("timestamp_ltz").cast("long")
+
+
+def count_all(df: DataFrame) -> DataFrame:
+    """Q1 — match-all metric `pictureCount` (kibana.ndjson:2)."""
+    return df.agg(F.count("*").alias("n"))
+
+
+def date_histogram(df: DataFrame, ts_col: str, bucket: str) -> DataFrame:
+    """Q2 — date histogram, min_doc_count=1 (kibana.ndjson:3,10,11).
+
+    bucket: '12h' (PT12H), 'week' (P7D), 'year' (P1Y). Empty buckets are
+    naturally absent from groupBy output (= min_doc_count:1). Bucket key is
+    epoch seconds for '12h' (engine-neutral) and ISO date for week/year.
+    """
+    c = F.col(ts_col)
+    if bucket == "12h":
+        key = (F.floor(epoch_seconds(c) / F.lit(43200)) * 43200).alias("bucket")
+    elif bucket == "week":
+        key = F.date_trunc("week", c).cast("date").alias("bucket")
+    elif bucket == "year":
+        key = F.date_trunc("year", c).cast("date").alias("bucket")
+    else:
+        raise ValueError(bucket)
+    return df.groupBy(key).agg(F.count("*").alias("n")).orderBy("bucket")
+
+
+def top_terms_with_other(
+    df: DataFrame, col: str, k: int = 20, explode: bool = False
+) -> DataFrame:
+    """Q3 — terms agg, top-k by count desc + "Other" bucket
+    (kibana.ndjson:4 TopKeywords, :5 TopFolders; otherBucket:true).
+
+    `explode=True` treats `col` as an array field (per-value buckets, the
+    Keywords semantics). Other = total value count - sum(top-k counts).
+    Tie-break: count desc, key asc (pinned; ES breaks ties by key too).
+    """
+    vals = df.select(F.explode(F.col(col)).alias("key")) if explode else df.select(
+        F.col(col).alias("key")
+    )
+    counts = vals.groupBy("key").agg(F.count("*").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
+    total = vals.agg(F.count("*").alias("t"))
+    other = (
+        topk.agg(F.sum("n").alias("s"))
+        .crossJoin(total)
+        .select(
+            F.lit("__other__").alias("key"),
+            (F.col("t") - F.col("s")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return topk.unionByName(other)
+
+
+def terms_key_ordered(df: DataFrame, col: str, limit: int = 900) -> DataFrame:
+    """Q4 — terms agg ordered by key asc, size 900 (kibana.ndjson:12
+    BrowseFolders)."""
+    return (
+        df.groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc("key"))
+        .limit(limit)
+    )
+
+
+def nested_top_terms(
+    df: DataFrame, outer: str, inner: str, k_outer: int = 10, k_inner: int = 5
+) -> DataFrame:
+    """Q5 — nested terms: top-k_outer outer groups, top-k_inner inner per
+    outer, both by count desc (kibana.ndjson:6 CameraLens: top-10
+    CameraModel x top-5 LensModel)."""
+    pairs = df.groupBy(
+        F.col(outer).alias("okey"), F.col(inner).alias("ikey")
+    ).agg(F.count("*").alias("n"))
+    outer_counts = (
+        df.groupBy(F.col(outer).alias("okey"))
+        .agg(F.count("*").alias("on"))
+        .orderBy(F.desc("on"), F.asc("okey"))
+        .limit(k_outer)
+    )
+    w = Window.partitionBy("okey").orderBy(F.desc("n"), F.asc("ikey"))
+    return (
+        pairs.join(F.broadcast(outer_counts), "okey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_inner)
+        .select("okey", "ikey", "n")
+    )
+
+
+def value_grid(df: DataFrame, x_col: str, precision: int = 0) -> DataFrame:
+    """Q6 — grid agg: bucket a continuous value, count per cell
+    (kibana.ndjson:7 ES_GEO_GRID on GPS; here 1-D binning — the engine's
+    pages have no geo column, the binning operator is the same shape)."""
+    key = F.round(F.col(x_col), precision).alias("cell")
+    return df.groupBy(key).agg(F.count("*").alias("n")).orderBy("cell")
+
+
+def sorted_projection(
+    df: DataFrame, cols: list[str], ts_col: str, key_col: str, limit: int = 100
+) -> DataFrame:
+    """Q7 — the "discover" view: column projection sorted by date desc
+    (kibana.ndjson:8; sort [["Date","desc"]]). key_col breaks ties."""
+    return (
+        df.select(*cols)
+        .orderBy(F.desc(ts_col), F.asc(key_col))
+        .limit(limit)
+    )
+
+
+def scripted_url_field(df: DataFrame, id_col: str, fs_url: str) -> DataFrame:
+    """Q10 — scripted field Toto = doc['_id'] rendered as {{FsUrl}}/key/{id}
+    (kibana.ndjson:1 fieldFormatMap)."""
+    return df.withColumn(
+        "key_url", F.concat(F.lit(fs_url), F.lit("/key/"), F.col(id_col))
+    )
+
+
+def time_range(df: DataFrame, ts_col: str, lo: str, hi: str) -> DataFrame:
+    """Q11 — dashboard timeFrom/timeTo filter on the time field
+    (kibana.ndjson:9,13; timeFieldName kibana.ndjson:1)."""
+    return df.filter(F.col(ts_col).between(F.lit(lo), F.lit(hi)))
+
+
+def sync_on_date(
+    df: DataFrame, match_col: str, keyword: str, ts_col: str, sync_date: str
+) -> DataFrame:
+    """Q12 — the sync-on-date derived-doc generator: for rows matching a
+    configured keyword, shift the date by (2000-01-01 - per-keyword epoch)
+    so series overlay (reference: internal/elasticsearch/
+    elasticsearch.go:193-217, const line 21; mapping syncOnDate.json)."""
+    shift = epoch_seconds(F.lit("2000-01-01").cast("timestamp")) - epoch_seconds(
+        F.lit(sync_date).cast("timestamp")
+    )
+    return (
+        df.filter(F.col(match_col) == keyword)
+        .withColumn(
+            "synced_ts",
+            (epoch_seconds(F.col(ts_col)) + shift).cast("timestamp"),
+        )
+        .withColumn("sync_key", F.lit(keyword))
+    )
+
+
+def point_lookup(df: DataFrame, key_col: str, key) -> DataFrame:
+    """Q9 — lookup by `_id` (the bulk index-by-id upsert target,
+    reference: elasticsearch.go:185-190); parquet/Iceberg point read with
+    min/max pruning since docs are written sorted by doc_id."""
+    return df.filter(F.col(key_col) == F.lit(key))

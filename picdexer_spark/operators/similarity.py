@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline (all-JVM arithmetic via
+zip_with/aggregate — no UDF), and an LSH-bucketed variant (random-hyperplane
+signs) as the scale path: at 10^9+ vectors the bucket join prunes the
+candidate set to colliding buckets before exact re-scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # promote to float64 BEFORE multiplying so the result is bit-comparable
+    # across engines (array<float> elements would otherwise multiply in f32)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors for each query id.
+
+    The query vectors (a tiny dim table) are broadcast against the full
+    embedding table — one scan, no shuffle of the big side; per-query top-k
+    via window row_number. Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    joined = df.alias("n").crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of <v, h_j>.
+
+    Hyperplanes are a deterministic seeded numpy matrix broadcast as
+    literals (tiny); the signature is all-JVM arithmetic. Cosine-similar
+    vectors collide with probability 1 - theta/pi per plane.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in planes[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    sig = F.concat(*[b.cast("string") for b in bits])
+    return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """ANN candidate pairs: same-bucket self-join, exact cosine re-score."""
+    b = hyperplane_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bv = b.join(v, "id")
+    pairs = (
+        bv.alias("x")
+        .join(bv.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "cos_sim")
+    )
