@@ -1,0 +1,167 @@
+"""Benchmark harness: index-build throughput + BM25 top-k latency + scaling.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {...per-step seconds...}, "sf": ...,
+   "docs_per_sec": ..., "p50_query_sec": ...,
+   "scaling": {"cpus_lo": 8, "cpus_hi": 32, "t_lo": ..., "t_hi": ...,
+               "throughput_lo": ..., "throughput_hi": ...,
+               "speedup": ..., "efficiency": ...}}
+
+The corpus is the deterministic synthetic `pages` table (FIXTURES.md §1) at
+a doc count proportional to the sf dir (sf0.1 -> 100k docs); the TPC-H-ish
+driver tables don't carry a fulltext corpus at bench scale (documents is
+5k rows at sf0.1). The scaling probe runs the same build at local[8] and
+local[32] in fresh subprocess JVMs (the sandbox stand-in for N vs 4N
+executors, per BASELINE.md) and reports throughput efficiency.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input sf dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main run (default 32)
+  BENCH_SCALING=0      skip the scaling probe
+  BENCH_DOCS           override corpus size
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000, "sf1": 1_000_000}
+
+# the headline BM25 query mix: head/torso/rare, conj + disj (vocab of the
+# synthetic corpus: w0.. Zipf-ranked, rareterm<g> injected rare terms)
+BENCH_QUERIES = [
+    ("bm25_disj_head", ["w0", "w1", "w2"], "disjunctive", 10),
+    ("bm25_disj_torso", ["w50", "w200", "w800"], "disjunctive", 10),
+    ("bm25_conj_torso", ["w100", "w150"], "conjunctive", 10),
+    ("bm25_conj_rare", ["rareterm7", "rareterm21"], "conjunctive", 10),
+    ("bm25_conj_mixed", ["w3", "rareterm11"], "conjunctive", 10),
+    ("bm25_disj_mixed", ["w10", "rareterm40"], "disjunctive", 10),
+]
+
+
+def corpus_docs(sf_dir: str) -> int:
+    if os.environ.get("BENCH_DOCS"):
+        return int(os.environ["BENCH_DOCS"])
+    return SF_DOCS.get(os.path.basename(os.path.normpath(sf_dir)), 10_000)
+
+
+def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
+              warmup: bool = True) -> float:
+    """Build the index over the synthetic corpus; returns build seconds."""
+    from picdexer_spark.fixtures.pages import materialize_pages
+    from picdexer_spark.index.build import IndexConfig, build_index
+    from picdexer_spark.session import get_spark
+
+    spark = get_spark(f"bench-build-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    fix = materialize_pages(n_docs, seed=42)
+    pages = spark.read.parquet(os.path.join(fix, "pages"))
+    if warmup:
+        # full-size throwaway build: JIT, codegen cache, Python worker pool
+        # and shuffle paths all warm (a 1k warmup leaves 31 of 32 workers
+        # cold and JIT barely started — measured 3-5x timing swings)
+        wdir = tempfile.mkdtemp(prefix="bench_warm_")
+        build_index(spark, pages, wdir, IndexConfig(shard_range=shard_range))
+        shutil.rmtree(wdir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, index_dir, IndexConfig(shard_range=shard_range))
+    dt = time.time() - t0
+    spark.stop()
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument("--shard-range", type=int, default=1 << 16)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = args.docs or corpus_docs(sf_dir)
+
+    if args.build_only:
+        d = tempfile.mkdtemp(prefix="bench_scale_idx_")
+        dt = run_build(cpus, n_docs, d, args.shard_range)
+        shutil.rmtree(d, ignore_errors=True)
+        print(json.dumps({"t": dt}))
+        return
+
+    from picdexer_spark.query.bm25 import SearchEngine
+    from picdexer_spark.session import get_spark
+
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    index_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t_build = run_build(cpus, n_docs, index_dir, args.shard_range)
+    queries["index_build"] = round(t_build, 3)
+    docs_per_sec = n_docs / t_build
+
+    spark = get_spark(f"bench-query-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    eng = SearchEngine(spark, index_dir)
+    eng.search_topk(["w5"], "disjunctive", 10)  # query-path warmup
+    lat = []
+    for name, terms, mode, k in BENCH_QUERIES:
+        t0 = time.time()
+        eng.search_topk(terms, mode, k)
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        lat.append(dt)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    spark.stop()
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    result = {
+        "metric": "fulltext index build + BM25 top-k",
+        "value": round(time.time() - t_total0, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "p50_query_sec": round(p50, 3),
+    }
+
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        scale_docs = max(n_docs // 2, 10_000)
+        ts = {}
+        for c in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--build-only",
+                 "--cpus", str(c), "--docs", str(scale_docs),
+                 "--shard-range", str(args.shard_range)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            ts[c] = json.loads(line)["t"]
+        speedup = ts[8] / ts[32]
+        result["scaling"] = {
+            "cpus_lo": 8, "cpus_hi": 32, "n_docs": scale_docs,
+            "t_lo": round(ts[8], 3), "t_hi": round(ts[32], 3),
+            "throughput_lo": round(scale_docs / ts[8], 1),
+            "throughput_hi": round(scale_docs / ts[32], 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / 4.0, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,21 +154,35 @@ def gen_queries(seed: int = 42, n_queries: int = 50) -> pd.DataFrame:
 
 
 def materialize_pages(
-    n_docs: int, seed: int = 42, cache_dir: str = "/root/repo/.fixtures"
+    n_docs: int, seed: int = 42, cache_dir: str = "/root/repo/.fixtures",
+    docs_per_file: int = 1000,
 ) -> str:
-    """Write (once) and return the path of the cached pages parquet dir.
+    """Write (once) and return the path of the cached pages fixture dir.
 
-    Parquet is written in row groups of 50k so Spark gets split-able input.
+    pages are written as MANY parquet part files (<dir>/pages/part-*.parquet)
+    — the shape of a real Common-Crawl input (thousands of WARC-derived
+    files) and what gives Spark scan/extract parallelism; a single fat file
+    would serialize the whole extract stage onto one task.
     """
-    out = os.path.join(cache_dir, f"pages_n{n_docs}_seed{seed}")
-    pages_path = os.path.join(out, "pages.parquet")
+    out = os.path.join(cache_dir, f"pages_n{n_docs}_seed{seed}_f{docs_per_file}")
+    pages_dir = os.path.join(out, "pages")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(pages_dir, exist_ok=True)
     pdf = gen_pages(n_docs, seed)
     table = pa.Table.from_pandas(pdf, schema=PAGES_SCHEMA, preserve_index=False)
-    pq.write_table(table, pages_path, row_group_size=50_000)
+    n_files = max(1, (n_docs + docs_per_file - 1) // docs_per_file)
+    for i in range(n_files):
+        lo = i * docs_per_file
+        hi = min(lo + docs_per_file, n_docs)
+        if lo >= hi:
+            break
+        pq.write_table(
+            table.slice(lo, hi - lo),
+            os.path.join(pages_dir, f"part-{i:05d}.parquet"),
+            row_group_size=docs_per_file,
+        )
     gen_queries(seed).to_parquet(os.path.join(out, "queries.parquet"), index=False)
     with open(done, "w") as f:
         f.write("ok")

@@ -43,6 +43,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -76,6 +78,35 @@ class BuildResult:
     n_docs: int
     n_postings_rows: int
     docs_dropped: int
+    phase_secs: dict = field(default_factory=dict)
+
+
+class _PhaseTimer:
+    """Per-phase wall clock, printed when PICDEXER_BUILD_TIMING=1."""
+
+    def __init__(self):
+        import time as _t
+
+        self._t = _t
+        self.last = _t.time()
+        self.secs: dict[str, float] = {}
+        self.verbose = os.environ.get("PICDEXER_BUILD_TIMING") == "1"
+
+    def mark(self, phase: str) -> None:
+        now = self._t.time()
+        self.secs[phase] = round(now - self.last, 2)
+        if self.verbose:
+            print(f"[build] {phase}: {self.secs[phase]:.1f}s", flush=True)
+        self.last = now
+
+
+def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
+    """Write a driver-side table as one parquet file (Spark-readable)."""
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(columns, schema=schema),
+        os.path.join(path, "part-00000.parquet"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +169,7 @@ def assign_doc_ids(
 def _make_partition_encoder(block_size: int):
     cols = [
         "term", "shard_id", "block_no", "first_doc", "last_doc", "n",
-        "max_tf", "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc",
+        "max_tf", "min_dl", "sum_tf", "doc_ids_enc", "tfs_enc", "dls_enc",
     ]
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -214,6 +245,7 @@ def build_index(
     cat = IndexCatalog(index_dir)
     snap = cat.new_snapshot_id()
     snap_dir = os.path.join(index_dir, "snapshots", snap)
+    timer = _PhaseTimer()
 
     # A: extract (drop+count failed rows — reference drops & logs per-row
     # extract errors, metadata.go:107-112; sink errors abort the job, which
@@ -223,6 +255,7 @@ def build_index(
 
     # B: identity + doc store
     with_ids, _parted = assign_doc_ids(ok, offset=cfg.id_offset)
+    timer.mark("extract+assign_ids")
     docs = with_ids.select(
         "doc_id",
         "url",
@@ -231,7 +264,7 @@ def build_index(
         F.size(tokens_col("text")).cast("long").alias("doc_len"),
         F.md5(F.col("text")).alias("text_md5"),
         "text",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     (
         docs.repartitionByRange(F.col("doc_id"))
@@ -241,6 +274,7 @@ def build_index(
     )
     docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
     _parted.unpersist()
+    timer.mark("docs_write")
 
     # C: term stream (JVM codegen end-to-end)
     tf = tf_stream(docs_written)
@@ -248,76 +282,139 @@ def build_index(
     # D: salted posting build — salt = doc-range shard (head-term skew)
     salted = tf.withColumn(
         "shard_id", F.expr(f"doc_id div {cfg.shard_range}")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE exchange, range-partitioned by (term, shard): the write comes out
+    # term-sorted, so parquet row-group min/max gives query-time
+    # `term IN (...)` file/row-group pruning for free. Range boundaries are
+    # sampled from the cached tf stream (equal keys never split across
+    # partitions, so no (term, shard) group is torn). A second
+    # repartitionByRange AFTER encoding would re-run the encoder for the
+    # sampling pass — measured ~2x the encode cost.
+    # At 10^12-doc scale the tf cache is infeasible; there the sampling pass
+    # recomputes tf once (or use fixed boundaries from term_stats of the
+    # previous snapshot).
     postings = (
-        salted.repartition("term", "shard_id")
+        salted.repartitionByRange("term", "shard_id")
         .sortWithinPartitions("term", "shard_id", "doc_id")
         .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
     )
-    # range-partition by term so parquet row-group min/max enables
-    # query-time `term IN (...)` row-group pruning
-    (
-        postings.repartitionByRange("term", "shard_id")
-        .sortWithinPartitions("term", "shard_id", "block_no")
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap_dir, "postings"))
-    )
+    postings.write.mode("overwrite").parquet(os.path.join(snap_dir, "postings"))
+    salted.unpersist()
     postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
+    timer.mark("postings_write")
 
-    # term_stats (df/cf): partial-agg -> one row per term, no skew issue
+    # term_stats (df/cf) roll up from posting-block METADATA — no second
+    # tokenize pass, no decode: df = sum(n), cf = sum(sum_tf) per term
     (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        postings_written.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
         .write.mode("overwrite")
         .parquet(os.path.join(snap_dir, "term_stats"))
     )
+    timer.mark("term_stats")
 
-    # global stats
-    n_docs, total_len = docs_written.agg(
-        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
-    ).first()
-    # dropped = input rows minus indexed rows — avoids re-running extraction
-    dropped = pages.count() - int(n_docs)
+    # one pass over docs metadata: global stats + per-shard doc counts
+    shard_doc_rows = (
+        docs_written.groupBy(
+            F.expr(f"doc_id div {cfg.shard_range}").alias("shard_id")
+        )
+        .agg(F.count("*").alias("docs_indexed"), F.sum("doc_len").alias("len_sum"))
+        .collect()
+    )
+    n_docs = sum(r["docs_indexed"] for r in shard_doc_rows)
+    total_len = sum(r["len_sum"] or 0 for r in shard_doc_rows)
     avgdl = (total_len / n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(int(n_docs), int(total_len), float(avgdl), int(dropped), cfg.import_id)],
-        "n_docs long, total_len long, avgdl double, docs_dropped long, import_id string",
-    ).write.mode("overwrite").parquet(os.path.join(snap_dir, "stats"))
 
-    # metrics: per-shard build observability (the Kibana Statistics dashboard
-    # analogue, kibana.ndjson:9)
+    # one pass over posting-block metadata: per-shard postings + bytes + rows
     bytes_col = (
         F.length("doc_ids_enc") + F.length("tfs_enc") + F.length("dls_enc")
     )
-    shard_docs = docs_written.groupBy(
-        F.expr(f"doc_id div {cfg.shard_range}").alias("shard_id")
-    ).agg(F.count("*").alias("docs_indexed"))
-    shard_posts = postings_written.groupBy("shard_id").agg(
-        F.sum("n").alias("postings_emitted"),
-        F.sum(bytes_col).alias("bytes_compressed"),
+    shard_post_rows = (
+        postings_written.groupBy("shard_id")
+        .agg(
+            F.sum("n").alias("postings_emitted"),
+            F.sum(bytes_col).alias("bytes_compressed"),
+            F.count("*").alias("block_rows"),
+        )
+        .collect()
     )
-    (
-        shard_docs.join(shard_posts, "shard_id", "full_outer")
-        .withColumn("snapshot_id", F.lit(snap))
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap_dir, "metrics"))
-    )
+    n_posting_rows = sum(r["block_rows"] for r in shard_post_rows)
 
-    # lineage: ImportID tagging (reference: internal/common/context.go:11-24)
-    lineage_src = pages.withColumn(
-        "source_partition",
-        F.coalesce(F.input_file_name(), F.lit("inline")),
-    )
-    (
-        lineage_src.groupBy("source_partition")
+    # lineage: ImportID tagging per input partition (reference:
+    # internal/common/context.go:11-24); its totals also give the
+    # dropped-row count without re-running extraction
+    lineage_rows = (
+        pages.withColumn(
+            "source_partition",
+            F.coalesce(F.input_file_name(), F.lit("inline")),
+        )
+        .groupBy("source_partition")
         .agg(F.count("*").alias("n_rows"))
-        .withColumn("import_id", F.lit(cfg.import_id))
-        .withColumn("snapshot_id", F.lit(snap))
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap_dir, "lineage"))
+        .collect()
+    )
+    n_input = sum(r["n_rows"] for r in lineage_rows)
+    dropped = int(n_input) - int(n_docs)
+    timer.mark("stats_metrics_lineage_aggs")
+
+    # tiny driver-side tables (shard/file cardinality, not data-sized):
+    # written with pyarrow directly — a Spark job per 1-row table is pure
+    # scheduler overhead on the build's serial path
+    _write_small_table(
+        os.path.join(snap_dir, "stats"),
+        {
+            "n_docs": [int(n_docs)],
+            "total_len": [int(total_len)],
+            "avgdl": [float(avgdl)],
+            "docs_dropped": [int(dropped)],
+            "import_id": [cfg.import_id],
+        },
+        schema=pa.schema(
+            [("n_docs", pa.int64()), ("total_len", pa.int64()),
+             ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
+             ("import_id", pa.string())]
+        ),
     )
 
-    n_posting_rows = postings_written.count()
-    docs.unpersist()
+    posts_by_shard = {r["shard_id"]: r for r in shard_post_rows}
+    _write_small_table(
+        os.path.join(snap_dir, "metrics"),
+        {
+            "shard_id": [int(r["shard_id"]) for r in shard_doc_rows],
+            "docs_indexed": [int(r["docs_indexed"]) for r in shard_doc_rows],
+            "postings_emitted": [
+                int(posts_by_shard[r["shard_id"]]["postings_emitted"])
+                if r["shard_id"] in posts_by_shard else 0
+                for r in shard_doc_rows
+            ],
+            "bytes_compressed": [
+                int(posts_by_shard[r["shard_id"]]["bytes_compressed"])
+                if r["shard_id"] in posts_by_shard else 0
+                for r in shard_doc_rows
+            ],
+            "snapshot_id": [snap] * len(shard_doc_rows),
+        },
+        schema=pa.schema(
+            [("shard_id", pa.int64()), ("docs_indexed", pa.int64()),
+             ("postings_emitted", pa.int64()), ("bytes_compressed", pa.int64()),
+             ("snapshot_id", pa.string())]
+        ),
+    )
+
+    _write_small_table(
+        os.path.join(snap_dir, "lineage"),
+        {
+            "source_partition": [r["source_partition"] for r in lineage_rows],
+            "n_rows": [int(r["n_rows"]) for r in lineage_rows],
+            "import_id": [cfg.import_id] * len(lineage_rows),
+            "snapshot_id": [snap] * len(lineage_rows),
+        },
+        schema=pa.schema(
+            [("source_partition", pa.string()), ("n_rows", pa.int64()),
+             ("import_id", pa.string()), ("snapshot_id", pa.string())]
+        ),
+    )
+
+    timer.mark("small_table_writes")
     cat.commit(snap, sources or [])
-    return BuildResult(snap, int(n_docs), int(n_posting_rows), int(dropped))
+    return BuildResult(snap, int(n_docs), int(n_posting_rows), int(dropped),
+                       timer.secs)

@@ -17,6 +17,8 @@ Format per posting block (one DataFrame row in the `postings` table):
     n           int       -- postings in block (<= BLOCK_SIZE)
     max_tf      long      -- block-max term frequency (WAND upper bound)
     min_dl      long      -- block-min document length (tightens the bound)
+    sum_tf      long      -- block total term frequency (term_stats cf rolls
+                             up from block metadata, no re-tokenize pass)
     doc_ids_enc binary    -- varint(delta(doc_ids)); first delta vs first_doc-? see below
     tfs_enc     binary    -- varint(tf - 1) per posting
     dls_enc     binary    -- varint(doc_len) per posting (the "norms"; stored
@@ -135,6 +137,7 @@ def encode_blocks(
                 "n": int(ids.size),
                 "max_tf": int(btf.max()),
                 "min_dl": int(bdl.min()),
+                "sum_tf": int(btf.sum()),
                 "doc_ids_enc": varint_encode(delta_encode(ids, first)),
                 "tfs_enc": varint_encode(btf - np.uint64(1)),
                 "dls_enc": varint_encode(bdl),

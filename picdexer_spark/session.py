@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES; our post-shuffle stages (Arrow
+        # encode, pandas extract) are CPU-bound on small bytes — keep at
+        # least core-count partitions so coalescing can't serialize them
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -40,7 +40,7 @@ TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage")
 
 POSTINGS_SCHEMA = (
     "term string, shard_id long, block_no int, first_doc long, last_doc long,"
-    " n int, max_tf long, min_dl long,"
+    " n int, max_tf long, min_dl long, sum_tf long,"
     " doc_ids_enc binary, tfs_enc binary, dls_enc binary"
 )
 
