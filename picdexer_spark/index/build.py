@@ -239,8 +239,14 @@ def build_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     sources: list[str] | None = None,
+    commit: bool = True,
 ) -> BuildResult:
-    """Full batch build of a new snapshot from a `pages` DataFrame."""
+    """Full batch build of a new snapshot from a `pages` DataFrame.
+
+    With commit=False the snapshot dir is fully written but the manifest is
+    NOT advanced — incremental builds patch in merged stats and commit with
+    a parent pointer themselves (streaming/incremental.py), keeping the
+    crash window atomic."""
     cfg = cfg or IndexConfig()
     cat = IndexCatalog(index_dir)
     snap = cat.new_snapshot_id()
@@ -415,6 +421,7 @@ def build_index(
     )
 
     timer.mark("small_table_writes")
-    cat.commit(snap, sources or [])
+    if commit:
+        cat.commit(snap, sources or [])
     return BuildResult(snap, int(n_docs), int(n_posting_rows), int(dropped),
                        timer.secs)

@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage")
 
+#: append-only tables: a snapshot holds only its DELTA rows; reads union the
+#: parent chain (the Iceberg manifest-list pattern — incremental commits
+#: never rewrite history). term_stats/stats are small and written in full
+#: per snapshot.
+CHAINED_TABLES = {"docs", "postings", "metrics", "lineage"}
+
 POSTINGS_SCHEMA = (
     "term string, shard_id long, block_no int, first_doc long, last_doc long,"
     " n int, max_tf long, min_dl long, sum_tf long,"
@@ -87,12 +93,33 @@ class IndexCatalog:
         assert table in TABLES, table
         return os.path.join(self.snapshot_dir(snapshot_id), table)
 
-    def commit(self, snapshot_id: str, processed_sources: list[str]) -> None:
+    def parent_chain(self, snapshot_id: str | None = None) -> list[str]:
+        """[snapshot, parent, grandparent, ...] oldest last."""
+        sid = snapshot_id or self.current_snapshot()
+        if sid is None:
+            return []
+        by_id = {s["id"]: s for s in self.read_manifest()["snapshots"]}
+        chain = []
+        cur: str | None = sid
+        while cur is not None:
+            chain.append(cur)
+            cur = by_id.get(cur, {}).get("parent")
+        return chain
+
+    def committed_stats(self, spark: SparkSession) -> dict | None:
+        """stats row of the current snapshot (None if no snapshot)."""
+        if self.current_snapshot() is None:
+            return None
+        row = self.read(spark, "stats").first()
+        return row.asDict() if row else None
+
+    def commit(self, snapshot_id: str, processed_sources: list[str],
+               parent: str | None = None) -> None:
         """Atomically advance `current` to a fully-written snapshot dir."""
         m = self.read_manifest()
         m["snapshots"].append(
             {"id": snapshot_id, "committed_at": time.time(),
-             "sources": processed_sources}
+             "sources": processed_sources, "parent": parent}
         )
         m["current"] = snapshot_id
         seen = set(m["processed_sources"])
@@ -113,6 +140,13 @@ class IndexCatalog:
     # ---- table IO -------------------------------------------------------
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
+        if table in CHAINED_TABLES:
+            paths = [
+                self.table_path(table, sid)
+                for sid in self.parent_chain(snapshot_id)
+            ]
+            paths = [p for p in paths if os.path.isdir(p)]
+            return spark.read.parquet(*paths)
         return spark.read.parquet(self.table_path(table, snapshot_id))
 
     def register_views(self, spark: SparkSession,

@@ -1,0 +1,155 @@
+"""Incremental/streaming builds + resumability (SURVEY.md §5(e), north rule).
+
+- two-batch incremental == results of querying everything (stats, BM25)
+- idempotent source re-delivery (no-op) and url-level dedup
+- kill/resume: crash mid-batch leaves the previous snapshot queryable;
+  re-running the batch converges to the same final index
+- streaming dropzone: availableNow drains files through foreachBatch
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from picdexer_spark.fixtures.pages import gen_pages
+from picdexer_spark.index.build import IndexConfig, build_index
+from picdexer_spark.oracle.reference import OracleIndex
+from picdexer_spark.query.bm25 import SearchEngine
+from picdexer_spark.sources.catalog import IndexCatalog
+from picdexer_spark.streaming.incremental import (
+    build_incremental,
+    run_dropzone_stream,
+)
+
+N = 600
+CFG = IndexConfig(shard_range=128)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = gen_pages(N, seed=7)
+    return pdf
+
+
+def _oracle_for(pdf_parts):
+    import pandas as pd
+
+    rows = []
+    offset = 0
+    for part in pdf_parts:  # ids assigned batch-by-batch, url-ranked
+        urls = sorted(part["url"])
+        by_url = dict(zip(part["url"], part["text"]))
+        for i, u in enumerate(urls):
+            rows.append((offset + i, by_url[u]))
+        offset += len(urls)
+    return OracleIndex(rows)
+
+
+def test_incremental_append_matches_oracle(spark, corpus, tmp_path):
+    pdf = corpus
+    a, b = pdf.iloc[:400], pdf.iloc[400:]
+    idx = str(tmp_path / "inc")
+    r1 = build_incremental(spark, spark.createDataFrame(a), idx, CFG, "src-a")
+    r2 = build_incremental(spark, spark.createDataFrame(b), idx, CFG, "src-b")
+    assert r1.n_docs == 400 and r2.n_docs == N
+    cat = IndexCatalog(idx)
+    assert cat.parent_chain() == [r2.snapshot_id, r1.snapshot_id]
+
+    oracle = _oracle_for([a, b])
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == oracle.n_docs
+    assert eng.avgdl == pytest.approx(oracle.avgdl, abs=1e-12)
+    for terms, mode in ((["w0"], "disjunctive"), (["w1", "w3"], "conjunctive"),
+                        (["w2", "w10", "w40"], "disjunctive")):
+        got = eng.search_topk(terms, mode, 10)
+        exp = oracle.search(terms, mode, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, mode)
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12)
+
+    # chained docs read covers both batches, text byte-identical
+    docs = cat.read(spark, "docs")
+    assert docs.count() == N
+    assert docs.select("doc_id").distinct().count() == N
+
+
+def test_redelivery_and_url_dedup(spark, corpus, tmp_path):
+    pdf = corpus.iloc[:200]
+    idx = str(tmp_path / "re")
+    df = spark.createDataFrame(pdf)
+    r1 = build_incremental(spark, df, idx, CFG, "s1")
+    # same source id -> no-op
+    assert build_incremental(spark, df, idx, CFG, "s1") is None
+    # same rows, new source id -> url dedup, zero new docs
+    r2 = build_incremental(spark, df, idx, CFG, "s2")
+    assert r2 is not None and r2.n_docs == r1.n_docs
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 200
+
+
+def test_kill_resume(spark, corpus, tmp_path):
+    """Crash mid-second-batch: previous snapshot stays queryable; resume
+    converges to the same index as a clean two-batch run."""
+    pdf = corpus
+    a, b = pdf.iloc[:300], pdf.iloc[300:]
+    clean = str(tmp_path / "clean")
+    build_incremental(spark, spark.createDataFrame(a), clean, CFG, "a")
+    build_incremental(spark, spark.createDataFrame(b), clean, CFG, "b")
+
+    crashy = str(tmp_path / "crashy")
+    build_incremental(spark, spark.createDataFrame(a), crashy, CFG, "a")
+    cat = IndexCatalog(crashy)
+    snap_before = cat.current_snapshot()
+
+    # simulate a crash: a half-written snapshot dir, manifest NOT advanced
+    half = os.path.join(crashy, "snapshots", "snap-000002")
+    os.makedirs(os.path.join(half, "docs"), exist_ok=True)
+    with open(os.path.join(half, "docs", "junk"), "w") as f:
+        f.write("partial write then crash")
+
+    # restart: previous snapshot still the current, still queryable
+    assert cat.current_snapshot() == snap_before
+    assert SearchEngine(spark, crashy).n_docs == 300
+    cat.abort_uncommitted()
+    assert not os.path.exists(half)
+
+    # resume the failed batch
+    build_incremental(spark, spark.createDataFrame(b), crashy, CFG, "b")
+
+    for d in (clean, crashy):
+        pass
+    e1, e2 = SearchEngine(spark, clean), SearchEngine(spark, crashy)
+    assert e1.n_docs == e2.n_docs == N
+    got1 = e1.search_topk(["w0", "w5"], "disjunctive", 10)
+    got2 = e2.search_topk(["w0", "w5"], "disjunctive", 10)
+    assert got1 == got2
+
+
+def test_dropzone_stream(spark, corpus, tmp_path):
+    pdf = corpus
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    idx = str(tmp_path / "sidx")
+    ckpt = str(tmp_path / "ckpt")
+    # two files land in the dropzone
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from picdexer_spark.fixtures.pages import PAGES_SCHEMA
+
+    for i, part in enumerate((pdf.iloc[:300], pdf.iloc[300:])):
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=PAGES_SCHEMA, preserve_index=False),
+            os.path.join(drop, f"drop-{i}.parquet"),
+        )
+    q = run_dropzone_stream(spark, drop, idx, ckpt, CFG, available_now=True)
+    q.awaitTermination(300)
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == N
+    # restart the stream with no new files: no new snapshot
+    chain_before = IndexCatalog(idx).parent_chain()
+    q2 = run_dropzone_stream(spark, drop, idx, ckpt, CFG, available_now=True)
+    q2.awaitTermination(300)
+    assert IndexCatalog(idx).parent_chain() == chain_before
