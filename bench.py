@@ -11,9 +11,14 @@ Prints ONE JSON line:
 The corpus is the deterministic synthetic `pages` table (FIXTURES.md §1) at
 a doc count proportional to the sf dir (sf0.1 -> 100k docs); the TPC-H-ish
 driver tables don't carry a fulltext corpus at bench scale (documents is
-5k rows at sf0.1). The scaling probe runs the same build at local[8] and
-local[32] in fresh subprocess JVMs (the sandbox stand-in for N vs 4N
-executors, per BASELINE.md) and reports throughput efficiency.
+5k rows at sf0.1).
+
+The scaling probe runs the same warmed build at local[2] (N) and local[8]
+(4N) in fresh subprocess JVMs. 2-vs-8 — not 8-vs-32 — because this VM's
+host throttles aggregate CPU: a pure-python burn test scales 1->8 procs at
+8.1x (linear) but 8->32 at only 2.35x (~19 effective cores under load), so
+8-vs-32 can never evidence engine scaling. Protocol + full-size numbers in
+BASELINE.md.
 
 Env:
   SPARK_GRAFT_SF_DIR   input sf dir (default /root/testdata/sf0.1)
@@ -34,6 +39,11 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# shuffle through tmpfs: the single backing disk's writeback stalls showed
+# up as 3-5x timing swings; bench corpora fit comfortably in memory
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
+os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
 
 SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000, "sf1": 1_000_000}
 
@@ -62,8 +72,11 @@ def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
     from picdexer_spark.index.build import IndexConfig, build_index
     from picdexer_spark.session import get_spark
 
-    spark = get_spark(f"bench-build-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        f"bench-build-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 2),
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     fix = materialize_pages(n_docs, seed=42)
     pages = spark.read.parquet(os.path.join(fix, "pages"))
     if warmup:
@@ -138,9 +151,10 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        scale_docs = max(n_docs // 2, 10_000)
+        scale_docs = n_docs
+        lo, hi = 2, 8  # N and 4N inside the host's linear CPU region
         ts = {}
-        for c in (8, 32):
+        for c in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-only",
                  "--cpus", str(c), "--docs", str(scale_docs),
@@ -150,12 +164,12 @@ def main() -> None:
             )
             line = out.stdout.strip().splitlines()[-1]
             ts[c] = json.loads(line)["t"]
-        speedup = ts[8] / ts[32]
+        speedup = ts[lo] / ts[hi]
         result["scaling"] = {
-            "cpus_lo": 8, "cpus_hi": 32, "n_docs": scale_docs,
-            "t_lo": round(ts[8], 3), "t_hi": round(ts[32], 3),
-            "throughput_lo": round(scale_docs / ts[8], 1),
-            "throughput_hi": round(scale_docs / ts[32], 1),
+            "cpus_lo": lo, "cpus_hi": hi, "n_docs": scale_docs,
+            "t_lo": round(ts[lo], 3), "t_hi": round(ts[hi], 3),
+            "throughput_lo": round(scale_docs / ts[lo], 1),
+            "throughput_hi": round(scale_docs / ts[hi], 1),
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
         }

@@ -10,29 +10,37 @@ cmd/assemble.go:98-162) fused with the index build its ES deployment performs:
                        (metadata.go:107-112)
   stage B  identity    dense doc_id = global rank of url (content-addressed,
                        idempotent identity — analogue of md5-content FileID,
-                       common.go:44-63) via scalable two-phase range-rank
-  stage C  tokenize    JVM-side regexp_extract_all + explode + partial-agg
+                       common.go:44-63): ONE range exchange on url + a
+                       counting pass, then a zero-shuffle order-preserving
+                       mapInPandas adds partition offsets; the same counting
+                       pass yields lineage per input file and the dropped-row
+                       total. Docs come out doc_id-ordered and are written
+                       without further exchange.
+  stage C  tokenize    JVM-side split tokenizer + explode + partial-agg
                        groupBy -> (term, doc_id, tf, dl); stays inside
                        whole-stage codegen, map-side combine collapses to
                        distinct postings before any shuffle
-  stage D  postings    groupBy(term, salt) applyInPandas -> delta+varint
-                       blocks with block-max metadata. salt = doc_id div
-                       shard_range: EXPLICIT SALTING of head terms — Zipf
-                       head terms ("the") split into bounded doc-range
-                       sub-groups so no reducer sees more than shard_range
-                       postings for one term; because salts are contiguous
-                       doc ranges, the global posting list is the
-                       concatenation of salted runs (no re-merge needed) and
-                       every (term, shard) group stays sorted by doc_id
+  stage D  postings    ONE hash exchange on (term, salt) + sort-within +
+                       mapInPandas encoder -> delta+varint blocks with
+                       block-max metadata, parquet bloom filter on term for
+                       query pruning. salt = doc_id div shard_range:
+                       EXPLICIT SALTING of head terms — Zipf head terms
+                       ("the") split into bounded doc-range sub-groups so no
+                       reducer sees more than shard_range postings for one
+                       term; because salts are contiguous doc ranges, the
+                       global posting list is the concatenation of salted
+                       runs (no re-merge needed) and every (term, shard)
+                       group stays sorted by doc_id
   stage E  commit      write all tables into a new snapshot dir, atomically
                        advance MANIFEST (resumable; Iceberg-snapshot
                        semantics, see sources/catalog.py)
 
-Scale notes (100 TB / 10^12 docs): the only full-corpus shuffles are the
-doc_id range-rank (one-time, by url) and the single postings exchange on
-(term, salt) whose volume is the distinct-postings stream (already partially
-aggregated map-side). shard_range bounds per-group memory at
-O(shard_range * bytes/posting); head-term skew is defused by construction.
+Scale notes (100 TB / 10^12 docs): exactly TWO full-corpus shuffles — the
+url range exchange for identity (one-time) and the (term, salt) exchange
+whose volume is the distinct-postings stream (already partially aggregated
+map-side). shard_range bounds per-group memory at O(shard_range *
+bytes/posting); head-term skew is defused by construction; everything else
+is metadata-sized.
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -113,45 +121,88 @@ def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
 # stage B: dense doc_id assignment (deterministic, scalable, resumable)
 # ---------------------------------------------------------------------------
 def assign_doc_ids(
-    df: DataFrame, url_col: str = "url", offset: int = 0
-) -> tuple[DataFrame, DataFrame]:
-    """doc_id = `offset` + dense rank of url (lexicographic, UTF-8).
+    df: DataFrame, url_col: str = "url", offset: int = 0,
+    ok_col: str | None = None,
+) -> tuple[DataFrame, DataFrame, list, int]:
+    """doc_id = `offset` + dense rank of url (lexicographic, UTF-8) over the
+    KEPT rows (``ok_col`` true, when given); dropped rows never consume ids.
 
     Two-phase global rank: range-partition by url, rank within partition,
     add per-partition offsets (computed from partition counts). Never a
     single-partition window, never monotonically_increasing_id — the result
-    is a pure function of the url SET, so it is stable across retries and
-    resumable (incremental builds pass offset = committed n_docs).
+    is a pure function of the kept-url SET, so it is stable across retries
+    and resumable (incremental builds pass offset = committed n_docs).
 
-    Returns (df_with_doc_id, persisted_handle) — the caller unpersists the
-    handle once downstream results are materialized.
+    The single counting pass also harvests per-input-file row counts (the
+    lineage table) and the dropped-row total — no extra jobs.
+
+    Returns (kept_df_with_doc_id, persisted_handle, src_counts, n_dropped);
+    the caller unpersists the handle once downstream is materialized.
     """
+    ok = F.col(ok_col) if ok_col else F.lit(True)
     part = (
-        df.repartitionByRange(F.col(url_col))
+        df.withColumn(
+            "_src", F.coalesce(F.input_file_name(), F.lit("inline"))
+        )
+        .withColumn("_ok", ok)
+        .repartitionByRange(F.col(url_col))
         .sortWithinPartitions(url_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    cells = (
+        part.groupBy("_pid", "_src", "_ok")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    counts: dict[int, int] = {}
+    src_counts: dict[str, int] = {}
+    dropped = 0
+    for r in cells:
+        src_counts[r["_src"]] = src_counts.get(r["_src"], 0) + r["cnt"]
+        if r["_ok"]:
+            counts[r["_pid"]] = counts.get(r["_pid"], 0) + r["cnt"]
+        else:
+            dropped += r["cnt"]
     offsets, acc = {}, offset
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-    )
-    w = Window.partitionBy("_pid").orderBy(url_col)
-    out = (
-        part.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.col("_offset") + F.col("_rn") - F.lit(1))
-        .drop("_pid", "_rn", "_offset")
-    )
-    return out, part
+
+    # ids are assigned with ZERO further shuffle: `part` is already
+    # range-partitioned + sorted by url, so doc_id = partition offset +
+    # running position of the kept rows within the partition — a narrow,
+    # order-preserving mapInPandas with the (tiny) offset dict in the
+    # closure. (A window + broadcast-join formulation would hash-exchange
+    # the whole text-heavy stream on _pid and then range-exchange it again
+    # for the doc-sorted write — two full shuffles for nothing.)
+    out_fields = [
+        f for f in part.schema.fields
+        if f.name not in ("_pid", "_src", "_ok")
+    ]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(out_fields + [StructField("doc_id", LongType())])
+    keep_cols = [f.name for f in out_fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        base: int | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["_pid"].iat[0]), 0)
+            ok_mask = pdf["_ok"].to_numpy(dtype=bool)
+            kept = pdf.loc[ok_mask, keep_cols].copy()
+            n = int(ok_mask.sum())
+            kept["doc_id"] = np.arange(base + seen, base + seen + n,
+                                       dtype=np.int64)
+            seen += n
+            yield kept
+
+    out = part.mapInPandas(assign, out_schema)
+    return out, part, sorted(src_counts.items()), dropped
 
 
 # ---------------------------------------------------------------------------
@@ -256,11 +307,14 @@ def build_index(
     # A: extract (drop+count failed rows — reference drops & logs per-row
     # extract errors, metadata.go:107-112; sink errors abort the job, which
     # Spark gives us via task failure)
-    extracted = extract_text(pages)
-    ok = extracted.filter(F.col("extract_ok")).drop("extract_ok", "html")
+    extracted = extract_text(pages).drop("html")
 
-    # B: identity + doc store
-    with_ids, _parted = assign_doc_ids(ok, offset=cfg.id_offset)
+    # B: identity + doc store (one counting pass also yields lineage counts
+    # and the dropped-row total)
+    with_ids, _parted, src_counts, dropped = assign_doc_ids(
+        extracted, offset=cfg.id_offset, ok_col="extract_ok"
+    )
+    with_ids = with_ids.drop("extract_ok")
     timer.mark("extract+assign_ids")
     docs = with_ids.select(
         "doc_id",
@@ -272,12 +326,9 @@ def build_index(
         "text",
     )
 
-    (
-        docs.repartitionByRange(F.col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap_dir, "docs"))
-    )
+    # already doc_id-ordered (ids follow the url range/sort of the id pass)
+    # -> write directly; parquet min/max on doc_id gives point-lookup pruning
+    docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
     docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
     _parted.unpersist()
     timer.mark("docs_write")
@@ -288,24 +339,24 @@ def build_index(
     # D: salted posting build — salt = doc-range shard (head-term skew)
     salted = tf.withColumn(
         "shard_id", F.expr(f"doc_id div {cfg.shard_range}")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ONE exchange, range-partitioned by (term, shard): the write comes out
-    # term-sorted, so parquet row-group min/max gives query-time
-    # `term IN (...)` file/row-group pruning for free. Range boundaries are
-    # sampled from the cached tf stream (equal keys never split across
-    # partitions, so no (term, shard) group is torn). A second
-    # repartitionByRange AFTER encoding would re-run the encoder for the
-    # sampling pass — measured ~2x the encode cost.
-    # At 10^12-doc scale the tf cache is infeasible; there the sampling pass
-    # recomputes tf once (or use fixed boundaries from term_stats of the
-    # previous snapshot).
+    )
+    # ONE hash exchange on (term, shard) — no range sampling job (a
+    # repartitionByRange would run the whole upstream once more just to pick
+    # boundaries). Files come out sorted by (term, shard, doc_id) WITHIN
+    # each hash partition, and a parquet BLOOM FILTER on `term` gives the
+    # query path its `term IN (...)` row-group pruning instead of global
+    # range layout.
     postings = (
-        salted.repartitionByRange("term", "shard_id")
+        salted.repartition("term", "shard_id")
         .sortWithinPartitions("term", "shard_id", "doc_id")
         .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
     )
-    postings.write.mode("overwrite").parquet(os.path.join(snap_dir, "postings"))
-    salted.unpersist()
+    (
+        postings.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", "100000")
+        .parquet(os.path.join(snap_dir, "postings"))
+    )
     postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
     timer.mark("postings_write")
 
@@ -346,20 +397,9 @@ def build_index(
     )
     n_posting_rows = sum(r["block_rows"] for r in shard_post_rows)
 
-    # lineage: ImportID tagging per input partition (reference:
-    # internal/common/context.go:11-24); its totals also give the
-    # dropped-row count without re-running extraction
-    lineage_rows = (
-        pages.withColumn(
-            "source_partition",
-            F.coalesce(F.input_file_name(), F.lit("inline")),
-        )
-        .groupBy("source_partition")
-        .agg(F.count("*").alias("n_rows"))
-        .collect()
-    )
-    n_input = sum(r["n_rows"] for r in lineage_rows)
-    dropped = int(n_input) - int(n_docs)
+    # lineage (ImportID tagging per input partition, reference:
+    # internal/common/context.go:11-24) came for free out of the doc_id
+    # counting pass: src_counts / dropped from assign_doc_ids
     timer.mark("stats_metrics_lineage_aggs")
 
     # tiny driver-side tables (shard/file cardinality, not data-sized):
@@ -409,10 +449,10 @@ def build_index(
     _write_small_table(
         os.path.join(snap_dir, "lineage"),
         {
-            "source_partition": [r["source_partition"] for r in lineage_rows],
-            "n_rows": [int(r["n_rows"]) for r in lineage_rows],
-            "import_id": [cfg.import_id] * len(lineage_rows),
-            "snapshot_id": [snap] * len(lineage_rows),
+            "source_partition": [s for s, _ in src_counts],
+            "n_rows": [int(n) for _, n in src_counts],
+            "import_id": [cfg.import_id] * len(src_counts),
+            "snapshot_id": [snap] * len(src_counts),
         },
         schema=pa.schema(
             [("source_partition", pa.string()), ("n_rows", pa.int64()),
