@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from picdexer_spark.functions.tokenize import tokens_col  # noqa: E402
 from picdexer_spark.index.build import IndexConfig, build_index  # noqa: E402
 from picdexer_spark.operators import dashboards as dash  # noqa: E402
+from picdexer_spark.operators import multimodal as mm  # noqa: E402
 from picdexer_spark.operators import similarity as sim  # noqa: E402
 from picdexer_spark.operators import textops as tx  # noqa: E402
 from picdexer_spark.query.bm25 import SearchEngine  # noqa: E402
@@ -222,6 +223,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash"] = lambda s, d: tx.simhash(_tbl(s, d, "documents"), "doc_id", "text")
 
+    # ---- multimodal binary columns ---------------------------------------
+    def _media_df(s, d):
+        # deterministic synthetic media column derived from documents:
+        # jpeg/png magic prefixes + utf-8 payload (no binary col in testdata)
+        docs = _tbl(s, d, "documents")
+        jpeg = F.lit(bytes.fromhex("ffd8ff"))
+        png = F.lit(bytes.fromhex("89504e470d0a1a0a"))
+        media = (
+            F.when(F.col("doc_id") % 3 == 0, F.concat(jpeg, F.encode("text", "utf-8")))
+            .when(F.col("doc_id") % 3 == 1, F.concat(png, F.encode("text", "utf-8")))
+            .otherwise(F.encode("text", "utf-8"))
+        )
+        return docs.select("doc_id", "text", media.alias("media"))
+
+    def media_metadata(s, d):
+        df = _media_df(s, d)
+        return df.select(
+            F.col("doc_id").alias("id"),
+            mm.sniff_mime_col("media").alias("mime"),
+            F.length("media").cast("long").alias("n_bytes"),
+            F.md5(F.col("text")).alias("content_md5"),
+        )
+    q["media_metadata"] = media_metadata
+
+    # rows-only: stubbed decode kernel + frame fan-out (codec-free plumbing)
+    q["media_features"] = lambda s, d: mm.extract_media_features(
+        _media_df(s, d), "doc_id", "media"
+    )
+    q["media_frame_sample"] = lambda s, d: mm.frame_sample_plan(
+        _media_df(s, d), "doc_id", "media"
+    )
+
     # ---- similarity search ------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: sim.cosine_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding", [0, 1, 2], k=10
@@ -400,6 +433,29 @@ def oracle_sql() -> dict[str, str]:
                  list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))[1:8],
                  ' ')) AS fingerprint
         FROM documents
+    """
+    o["media_metadata"] = r"""
+        WITH m AS (
+          SELECT doc_id AS id, text,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF'::blob || encode(text)
+                   WHEN doc_id % 3 = 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::blob || encode(text)
+                   ELSE encode(text)
+                 END AS media
+          FROM documents)
+        SELECT id,
+               CASE
+                 WHEN left(hex(media), 6) = 'FFD8FF' THEN 'image/jpeg'
+                 WHEN left(hex(media), 16) = '89504E470D0A1A0A' THEN 'image/png'
+                 WHEN left(hex(media), 8) = '47494638' THEN 'image/gif'
+                 WHEN left(hex(media), 8) = '52494646' THEN 'audio/wav'
+                 WHEN left(hex(media), 6) = '494433' THEN 'audio/mpeg'
+                 WHEN left(hex(media), 8) = '1A45DFA3' THEN 'video/webm'
+                 ELSE 'application/octet-stream'
+               END AS mime,
+               octet_length(media)::bigint AS n_bytes,
+               md5(text) AS content_md5
+        FROM m
     """
     o["ann_cosine_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
