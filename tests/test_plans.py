@@ -1,0 +1,101 @@
+"""Plan-shape regression tests: the physical plan IS the scale contract.
+
+Asserts (on a real built index):
+- query-term filter is PUSHED to the postings parquet scan, and the scan
+  reads only the needed columns (no decode payloads for term_stats);
+- docs point lookup pushes the doc_id equality;
+- tf stream partial-aggregates BEFORE its exchange (map-side combine);
+- the whole build has exactly TWO full-data exchanges (url range, term hash);
+- ANN top-k broadcasts the tiny query side (no shuffle of the big side).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from picdexer_spark.fixtures.pages import gen_pages
+from picdexer_spark.index.build import IndexConfig, build_index, tf_stream
+from picdexer_spark.operators.similarity import cosine_topk
+from picdexer_spark.plans.audit import (
+    count_exchanges,
+    explain_str,
+    has_pushed_filter,
+    read_schema_columns,
+)
+from picdexer_spark.query.bm25 import SearchEngine
+from picdexer_spark.sources.catalog import IndexCatalog
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("planidx"))
+    pages = spark.createDataFrame(gen_pages(500, seed=11))
+    build_index(spark, pages, idx, IndexConfig(shard_range=128))
+    return idx
+
+
+def test_postings_scan_pushes_term_filter(spark, built):
+    postings = IndexCatalog(built).read(spark, "postings")
+    cand = postings.filter(F.col("term").isin(["w0", "w5"]))
+    assert has_pushed_filter(cand, "In(term"), explain_str(cand, "formatted")
+
+
+def test_term_stats_scan_prunes_payload_columns(spark, built):
+    postings = IndexCatalog(built).read(spark, "postings")
+    ts = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    for cols in read_schema_columns(ts):
+        assert "doc_ids_enc" not in cols and "tfs_enc" not in cols, cols
+        assert set(cols) <= {"term", "n"}
+
+
+def test_docs_point_lookup_pushdown(spark, built):
+    docs = IndexCatalog(built).read(spark, "docs")
+    got = docs.filter(F.col("doc_id") == 42).select("url")
+    assert has_pushed_filter(got, "EqualTo(doc_id,42)")
+
+
+def test_tf_stream_partial_agg_before_exchange(spark, built):
+    docs = IndexCatalog(built).read(spark, "docs")
+    tf = tf_stream(docs)
+    s = explain_str(tf, "simple")
+    # partial HashAggregate must appear below the exchange (map-side combine)
+    pre, _, post = s.partition("Exchange")
+    assert "partial_count" in post, s  # plan prints top-down: partial is below
+
+
+def test_search_plan_shuffles_only_candidates(spark, built):
+    eng = SearchEngine(spark, built)
+    plan = eng.search(["w0", "w3"], "disjunctive", 10)
+    s = explain_str(plan, "formatted")
+    assert "PushedFilters" in s and "In(term" in s
+    # exactly one shuffle before scoring (groupBy shard) + the final top-k
+    assert count_exchanges(plan) <= 2, explain_str(plan, "simple")
+
+
+def test_build_has_two_full_data_exchanges(spark, built):
+    # reconstruct the two heavy plan fragments and count their exchanges
+    from picdexer_spark.index.build import assign_doc_ids, extract_text
+
+    pages = spark.createDataFrame(gen_pages(200, seed=12))
+    extracted = extract_text(pages).drop("html")
+    with_ids, part, _, _ = assign_doc_ids(extracted, ok_col="extract_ok")
+    assert count_exchanges(with_ids) == 1  # the url range partition only
+    docs = IndexCatalog(built).read(spark, "docs")
+    tf = tf_stream(docs)
+    salted = tf.withColumn("shard_id", F.expr("doc_id div 128"))
+    enc_in = salted.repartition("term", "shard_id")
+    assert count_exchanges(enc_in) == 2  # tf partial-agg exchange + postings
+    part.unpersist()
+
+
+def test_ann_broadcasts_query_side(spark):
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [rng.standard_normal(8).tolist() for _ in range(50)]}
+    )
+    df = spark.createDataFrame(pdf)
+    plan = cosine_topk(df, "vec_id", "embedding", [0], k=5)
+    s = explain_str(plan, "simple")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
