@@ -136,6 +136,14 @@ def main() -> None:
         lat.append(dt)
     lat.sort()
     p50 = lat[len(lat) // 2]
+    # query throughput: the whole mix as ONE Spark job (batch path)
+    batch = [
+        {"query_id": i, "terms": terms, "mode": mode, "k": k}
+        for i, (_, terms, mode, k) in enumerate(BENCH_QUERIES)
+    ]
+    t0 = time.time()
+    eng.search_batch(batch).collect()
+    queries["bm25_batch_6q"] = round(time.time() - t0, 3)
     spark.stop()
     shutil.rmtree(index_dir, ignore_errors=True)
 

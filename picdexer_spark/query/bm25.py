@@ -127,3 +127,87 @@ class SearchEngine:
             (int(r["doc_id"]), float(r["score"]))
             for r in self.search(terms, mode, k, prune).collect()
         ]
+
+    def search_batch(
+        self,
+        queries: list[dict],
+        prune: bool = True,
+    ) -> DataFrame:
+        """Run a whole query SET as one Spark job (the query-throughput
+        path: at cluster scale you don't schedule a job per query).
+
+        `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n}].
+        One postings scan filtered to the union of all query terms, one
+        shuffle to (shard), one scoring UDF that answers every query against
+        its shard, then per-query global top-k via window rank. Returns
+        (query_id, rank, doc_id, score).
+        """
+        import pandas as pd
+        from pyspark.sql import Window
+
+        all_terms = sorted({t for q in queries for t in set(q["terms"])})
+        if not all_terms:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        dfs = self.term_dfs(all_terms)
+        idf_map = {t: idf(self.n_docs, d) for t, d in dfs.items()}
+        qspecs = []
+        for q in queries:
+            uniq = sorted(set(q["terms"]))
+            present = [t for t in uniq if t in dfs]
+            if q["mode"] == "conjunctive" and len(present) < len(uniq):
+                continue  # a required term matches nothing anywhere
+            if present:
+                qspecs.append(
+                    (int(q["query_id"]), present, q["mode"], int(q["k"]))
+                )
+        if not qspecs:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        avgdl, k1, b = self.avgdl, K1, B
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            blocks: dict[str, TermBlocks] = {}
+            for t, g in pdf.groupby("term", sort=False):
+                blocks[t] = TermBlocks(
+                    g["first_doc"].to_numpy(np.int64),
+                    g["last_doc"].to_numpy(np.int64),
+                    g["max_tf"].to_numpy(np.int64),
+                    g["min_dl"].to_numpy(np.int64),
+                    list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
+                )
+            out_q, out_d, out_s = [], [], []
+            for qid, terms, mode, k in qspecs:
+                if mode == "conjunctive":
+                    ids, scores = score_conjunctive(
+                        terms, blocks, idf_map, k1, b, avgdl, k
+                    )
+                else:
+                    ids, scores = score_disjunctive(
+                        terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
+                    )
+                out_q.extend([qid] * ids.size)
+                out_d.extend(ids.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_d, "score": out_s}
+            )
+
+        cand = self.postings.filter(F.col("term").isin(all_terms))
+        per_shard = cand.groupBy("shard_id").applyInPandas(
+            score_shard, "query_id long, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        kdf = self.spark.createDataFrame(
+            [(qid, k) for qid, _, _, k in qspecs], "query_id long, k int"
+        )
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )

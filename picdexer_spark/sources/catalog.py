@@ -151,8 +151,42 @@ class IndexCatalog:
 
     def register_views(self, spark: SparkSession,
                        snapshot_id: str | None = None) -> None:
-        """CREATE OR REPLACE VIEW analogue for dashboard queries."""
+        """CREATE OR REPLACE VIEW analogue for the engine tables."""
         for t in TABLES:
-            path = self.table_path(t, snapshot_id)
-            if os.path.isdir(path):
-                spark.read.parquet(path).createOrReplaceTempView(t)
+            try:
+                self.read(spark, t, snapshot_id).createOrReplaceTempView(t)
+            except Exception:
+                pass  # table absent in this snapshot chain
+
+    def install_dashboards(self, spark: SparkSession,
+                           snapshot_id: str | None = None) -> list[str]:
+        """The setup stage's Kibana import, as CREATE OR REPLACE VIEWs
+        (reference: internal/setup/setup.go:92-148 imports kibana.ndjson;
+        our dashboards are SQL views over the engine tables — Q1/Q2/Q3
+        analogues over docs + the Statistics dashboard over metrics,
+        kibana.ndjson:9)."""
+        self.register_views(spark, snapshot_id)
+        views = {
+            "dash_doc_count": "SELECT count(*) AS n FROM docs",
+            "dash_docs_per_week": (
+                "SELECT date_trunc('week', warc_ts) AS bucket,"
+                " count(*) AS n FROM docs GROUP BY 1 ORDER BY 1"
+            ),
+            "dash_lang_top": (
+                "SELECT lang AS key, count(*) AS n FROM docs"
+                " GROUP BY lang ORDER BY n DESC, key ASC LIMIT 20"
+            ),
+            "dash_statistics": (
+                "SELECT m.shard_id, m.docs_indexed, m.postings_emitted,"
+                " m.bytes_compressed, m.snapshot_id FROM metrics m"
+                " ORDER BY m.shard_id"
+            ),
+            "dash_import_lineage": (
+                "SELECT import_id, snapshot_id, count(*) AS n_sources,"
+                " sum(n_rows) AS n_rows FROM lineage"
+                " GROUP BY import_id, snapshot_id ORDER BY snapshot_id"
+            ),
+        }
+        for name, sql in views.items():
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+        return sorted(views)

@@ -1,0 +1,104 @@
+"""Batch search (whole query set in one Spark job) — rank-identical to the
+per-query path and the oracle; plus WAND pruning effectiveness."""
+
+import numpy as np
+import pytest
+
+from picdexer_spark.fixtures.pages import gen_pages, gen_queries
+from picdexer_spark.index.build import IndexConfig, build_index
+from picdexer_spark.oracle.reference import OracleIndex
+from picdexer_spark.query.bm25 import SearchEngine
+from picdexer_spark.query.wand import (
+    TermBlocks,
+    score_disjunctive,
+)
+
+N = 800
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = gen_pages(N, seed=21)
+    urls = sorted(pdf["url"])
+    by_url = dict(zip(pdf["url"], pdf["text"]))
+    oracle = OracleIndex([(i, by_url[u]) for i, u in enumerate(urls)])
+    idx = str(tmp_path_factory.mktemp("batchidx"))
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=200))
+    return idx, oracle
+
+
+def test_batch_matches_oracle_whole_query_set(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    queries = [
+        {"query_id": int(q.query_id), "terms": list(q.terms),
+         "mode": q.mode, "k": int(q.k)}
+        for q in gen_queries(seed=21).itertuples()
+    ]
+    rows = eng.search_batch(queries).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], float(r["score"]))
+        )
+    for q in queries:
+        exp = oracle.search(q["terms"], q["mode"], q["k"])
+        g = got.get(q["query_id"], [])
+        assert [d for d, _ in g] == [d for d, _ in exp], q
+        for (gd, gs), (_, es) in zip(g, exp):
+            assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_wand_pruning_skips_segments(built, spark):
+    """On a Zipf corpus the segment-pruned disjunctive path must decode
+    fewer blocks than exhaustive (and return identical results)."""
+    idx, oracle = built
+    from picdexer_spark.sources.catalog import IndexCatalog
+
+    # head + rare mix, k=1: the rare term's idf dwarfs the head term's
+    # upper bounds, so every head-only segment must prune away
+    rows = IndexCatalog(idx).read(spark, "postings").filter(
+        "term in ('w0','rareterm3')"
+    ).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    blocks = {
+        t: TermBlocks(
+            np.array([r["first_doc"] for r in rs], np.int64),
+            np.array([r["last_doc"] for r in rs], np.int64),
+            np.array([r["max_tf"] for r in rs], np.int64),
+            np.array([r["min_dl"] for r in rs], np.int64),
+            [(r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"]) for r in rs],
+        )
+        for t, rs in by_term.items()
+    }
+    idf = {t: oracle.idf(t) for t in blocks}
+    terms = sorted(blocks)
+    pruned = score_disjunctive(terms, blocks, idf, 1.2, 0.75,
+                               oracle.avgdl, 1, prune=True)
+    decoded_pruned = sum(len(tb._cache) for tb in blocks.values())
+    for tb in blocks.values():
+        tb._cache.clear()
+    exact = score_disjunctive(terms, blocks, idf, 1.2, 0.75,
+                              oracle.avgdl, 1, prune=False)
+    decoded_exact = sum(len(tb._cache) for tb in blocks.values())
+    assert list(pruned[0]) == list(exact[0])
+    assert np.allclose(pruned[1], exact[1], rtol=0, atol=0)
+    assert decoded_pruned < decoded_exact, (decoded_pruned, decoded_exact)
+
+
+def test_install_dashboards(spark, built):
+    idx, _ = built
+    from picdexer_spark.sources.catalog import IndexCatalog
+
+    cat = IndexCatalog(idx)
+    views = cat.install_dashboards(spark)
+    assert "dash_statistics" in views
+    assert spark.sql("SELECT n FROM dash_doc_count").first()["n"] == N
+    stats = spark.sql("SELECT * FROM dash_statistics").collect()
+    assert sum(r["docs_indexed"] for r in stats) == N
+    assert all(r["bytes_compressed"] > 0 for r in stats)
+    lin = spark.sql("SELECT * FROM dash_import_lineage").collect()
+    assert sum(r["n_rows"] for r in lin) == N
