@@ -74,7 +74,8 @@ class SearchEngine:
     """BM25 top-k query engine bound to one committed index snapshot."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 snapshot_id: str | None = None):
+                 snapshot_id: str | None = None,
+                 preload_stats_max_terms: int = 200_000):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self.snapshot_id = snapshot_id or self.cat.current_snapshot()
@@ -83,11 +84,22 @@ class SearchEngine:
         st = self.cat.read(spark, "stats", self.snapshot_id).first()
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
+        # small vocabularies: pull df stats to the driver once, saving one
+        # Spark job per query; a web-scale vocab (hundreds of millions of
+        # terms) stays a distributed filtered lookup
+        self._df_cache: dict[str, int] | None = None
+        head = self.term_stats.select("term", "df").limit(
+            preload_stats_max_terms + 1
+        ).collect()
+        if len(head) <= preload_stats_max_terms:
+            self._df_cache = {r["term"]: int(r["df"]) for r in head}
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
         rows = (
             self.term_stats.filter(F.col("term").isin(list(terms)))
             .select("term", "df")
