@@ -37,6 +37,38 @@ from picdexer_spark.sources.catalog import IndexCatalog  # noqa: E402
 # index once per sf_dir (cached across queries() calls in this process)
 # ---------------------------------------------------------------------------
 _INDEX_CACHE: dict[str, str] = {}
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to UDF workers of a session WE didn't create.
+
+    The driver may build its own SparkSession from any cwd; Python workers
+    then can't import picdexer_spark. addPyFile a zip of the package (the
+    spark-submit --py-files mechanism, applied late)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "picdexer_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "picdexer_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # Spark Connect or already added — workers may import via cwd
+    _SHIPPED_SESSIONS.add(key)
 
 # fixed reference query terms (documents-table vocabulary)
 DISJ_TERMS = ["spark", "dup", "vector"]
@@ -86,6 +118,7 @@ def _documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _get_index(spark: SparkSession, sf_dir: str) -> str:
+    _ensure_shipped(spark)
     key = os.path.abspath(sf_dir)
     got = _INDEX_CACHE.get(key)
     if got and IndexCatalog(got).current_snapshot():
@@ -263,7 +296,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "embeddings"), "vec_id", "embedding", dim=64,
         n_planes=12, min_cos=0.2,
     )
-    return q
+
+    def _with_shipping(fn):
+        def inner(s, d):
+            _ensure_shipped(s)  # UDF closures reference package modules
+            return fn(s, d)
+        return inner
+
+    return {name: _with_shipping(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
