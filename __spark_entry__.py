@@ -54,6 +54,12 @@ def _ensure_shipped(spark: SparkSession) -> None:
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "picdexer_spark")
     zip_path = os.path.join(tempfile.gettempdir(), "picdexer_spark_pkg.zip")
+    newest_src = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(pkg_dir) for f in fs if f.endswith(".py")
+    )
+    if os.path.exists(zip_path) and os.path.getmtime(zip_path) < newest_src:
+        os.remove(zip_path)  # stale zip would ship outdated code
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
