@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _with_shipping(fn):
         def inner(s, d):
             _ensure_shipped(s)  # UDF closures reference package modules
+            # epoch arithmetic must agree with DuckDB's naive timestamps
+            s.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(s, d)
         return inner
 
