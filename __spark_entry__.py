@@ -53,13 +53,16 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "picdexer_spark")
-    zip_path = os.path.join(tempfile.gettempdir(), "picdexer_spark_pkg.zip")
     newest_src = max(
         os.path.getmtime(os.path.join(r, f))
         for r, _d, fs in os.walk(pkg_dir) for f in fs if f.endswith(".py")
     )
-    if os.path.exists(zip_path) and os.path.getmtime(zip_path) < newest_src:
-        os.remove(zip_path)  # stale zip would ship outdated code
+    # per-user, content-stamped path: a fixed world-shared /tmp name could be
+    # poisoned or raced by another process on the same host
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"picdexer_spark_pkg_u{os.getuid()}_{int(newest_src * 1000)}.zip",
+    )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
@@ -118,7 +121,12 @@ def _documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("url"),
         (F.lit("2024-01-01").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
-        "text",
+        # NULL text would be dropped by the engine (extract_ok=false),
+        # shifting every later url-rank doc_id by one while the DuckDB BM25
+        # oracle still counts the row in n_docs. Coalesce to '' so no row is
+        # dropped and engine doc_id == source doc_id always holds; the
+        # build asserts docs_dropped == 0 (see _get_index).
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
         "lang",
     )
 
@@ -131,10 +139,17 @@ def _get_index(spark: SparkSession, sf_dir: str) -> str:
         return got
     index_dir = tempfile.mkdtemp(prefix="picdexer_entry_idx_")
     pages = _documents_as_pages(spark, sf_dir)
-    build_index(
+    res = build_index(
         spark, pages, index_dir,
         IndexConfig(shard_range=1 << 20, import_id=f"entry-{os.path.basename(key)}"),
     )
+    if res.docs_dropped:
+        # a dropped row would shift url-rank doc_ids off the source doc_ids
+        # and silently desync the engine from the oracle's n_docs/idf
+        raise AssertionError(
+            f"{res.docs_dropped} source rows dropped during index build; "
+            "engine doc_id == source doc_id no longer holds"
+        )
     _INDEX_CACHE[key] = index_dir
     return index_dir
 
@@ -256,7 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: tx.fingerprint(
         _tbl(s, d, "documents"), "doc_id", "text", k=8
     )
-    # rows-only checks (xxhash64 not reproducible in DuckDB)
+    # full-oracle entries since round 2: the md5_60 hash (textops.hash60) is
+    # reproducible bit-identically in DuckDB
     q["minhash_lsh_pairs"] = lambda s, d: tx.minhash_lsh_pairs(
         _tbl(s, d, "documents"), "doc_id", "text", threshold=0.4
     )
@@ -505,6 +521,103 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS content_md5
         FROM m
     """
+    # ---- MinHash / SimHash (md5_60 hash, bit-identical in DuckDB) --------
+    def h60(expr, salt=None):
+        inner = expr if salt is None else f"{expr} || '#{salt}'"
+        return f"('0x' || substr(md5({inner}),1,15))::BIGINT"
+
+    NH, NB, NR = 32, 8, 4  # num_hashes, bands, rows-per-band (mirror queries())
+    sig_exprs = ",\n                 ".join(
+        f"list_min(list_transform(sh, g -> {h60('g', j)}))" for j in range(NH)
+    )
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + h60(f"array_to_string(sig[{b * NR + 1}:{b * NR + NR}], ',')", b)
+        + " AS bucket FROM sig"
+        for b in range(NB)
+    )
+    o["minhash_lsh_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_sort(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ])) AS sh
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3),
+        sig AS (
+          SELECT id, [{sig_exprs}] AS sig
+          FROM sh),
+        banded AS ({band_selects}),
+        safe AS (SELECT band, bucket FROM banded
+                 GROUP BY band, bucket HAVING count(*) <= 200),
+        b2 AS (SELECT banded.* FROM banded JOIN safe USING (band, bucket)),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM b2 x JOIN b2 y USING (band, bucket) WHERE x.id < y.id),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_filter(range(1, {NH + 1}),
+                     i -> a.sig[i] = b.sig[i]))::DOUBLE / {NH} AS est_jaccard
+          FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id)
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
+    """
+
+    BITS = 16
+    vote_exprs = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(BITS)
+    )
+    o["simhash"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+          FROM documents),
+        h AS (SELECT id, {h60('tok', 0)} AS h FROM t),
+        votes AS (
+          SELECT id, {vote_exprs}
+          FROM h GROUP BY id),
+        fp AS (SELECT id, ({fp_expr})::BIGINT AS simhash FROM votes)
+        SELECT d.doc_id AS id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+        FROM documents d LEFT JOIN fp ON d.doc_id = fp.id
+    """
+
+    # ---- ANN hyperplane LSH: plane constants regenerated with the same
+    # seeded numpy draw the engine uses, embedded as SQL literals ----------
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((12, 64))
+    sig_bits = " || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in planes[j])
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(12)
+    )
+    o["ann_lsh_pairs"] = f"""
+        WITH b AS (
+          SELECT vec_id AS id, {sig_bits} AS bucket
+          FROM embeddings),
+        safe AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 200),
+        b2 AS (SELECT b.* FROM b JOIN safe USING (bucket)),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM b2 x JOIN b2 y USING (bucket) WHERE x.id < y.id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(list_dot_product(a.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos_sim
+          FROM cand c JOIN embeddings a ON c.id_a = a.vec_id
+                      JOIN embeddings e ON c.id_b = e.vec_id)
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2
+    """
+
     o["ann_cosine_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                    FROM embeddings WHERE vec_id IN (0, 1, 2)),

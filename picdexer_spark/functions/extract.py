@@ -80,8 +80,11 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     Unparsable html (no article element) -> None.
     """
     s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    # (?s): article bodies span newlines — without DOTALL any page whose
+    # text contains '\n' silently fails extraction, breaking the pinned
+    # extract(wrap(text)) == text byte-identity invariant
     inner = s.str.extract(
-        rf"{_ARTICLE_OPEN}(.*){_ARTICLE_CLOSE}", expand=False
+        rf"(?s){_ARTICLE_OPEN}(.*){_ARTICLE_CLOSE}", expand=False
     )
     return _unescape_series(inner)
 

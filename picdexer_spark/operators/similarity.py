@@ -24,9 +24,14 @@ def _dot(a, b):
 
 
 def _norm(a):
+    # promote to float64 BEFORE squaring (same contract as _dot): squaring
+    # array<float> elements in f32 diverges ~1e-9 from the all-DOUBLE oracle,
+    # enough to flip round(cos_sim, 6) at a rounding boundary
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
     )
 
@@ -94,7 +99,9 @@ def hyperplane_lsh_buckets(
                 F.zip_with(
                     F.col(vec_col),
                     F.array(*[F.lit(float(x)) for x in planes[j]]),
-                    lambda x, y: x * y,
+                    # explicit f64 promotion: the sign must agree with the
+                    # all-DOUBLE oracle computation bit-for-bit
+                    lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
@@ -116,22 +123,43 @@ def lsh_candidate_pairs(
     n_planes: int = 12,
     seed: int = 42,
     min_cos: float = 0.0,
+    max_bucket_size: int = 200,
+    log_dropped: bool = False,
 ) -> DataFrame:
-    """ANN candidate pairs: same-bucket self-join, exact cosine re-score."""
+    """ANN candidate pairs: same-bucket self-join, exact cosine re-score.
+
+    Scale shape: the bucket self-join shuffles only (id, bucket) — vectors
+    are joined back onto the (small) deduped candidate set for the exact
+    re-score, never riding the bucket exchange. Buckets larger than
+    ``max_bucket_size`` are dropped before the self-join: one hot bucket
+    (e.g. the all-near-zero-vector bucket) would otherwise emit O(B^2)
+    pairs. ``max_bucket_size=0`` disables; ``log_dropped=True`` prints the
+    dropped-bucket count (extra job, off the hot path by default).
+    """
     b = hyperplane_lsh_buckets(df, id_col, vec_col, dim, n_planes, seed)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bv = b.join(v, "id")
-    pairs = (
-        bv.alias("x")
-        .join(bv.alias("y"), "bucket")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("va"),
-            F.col("y.vec").alias("vb"),
+    if max_bucket_size:
+        bsize = b.groupBy("bucket").agg(F.count("*").alias("bsz"))
+        if log_dropped:
+            n_dropped = bsize.filter(F.col("bsz") > max_bucket_size).count()
+            print(f"[lsh_candidate_pairs] buckets dropped by size cap "
+                  f"{max_bucket_size}: {n_dropped}")
+        b = b.join(
+            bsize.filter(F.col("bsz") <= max_bucket_size).select("bucket"),
+            "bucket",
         )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pairs = (
+        cand.join(v.select(F.col("id").alias("id_a"),
+                           F.col("vec").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"),
+                       F.col("vec").alias("vb")), "id_b")
     )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (

@@ -51,31 +51,59 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingles(text_col: str, n: int = 3):
-    """Sorted distinct n-gram (token) shingles as an array column."""
+    """Sorted distinct n-gram (token) shingles as an array column.
+
+    Documents with fewer than n tokens yield an EMPTY array (guarded:
+    F.sequence(0, size-n) with size<n would produce a descending [0,-1]
+    sequence — Spark sequences are never empty — and the slice(toks, 0, n)
+    it implies throws INVALID_PARAMETER_VALUE.START, aborting the job on
+    the first short/empty doc)."""
     toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(grams))
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.8,
+    threshold: float = 0.8, max_shingle_df: int = 500,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity.
 
     Candidate generation is a shingle-bucket self-join (pairs must share at
-    least one shingle — at scale the shuffle key is the shingle, and the
-    head-shingle skew is bounded by a per-shingle doc-list cap), then exact
-    |A∩B| / |A∪B| verification via array ops. Returns (id_a, id_b, jaccard)
-    with id_a < id_b.
+    least one shingle with document frequency <= ``max_shingle_df``), then
+    exact |A∩B| / |A∪B| verification via array ops over the FULL shingle
+    sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The df cap is the scale guard: a head shingle shared by B docs emits
+    O(B^2) candidate pairs in the self-join — one boilerplate phrase across
+    10^8 pages is quadratic. A shingle carried by more than ``max_shingle_df``
+    docs carries no near-dup signal (standard MinHash-era practice), so it is
+    excluded from candidate generation only; verification still uses every
+    shingle. Pairs whose ONLY shared shingles are capped ones are missed —
+    that is the documented trade. ``max_shingle_df=0`` disables the cap;
+    ``log_dropped=True`` counts and prints the capped shingles (one extra
+    job, off the hot path by default).
     """
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
     ex = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_df:
+        gdf = ex.groupBy("g").agg(F.count("*").alias("df_g"))
+        if log_dropped:
+            n_dropped = gdf.filter(F.col("df_g") > max_shingle_df).count()
+            print(f"[ngram_jaccard_pairs] shingles dropped by df cap "
+                  f"{max_shingle_df}: {n_dropped}")
+        ex = ex.join(
+            gdf.filter(F.col("df_g") <= max_shingle_df).select("g"), "g"
+        )
     cand = (
         ex.alias("x")
         .join(ex.alias("y"), "g")
@@ -98,25 +126,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def hash60(col, *salt) -> F.Column:
+    """Engine-portable 60-bit hash: int(md5(x || '#' || salt)[:15hex], 16).
+
+    Chosen over xxhash64 because every engine in the correctness loop can
+    compute it bit-identically — Spark `conv(substr(md5(..),1,15),16,10)`,
+    DuckDB `('0x'||substr(md5(..),1,15))::BIGINT`, Python
+    `int(hashlib.md5(..).hexdigest()[:15],16)` — so MinHash/SimHash get a
+    full value-hash oracle instead of a rows-only check. 60 bits keeps the
+    value positive in int64 on all three. md5 costs ~2x xxhash64 JVM-side;
+    pass hasher='xxhash64' to the callers for the non-oracle fast path.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for s in salt:
+        c = F.concat(c, F.lit("#"), F.lit(str(s)))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _perm_hash(col, j: int, hasher: str) -> F.Column:
+    if hasher == "xxhash64":
+        return F.xxhash64(col, F.lit(j))
+    return hash60(col, j)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 32, hasher: str = "md5_60",
 ) -> DataFrame:
     """MinHash signatures: sig[j] = min over shingles of h_j(shingle).
 
-    h_j(s) = xxhash64(s, seed=j) — one JVM hash per permutation, arithmetic
-    projection, no UDF. Output: (id, sig array<long>).
+    h_j(s) = hash of (s, seed=j) — one JVM hash per permutation, arithmetic
+    projection, no UDF. Output: (id, sig array<long>). hasher='md5_60'
+    (default, oracle-portable — see :func:`hash60`) or 'xxhash64' (faster,
+    engine-internal).
     """
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
+
+    def _mk(j):
+        # MUST be a ONE-parameter lambda: PySpark treats a second transform()
+        # lambda parameter as the array index, which would silently override
+        # the permutation seed (`lambda s, j=j: ...` hashed every shingle
+        # with its own position instead of the seed)
+        return lambda s: _perm_hash(s, j, hasher)
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(F.col("sh"), _mk(j)))
+          for j in range(num_hashes)]
     )
     return sh.select("id", sig.alias("sig"))
 
@@ -124,51 +181,76 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     num_hashes: int = 32, bands: int = 8, threshold: float = 0.5,
+    hasher: str = "md5_60", max_bucket_size: int = 200,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by signature similarity.
 
     shingle -> minhash -> band -> bucket-join: signatures are cut into
     `bands` bands of num_hashes/bands rows; docs colliding in any band
-    become candidates (the bucket join shuffles on the band hash — uniform
-    by construction); candidate pairs are scored by fraction of equal
+    become candidates; candidate pairs are scored by fraction of equal
     signature positions (the MinHash estimate of Jaccard).
+
+    Scale shape: the band self-join shuffles only (id, band, bucket) — the
+    32-long signatures do NOT ride the band exchange; they are joined back
+    onto the (small) deduped candidate set for verification. Buckets larger
+    than ``max_bucket_size`` are dropped before the self-join (one
+    boilerplate-heavy bucket of B docs is O(B^2) pairs; docs in a bucket
+    that hot are near-identical to ~B others and surface through their
+    other, smaller buckets or exact dedup). ``max_bucket_size=0`` disables;
+    ``log_dropped=True`` prints the dropped-bucket count.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bnd * rows + r + 1)
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hasher)
+    band_bucket = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    _perm_hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bnd * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ),
+                        bnd,
+                        hasher,
+                    ).alias("bucket"),
+                )
+                for bnd in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sigs.select("id", band_bucket).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    if max_bucket_size:
+        bsize = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("bsz")
+        )
+        if log_dropped:
+            n_dropped = bsize.filter(F.col("bsz") > max_bucket_size).count()
+            print(f"[minhash_lsh_pairs] buckets dropped by size cap "
+                  f"{max_bucket_size}: {n_dropped}")
+        banded = banded.join(
+            bsize.filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket"),
+            ["band", "bucket"],
+        )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sigs.select(F.col("id").alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.size(
         F.filter(
@@ -183,15 +265,16 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+            hasher: str = "md5_60") -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 
-    bit_i(doc) = 1 iff sum over distinct tokens of sign(bit_i(xxhash64(tok)))
-    > 0. Pure array arithmetic (transform/aggregate), no UDF. Returns
-    (id, simhash long).
+    bit_i(doc) = 1 iff sum over distinct tokens of sign(bit_i(h(tok))) > 0.
+    Pure array arithmetic (transform/aggregate), no UDF. Returns
+    (id, simhash long). hasher as in :func:`minhash_signatures`.
     """
     toks = F.array_distinct(tokens_col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _perm_hash(t, 0, hasher))
 
     def vote(mask):
         # 2-arg merge lambda (a 3-arg lambda would receive the array index)

@@ -1,0 +1,123 @@
+"""Text-pipeline operator tests: short-doc guards, candidate-join caps,
+and the engine-portable hash60 used by the MinHash/SimHash oracles.
+
+Cap tests follow the VERDICT round-1 contract: plant one hot
+shingle/bucket across many docs, assert the candidate output stays bounded
+while normal near-dup pairs are unchanged.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from picdexer_spark.operators import similarity as sim
+from picdexer_spark.operators import textops as tx
+
+
+@pytest.fixture(scope="module")
+def short_docs(spark):
+    return spark.createDataFrame(
+        [(0, "one"), (1, "two toks"), (2, ""), (3, None),
+         (4, "the quick brown fox jumps"),
+         (5, "the quick brown fox jumps"),
+         (6, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+
+
+def test_hash60_golden(spark):
+    # pinned cross-engine value: int(md5('hello').hexdigest()[:15], 16)
+    expect = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    got = spark.range(1).select(tx.hash60(F.lit("hello")).alias("h")).first()["h"]
+    assert got == expect == 419982666956583591
+    # salted form used by MinHash permutations
+    expect_j = int(hashlib.md5(b"hello#3").hexdigest()[:15], 16)
+    got_j = spark.range(1).select(tx.hash60(F.lit("hello"), 3).alias("h")).first()["h"]
+    assert got_j == expect_j
+
+
+def test_shingles_short_docs_no_crash(spark, short_docs):
+    """Docs with < n tokens must yield empty shingle sets, not a job abort
+    (unguarded F.sequence(0, size-n) emits [0,-1] and slice() throws)."""
+    pairs = tx.ngram_jaccard_pairs(
+        short_docs, "doc_id", "text", n=3, threshold=0.2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+    assert pairs[0]["jaccard"] == 1.0
+    # minhash path shares _shingles
+    mh = tx.minhash_lsh_pairs(short_docs, "doc_id", "text", threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(4, 5)}
+    # simhash handles empty/None text (empty token array -> fp 0)
+    fps = {r["id"]: r["simhash"] for r in tx.simhash(short_docs, "doc_id", "text").collect()}
+    assert fps[2] == 0 and fps[3] == 0 and fps[4] == fps[5]
+
+
+def test_ngram_shingle_df_cap_bounds_hot_shingle(spark):
+    """One shingle shared by 60 docs: uncapped -> C(60,2)=1770 candidate
+    pairs; with df cap below 60 the hot shingle is excluded while a genuine
+    near-dup pair (sharing rare shingles) survives."""
+    hot = [(i, f"common boiler plate uniq{i} tail{i}") for i in range(60)]
+    # docs 100/101 share their whole (rare) shingle set
+    dup = [(100, "alpha beta gamma delta epsilon"),
+           (101, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(hot + dup, "doc_id long, text string")
+
+    capped = tx.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+    uncapped = tx.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=0
+    ).count()
+    assert uncapped > 1000  # the quadratic blow-up the cap prevents
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark):
+    """50 identical docs collide in every band bucket: uncapped ->
+    C(50,2)=1225 pairs; cap 10 drops those buckets, while a distinct
+    near-dup pair in its own small bucket survives."""
+    clones = [(i, "same exact text in every clone document here") for i in range(50)]
+    dup = [(200, "omega psi chi phi upsilon tau sigma"),
+           (201, "omega psi chi phi upsilon tau sigma")]
+    df = spark.createDataFrame(clones + dup, "doc_id long, text string")
+    capped = tx.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.4, max_bucket_size=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(200, 201)}
+    uncapped = tx.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.4, max_bucket_size=0
+    ).count()
+    assert uncapped == 1225 + 1
+
+
+def test_ann_lsh_bucket_cap(spark):
+    """All-parallel vectors land in one bucket; cap bounds the self-join."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8).astype("float32")
+    rows = [(i, (base * (1.0 + 0.001 * i)).tolist()) for i in range(40)]
+    # one pair pointing the other way, its own bucket
+    other = (-base).tolist()
+    rows += [(100, other), (101, [x * 1.001 for x in other])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = sim.lsh_candidate_pairs(
+        df, "vec_id", "embedding", dim=8, n_planes=6, min_cos=0.5,
+        max_bucket_size=10,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    uncapped = sim.lsh_candidate_pairs(
+        df, "vec_id", "embedding", dim=8, n_planes=6, min_cos=0.5,
+        max_bucket_size=0,
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+
+def test_minhash_est_jaccard_is_exact_for_identical_docs(spark, short_docs):
+    sigs = tx.minhash_signatures(short_docs, "doc_id", "text")
+    rows = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert rows[4] == rows[5]
+    assert len(rows[4]) == 32
+    # doc 0/1 too short for 3-gram shingles -> no signature rows
+    assert 0 not in rows and 2 not in rows and 3 not in rows

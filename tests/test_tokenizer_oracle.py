@@ -58,9 +58,12 @@ def test_tie_break_doc_id_asc():
 
 def test_extract_inverse():
     texts = pd.Series(
-        ["plain words here", "with & ampersand < tag > 'q' \"dq\"", "", "a  b"]
+        ["plain words here", "with & ampersand < tag > 'q' \"dq\"", "", "a  b",
+         # real web text spans newlines: without DOTALL extraction the '.'
+         # never crosses '\n' and these rows silently became None
+         "line one\nline two", "para\n\npara\r\nwindows line"]
     )
-    urls = pd.Series([f"https://site{i}.example/p/{i}" for i in range(4)])
+    urls = pd.Series([f"https://site{i}.example/p/{i}" for i in range(len(texts))])
     html = wrap_html_series(texts, urls)
     back = extract_text_series(html)
     assert list(back) == list(texts)
