@@ -72,9 +72,12 @@ def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
     from picdexer_spark.index.build import IndexConfig, build_index
     from picdexer_spark.session import get_spark
 
+    # 4x-cores shuffle partitions: with exactly one task per core a single
+    # straggler (skewed posting group, GC pause) stalls the whole stage;
+    # 4x gives the scheduler slack to pack around it at both probe levels
     spark = get_spark(
         f"bench-build-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 2),
+        shuffle_partitions=4 * cpus,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     fix = materialize_pages(n_docs, seed=42)

@@ -134,12 +134,19 @@ def assign_doc_ids(
     and resumable (incremental builds pass offset = committed n_docs).
 
     The single counting pass also harvests per-input-file row counts (the
-    lineage table) and the dropped-row total — no extra jobs.
+    lineage table), the dropped-row total, and — when the input carries a
+    `doc_len` column — the corpus length sum — no extra jobs.
 
-    Returns (kept_df_with_doc_id, persisted_handle, src_counts, n_dropped);
-    the caller unpersists the handle once downstream is materialized.
+    Returns (kept_df_with_doc_id, persisted_handle, src_counts, n_dropped,
+    total_len); the caller unpersists the handle once downstream is
+    materialized.
     """
     ok = F.col(ok_col) if ok_col else F.lit(True)
+    # the counting pass doubles as the doc-stats pass: if a `doc_len` column
+    # is present (the build adds it pre-exchange), its per-cell sum rides the
+    # same metadata-sized collect, so total_len/avgdl need NO separate
+    # post-write scan of the doc store — one fewer serial job barrier
+    has_dl = "doc_len" in df.columns
     part = (
         df.withColumn(
             "_src", F.coalesce(F.input_file_name(), F.lit("inline"))
@@ -150,18 +157,20 @@ def assign_doc_ids(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cells = (
-        part.groupBy("_pid", "_src", "_ok")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
+    aggs = [F.count("*").alias("cnt")]
+    if has_dl:
+        aggs.append(F.sum("doc_len").alias("len_sum"))
+    cells = part.groupBy("_pid", "_src", "_ok").agg(*aggs).collect()
     counts: dict[int, int] = {}
     src_counts: dict[str, int] = {}
     dropped = 0
+    total_len = 0
     for r in cells:
         src_counts[r["_src"]] = src_counts.get(r["_src"], 0) + r["cnt"]
         if r["_ok"]:
             counts[r["_pid"]] = counts.get(r["_pid"], 0) + r["cnt"]
+            if has_dl:
+                total_len += r["len_sum"] or 0
         else:
             dropped += r["cnt"]
     offsets, acc = {}, offset
@@ -202,7 +211,7 @@ def assign_doc_ids(
             yield kept
 
     out = part.mapInPandas(assign, out_schema)
-    return out, part, sorted(src_counts.items()), dropped
+    return out, part, sorted(src_counts.items()), dropped, total_len
 
 
 # ---------------------------------------------------------------------------
@@ -306,12 +315,16 @@ def build_index(
 
     # A: extract (drop+count failed rows — reference drops & logs per-row
     # extract errors, metadata.go:107-112; sink errors abort the job, which
-    # Spark gives us via task failure)
-    extracted = extract_text(pages).drop("html")
+    # Spark gives us via task failure). doc_len is computed HERE, before the
+    # range exchange, so the id-counting pass can harvest the corpus length
+    # sum in the same metadata collect (no post-write doc-stats scan).
+    extracted = extract_text(pages).drop("html").withColumn(
+        "doc_len", F.size(tokens_col("text")).cast("long")
+    )
 
-    # B: identity + doc store (one counting pass also yields lineage counts
-    # and the dropped-row total)
-    with_ids, _parted, src_counts, dropped = assign_doc_ids(
+    # B: identity + doc store (one counting pass also yields lineage counts,
+    # the dropped-row total, and total_len)
+    with_ids, _parted, src_counts, dropped, total_len = assign_doc_ids(
         extracted, offset=cfg.id_offset, ok_col="extract_ok"
     )
     with_ids = with_ids.drop("extract_ok")
@@ -321,7 +334,7 @@ def build_index(
         "url",
         "warc_ts",
         "lang",
-        F.size(tokens_col("text")).cast("long").alias("doc_len"),
+        "doc_len",
         F.md5(F.col("text")).alias("text_md5"),
         "text",
     )
@@ -360,47 +373,63 @@ def build_index(
     postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
     timer.mark("postings_write")
 
-    # term_stats (df/cf) roll up from posting-block METADATA — no second
-    # tokenize pass, no decode: df = sum(n), cf = sum(sum_tf) per term
-    (
-        postings_written.groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap_dir, "term_stats"))
-    )
-    timer.mark("term_stats")
-
-    # one pass over docs metadata: global stats + per-shard doc counts
-    shard_doc_rows = (
-        docs_written.groupBy(
-            F.expr(f"doc_id div {cfg.shard_range}").alias("shard_id")
-        )
-        .agg(F.count("*").alias("docs_indexed"), F.sum("doc_len").alias("len_sum"))
-        .collect()
-    )
-    n_docs = sum(r["docs_indexed"] for r in shard_doc_rows)
-    total_len = sum(r["len_sum"] or 0 for r in shard_doc_rows)
+    # global doc stats came out of the id-counting pass (no doc-store scan);
+    # per-shard doc counts are pure arithmetic: ids are dense over
+    # [id_offset, id_offset + n_docs), so shard s holds the overlap of
+    # [s*shard_range, (s+1)*shard_range) with that interval
+    n_docs = sum(n for _, n in src_counts) - dropped
     avgdl = (total_len / n_docs) if n_docs else 0.0
-
-    # one pass over posting-block metadata: per-shard postings + bytes + rows
-    bytes_col = (
-        F.length("doc_ids_enc") + F.length("tfs_enc") + F.length("dls_enc")
-    )
-    shard_post_rows = (
-        postings_written.groupBy("shard_id")
-        .agg(
-            F.sum("n").alias("postings_emitted"),
-            F.sum(bytes_col).alias("bytes_compressed"),
-            F.count("*").alias("block_rows"),
+    lo_shard = cfg.id_offset // cfg.shard_range
+    hi_shard = (cfg.id_offset + n_docs - 1) // cfg.shard_range if n_docs else lo_shard - 1
+    shard_doc_counts = {
+        s: (
+            min((s + 1) * cfg.shard_range, cfg.id_offset + n_docs)
+            - max(s * cfg.shard_range, cfg.id_offset)
         )
-        .collect()
-    )
+        for s in range(lo_shard, hi_shard + 1)
+    }
+
+    # two independent metadata jobs over the (column-pruned) posting blocks:
+    # the term_stats rollup WRITE and the per-shard metrics COLLECT. They
+    # were the serial tail of the build; submit them concurrently — Spark's
+    # FIFO scheduler interleaves their tasks, collapsing two job barriers
+    # into one.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _term_stats_job():
+        # df/cf roll up from posting-block METADATA — no second tokenize
+        # pass, no decode: df = sum(n), cf = sum(sum_tf) per term
+        (
+            postings_written.groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap_dir, "term_stats"))
+        )
+
+    def _shard_metrics_job():
+        bytes_col = (
+            F.length("doc_ids_enc") + F.length("tfs_enc") + F.length("dls_enc")
+        )
+        return (
+            postings_written.groupBy("shard_id")
+            .agg(
+                F.sum("n").alias("postings_emitted"),
+                F.sum(bytes_col).alias("bytes_compressed"),
+                F.count("*").alias("block_rows"),
+            )
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ts_future = pool.submit(_term_stats_job)
+        shard_post_rows = _shard_metrics_job()
+        ts_future.result()
     n_posting_rows = sum(r["block_rows"] for r in shard_post_rows)
 
     # lineage (ImportID tagging per input partition, reference:
     # internal/common/context.go:11-24) came for free out of the doc_id
     # counting pass: src_counts / dropped from assign_doc_ids
-    timer.mark("stats_metrics_lineage_aggs")
+    timer.mark("term_stats+metrics_aggs")
 
     # tiny driver-side tables (shard/file cardinality, not data-sized):
     # written with pyarrow directly — a Spark job per 1-row table is pure
@@ -422,22 +451,23 @@ def build_index(
     )
 
     posts_by_shard = {r["shard_id"]: r for r in shard_post_rows}
+    shard_ids = sorted(shard_doc_counts)
     _write_small_table(
         os.path.join(snap_dir, "metrics"),
         {
-            "shard_id": [int(r["shard_id"]) for r in shard_doc_rows],
-            "docs_indexed": [int(r["docs_indexed"]) for r in shard_doc_rows],
+            "shard_id": [int(s) for s in shard_ids],
+            "docs_indexed": [int(shard_doc_counts[s]) for s in shard_ids],
             "postings_emitted": [
-                int(posts_by_shard[r["shard_id"]]["postings_emitted"])
-                if r["shard_id"] in posts_by_shard else 0
-                for r in shard_doc_rows
+                int(posts_by_shard[s]["postings_emitted"])
+                if s in posts_by_shard else 0
+                for s in shard_ids
             ],
             "bytes_compressed": [
-                int(posts_by_shard[r["shard_id"]]["bytes_compressed"])
-                if r["shard_id"] in posts_by_shard else 0
-                for r in shard_doc_rows
+                int(posts_by_shard[s]["bytes_compressed"])
+                if s in posts_by_shard else 0
+                for s in shard_ids
             ],
-            "snapshot_id": [snap] * len(shard_doc_rows),
+            "snapshot_id": [snap] * len(shard_ids),
         },
         schema=pa.schema(
             [("shard_id", pa.int64()), ("docs_indexed", pa.int64()),

@@ -60,7 +60,9 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
                 list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
             )
         if mode == "conjunctive":
-            ids, scores = score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k)
+            ids, scores = score_conjunctive(
+                asc, blocks, idf_map, K1, B, avgdl, k, prune=prune
+            )
         else:
             ids, scores = score_disjunctive(
                 asc, blocks, idf_map, K1, B, avgdl, k, prune=prune
@@ -149,9 +151,15 @@ class SearchEngine:
         path: at cluster scale you don't schedule a job per query).
 
         `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n}].
-        One postings scan filtered to the union of all query terms, one
-        shuffle to (shard), one scoring UDF that answers every query against
-        its shard, then per-query global top-k via window rank. Returns
+        One postings scan filtered to the union of all query terms; a
+        broadcast join against the tiny (query_id, term) table replicates
+        each candidate block to the queries that need it; ONE shuffle to
+        (shard_id, query_id) so every query x shard pair is its own task —
+        the parallelism is n_shards * n_queries, not n_shards (the round-1
+        shape scored all queries serially inside each shard task: 6 queries
+        on a 2-shard corpus used 2 of 32 cores and ran slower than 6
+        sequential jobs). Per-query global top-k via window rank — Spark's
+        WindowGroupLimit pushes the rank<=k cut below the exchange. Returns
         (query_id, rank, doc_id, score).
         """
         import pandas as pd
@@ -179,8 +187,11 @@ class SearchEngine:
                 [], "query_id long, rank int, doc_id long, score double"
             )
         avgdl, k1, b = self.avgdl, K1, B
+        spec_by_qid = {qid: (terms, mode, k) for qid, terms, mode, k in qspecs}
 
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_query_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(pdf["query_id"].iat[0])
+            terms, mode, k = spec_by_qid[qid]
             blocks: dict[str, TermBlocks] = {}
             for t, g in pdf.groupby("term", sort=False):
                 blocks[t] = TermBlocks(
@@ -190,26 +201,29 @@ class SearchEngine:
                     g["min_dl"].to_numpy(np.int64),
                     list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
                 )
-            out_q, out_d, out_s = [], [], []
-            for qid, terms, mode, k in qspecs:
-                if mode == "conjunctive":
-                    ids, scores = score_conjunctive(
-                        terms, blocks, idf_map, k1, b, avgdl, k
-                    )
-                else:
-                    ids, scores = score_disjunctive(
-                        terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
-                    )
-                out_q.extend([qid] * ids.size)
-                out_d.extend(ids.tolist())
-                out_s.extend(scores.tolist())
+            if mode == "conjunctive":
+                ids, scores = score_conjunctive(
+                    terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
+                )
+            else:
+                ids, scores = score_disjunctive(
+                    terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
+                )
             return pd.DataFrame(
-                {"query_id": out_q, "doc_id": out_d, "score": out_s}
+                {"query_id": qid, "doc_id": ids, "score": scores}
             )
 
+        qterms = self.spark.createDataFrame(
+            [(qid, t) for qid, terms, _m, _k in qspecs for t in terms],
+            "query_id long, term string",
+        )
         cand = self.postings.filter(F.col("term").isin(all_terms))
-        per_shard = cand.groupBy("shard_id").applyInPandas(
-            score_shard, "query_id long, doc_id long, score double"
+        per_shard = (
+            cand.join(F.broadcast(qterms), "term")
+            .groupBy("shard_id", "query_id")
+            .applyInPandas(
+                score_query_shard, "query_id long, doc_id long, score double"
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")

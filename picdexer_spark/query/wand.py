@@ -123,8 +123,22 @@ def score_conjunctive(
     b: float,
     avgdl: float,
     k: int,
+    prune: bool = True,
 ):
-    """Exact conjunctive (AND) top-k within one scoring group."""
+    """Exact conjunctive (AND) top-k within one scoring group.
+
+    Two pruning layers, both exact:
+    1. block-range: a driver block survives only if EVERY other term has at
+       least one block overlapping its [first, last] doc range;
+    2. ub-threshold (θ): per surviving driver block, the max achievable
+       conjunctive score is its own ub plus, per other term, the MAX ub of
+       that term's overlapping blocks. Blocks are decoded in descending
+       ub-total order; once the running kth score θ exceeds the next
+       block's ub-total the remaining blocks are skipped (strict <, so a
+       doc scoring exactly θ can still enter and win the doc_id tie-break
+       — rank identity vs the exhaustive path is bit-exact). Without θ a
+       head∧head query decodes every co-ranged block.
+    """
     empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
     if any(t not in blocks or blocks[t].n_blocks() == 0 for t in terms):
         return empty
@@ -134,8 +148,6 @@ def score_conjunctive(
     driver = min(terms, key=lambda t: (sizes[t], t))
     others = [t for t in asc if t != driver]
 
-    # block-range pruning: a driver block survives only if EVERY other term
-    # has at least one block overlapping its [first, last] range
     tb = blocks[driver]
     keep = np.ones(tb.n_blocks(), bool)
     for t in others:
@@ -147,22 +159,64 @@ def score_conjunctive(
         keep &= has
     if not keep.any():
         return empty
+    idxs = np.flatnonzero(keep)
 
-    cand, cand_tf, cand_dl = tb.decode_many(np.flatnonzero(keep))
-    per_term_tf = {driver: (cand_tf, cand_dl)}
-    mask = np.ones(cand.size, bool)
+    # ub-total per surviving driver block
+    ub_tot = np.array(
+        [block_ub(float(tb.max_tf[i]), float(tb.min_dl[i]),
+                  idf[driver], k1, b, avgdl) for i in idxs],
+        np.float64,
+    )
     for t in others:
-        tfs, dls, hit = blocks[t].lookup(cand)
-        mask &= hit
-        per_term_tf[t] = (tfs, dls)
+        ob = blocks[t]
+        o_ub = np.array(
+            [block_ub(float(ob.max_tf[j]), float(ob.min_dl[j]),
+                      idf[t], k1, b, avgdl) for j in range(ob.n_blocks())],
+            np.float64,
+        )
+        i0 = np.searchsorted(ob.last, tb.first[idxs], side="left")
+        i1 = np.searchsorted(ob.first, tb.last[idxs], side="right")
+        # keep-mask guarantees at least one overlapping block per entry
+        ub_tot += np.array(
+            [o_ub[a:z].max() for a, z in zip(i0, i1)], np.float64
+        )
+
+    order = (
+        np.argsort(-ub_tot, kind="stable") if prune
+        else np.arange(idxs.size)
+    )
+    top_ids = np.zeros(0, np.int64)
+    top_scores = np.zeros(0, np.float64)
+    theta = -np.inf
+    chunk = 8
+    for c0 in range(0, order.size, chunk):
+        sel = order[c0:c0 + chunk]
+        if prune and ub_tot[sel[0]] < theta:
+            break  # desc order: every remaining block prunes too
+        # sorted block indices -> decoded ids come out doc-sorted (driver
+        # blocks are disjoint doc ranges), as lookup() requires
+        cand, cand_tf, cand_dl = tb.decode_many(np.sort(idxs[sel]))
+        per_term_tf = {driver: (cand_tf, cand_dl)}
+        mask = np.ones(cand.size, bool)
+        for t in others:
+            tfs, dls, hit = blocks[t].lookup(cand)
+            mask &= hit
+            per_term_tf[t] = (tfs, dls)
+            if not mask.any():
+                break
         if not mask.any():
-            return empty
-    cand = cand[mask]
-    scores = np.zeros(cand.size, np.float64)
-    for t in asc:  # pinned summation order
-        tfs, dls = per_term_tf[t]
-        scores += _score_part(tfs[mask], dls[mask], idf[t], k1, b, avgdl)
-    return _topk(cand.astype(np.int64), scores, k)
+            continue
+        cand = cand[mask]
+        scores = np.zeros(cand.size, np.float64)
+        for t in asc:  # pinned summation order
+            tfs, dls = per_term_tf[t]
+            scores += _score_part(tfs[mask], dls[mask], idf[t], k1, b, avgdl)
+        top_ids = np.concatenate([top_ids, cand.astype(np.int64)])
+        top_scores = np.concatenate([top_scores, scores])
+        top_ids, top_scores = _topk(top_ids, top_scores, k)
+        if top_ids.size >= k:
+            theta = top_scores[-1]
+    return _topk(top_ids, top_scores, k)
 
 
 def score_disjunctive(

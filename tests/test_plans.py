@@ -77,7 +77,7 @@ def test_build_has_two_full_data_exchanges(spark, built):
 
     pages = spark.createDataFrame(gen_pages(200, seed=12))
     extracted = extract_text(pages).drop("html")
-    with_ids, part, _, _ = assign_doc_ids(extracted, ok_col="extract_ok")
+    with_ids, part, _, _, _ = assign_doc_ids(extracted, ok_col="extract_ok")
     assert count_exchanges(with_ids) == 1  # the url range partition only
     docs = IndexCatalog(built).read(spark, "docs")
     tf = tf_stream(docs)

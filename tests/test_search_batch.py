@@ -102,3 +102,44 @@ def test_install_dashboards(spark, built):
     assert all(r["bytes_compressed"] > 0 for r in stats)
     lin = spark.sql("SELECT * FROM dash_import_lineage").collect()
     assert sum(r["n_rows"] for r in lin) == N
+
+
+def test_conjunctive_theta_pruning_skips_blocks():
+    """ub-threshold pruning: after the hot driver block sets θ, tail blocks
+    whose summed upper bound cannot reach θ are never decoded — and the
+    result is bit-identical to the exhaustive path."""
+    from picdexer_spark.index.codec import encode_blocks
+    from picdexer_spark.query.wand import score_conjunctive
+
+    # 24 disjoint 4-doc ranges, one block each (block_size=4). Term 'a' has
+    # tf=10 on doc 0 (hot block), tf=1 elsewhere; term 'b' tf=1 everywhere.
+    ranges = [np.arange(s, s + 4, dtype=np.uint64) for s in range(0, 24 * 40, 40)]
+    all_ids = np.concatenate(ranges)
+    tf_a = np.ones(all_ids.size, np.uint64)
+    tf_a[0] = 10
+    tf_b = np.ones(all_ids.size, np.uint64)
+    dls = np.full(all_ids.size, 10, np.uint64)
+
+    def mk(tfs):
+        rows = encode_blocks(all_ids, tfs, dls, block_size=4)
+        return TermBlocks(
+            np.array([r["first_doc"] for r in rows], np.int64),
+            np.array([r["last_doc"] for r in rows], np.int64),
+            np.array([r["max_tf"] for r in rows], np.int64),
+            np.array([r["min_dl"] for r in rows], np.int64),
+            [(r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"]) for r in rows],
+        )
+
+    idf = {"a": 1.0, "b": 1.0}
+    blocks = {"a": mk(tf_a), "b": mk(tf_b)}
+    pruned = score_conjunctive(["a", "b"], blocks, idf, 1.2, 0.75, 10.0, 1,
+                               prune=True)
+    decoded_pruned = sum(len(tb._cache) for tb in blocks.values())
+    for tb in blocks.values():
+        tb._cache.clear()
+    exact = score_conjunctive(["a", "b"], blocks, idf, 1.2, 0.75, 10.0, 1,
+                              prune=False)
+    decoded_exact = sum(len(tb._cache) for tb in blocks.values())
+    assert list(pruned[0]) == list(exact[0]) == [0]
+    assert np.array_equal(pruned[1], exact[1])
+    assert decoded_pruned < decoded_exact, (decoded_pruned, decoded_exact)
