@@ -5,9 +5,10 @@ the sf0.001 `documents` table and answer a BM25 top-k query.
 `queries()` exposes each implemented operator from SURVEY.md §2 as a
 (spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the equivalent
 DuckDB SQL over the same parquet (views pre-registered by the driver).
-Column names/types are aligned pairwise; non-SQL-expressible ops
-(xxhash64-based MinHash/SimHash, engine-internal formats) omit the oracle
-and get the weaker rows-only check.
+Column names/types are aligned pairwise. Since round 2 every entry carries
+a full value oracle: MinHash/SimHash hash with the engine-portable md5_60
+(textops.hash60), ANN-LSH embeds its seeded hyperplanes as SQL literals,
+and the media kernels decode a reconstructible ASCII PPM payload.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from picdexer_spark.functions.tokenize import tokens_col  # noqa: E402
 from picdexer_spark.index.build import IndexConfig, build_index  # noqa: E402
 from picdexer_spark.operators import dashboards as dash  # noqa: E402
+from picdexer_spark.operators import geo  # noqa: E402
 from picdexer_spark.operators import multimodal as mm  # noqa: E402
 from picdexer_spark.operators import similarity as sim  # noqa: E402
 from picdexer_spark.operators import textops as tx  # noqa: E402
@@ -79,10 +81,30 @@ def _ensure_shipped(spark: SparkSession) -> None:
         pass  # Spark Connect or already added — workers may import via cwd
     _SHIPPED_SESSIONS.add(key)
 
+# deterministic DMS GPS strings from doc_id — the expression text is valid
+# in BOTH Spark SQL and DuckDB (integer components only, '' quote escaping),
+# so the engine and the oracle synthesize byte-identical inputs
+GPS_EXPR = (
+    "CASE WHEN doc_id % 23 = 0 THEN 'not a gps' ELSE "
+    "cast(doc_id % 90 AS STRING) || ' deg ' || "
+    "cast(doc_id % 60 AS STRING) || ''' ' || "
+    "cast(doc_id % 60 AS STRING) || '.' || "
+    "lpad(cast(doc_id % 100 AS STRING), 2, '0') || '\" ' || "
+    "(CASE WHEN doc_id % 29 = 0 THEN 'Q' WHEN doc_id % 2 = 0 "
+    "THEN 'N' ELSE 'S' END) || ', ' || "
+    "cast(doc_id % 180 AS STRING) || ' deg ' || "
+    "cast((doc_id + 7) % 60 AS STRING) || ''' ' || "
+    "cast((doc_id + 13) % 60 AS STRING) || '.' || "
+    "lpad(cast((doc_id + 31) % 100 AS STRING), 2, '0') || '\" ' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'E' ELSE 'W' END) END"
+)
+
 # fixed reference query terms (documents-table vocabulary)
 DISJ_TERMS = ["spark", "dup", "vector"]
 CONJ_TERMS = ["dup", "spark"]
 TF_TERMS = ["spark", "dup", "batch"]
+QSTRING = "Batch, OR vector OR spark"  # analyzes to [batch, vector, spark]
+QSTRING_TERMS = ["batch", "vector", "spark"]
 
 BM25_SQL_TEMPLATE = """
 WITH tok AS (
@@ -179,6 +201,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_disjunctive"] = lambda s, d: _bm25(s, d, DISJ_TERMS, "disjunctive", 10)
     q["bm25_conjunctive"] = lambda s, d: _bm25(s, d, CONJ_TERMS, "conjunctive", 10)
 
+    def bm25_querystring(s, d):
+        # the discover search box path: raw kuery-lite string through the
+        # query-side analyzer ('Batch,' -> term 'batch')
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_querystring"] = bm25_querystring
+
     def tf_pairs(s, d):
         docs = _tbl(s, d, "documents")
         return (
@@ -251,6 +281,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sync_on_date"] = sync_on_date
 
+    # ---- geo: DMS->decimal + 2-D grid (B8 + Q6) ---------------------------
+    # deterministic DMS strings synthesized from doc_id (integer components
+    # only, so Spark and DuckDB build byte-identical strings); every 23rd
+    # row malformed, every 29th an unsupported hemisphere letter
+    def _gps_df(s, d):
+        return _tbl(s, d, "documents").selectExpr(
+            "doc_id", f"{GPS_EXPR} AS gps"
+        )
+
+    def geo_dms_decimal(s, d):
+        out = geo.gps_to_decimal(_gps_df(s, d), "gps")
+        return out.select(
+            "doc_id",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+        )
+    q["geo_dms_decimal"] = geo_dms_decimal
+
+    q["geo_grid_2d"] = lambda s, d: geo.geo_grid(
+        geo.gps_to_decimal(_gps_df(s, d), "gps"), "lat", "lon", 0
+    )
+
+    def folder_terms(s, d):
+        docs = _tbl(s, d, "documents").selectExpr(
+            "doc_id",
+            "'/corpus/' || source || '/' || cast(doc_id AS STRING) || '.html' AS path",
+        )
+        return (
+            docs.select(geo.folder_of("path").alias("folder"))
+            .groupBy("folder")
+            .agg(F.count("*").alias("n"))
+            .orderBy("folder")
+        )
+    q["folder_terms"] = folder_terms
+
     q["point_lookup"] = lambda s, d: dash.point_lookup(
         _tbl(s, d, "documents"), "doc_id", 42
     ).select("doc_id", "lang", "source", "n_chars")
@@ -302,13 +367,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["media_metadata"] = media_metadata
 
-    # rows-only: stubbed decode kernel + frame fan-out (codec-free plumbing)
+    def _ppm_media_df(s, d):
+        # deterministic synthetic binary-PPM column: constant-color images
+        # whose pixels derive from doc_id (all bytes ASCII, so the DuckDB
+        # oracle can rebuild the exact payload as a varchar); every 31st
+        # row truncated to exercise the decode-failure path
+        docs = _tbl(s, d, "documents").select("doc_id")
+        m = docs.selectExpr(
+            "doc_id",
+            "10 + doc_id % 40 AS w",
+            "10 + doc_id % 30 AS h",
+            "1 + doc_id % 127 AS c",
+            "doc_id % 31 = 0 AS trunc",
+        ).selectExpr(
+            "doc_id",
+            "concat('P6', char(10), cast(w AS string), ' ', cast(h AS string),"
+            " char(10), '255', char(10),"
+            " repeat(char(c), cast(w * h * 3 AS int))) AS full",
+            "trunc",
+        )
+        return m.selectExpr(
+            "doc_id",
+            "encode(if(trunc, substring(full, 1, 5), full), 'utf-8') AS media",
+        )
+
+    # REAL decode kernel (binary PPM, numpy) — full value oracle since r2
     q["media_features"] = lambda s, d: mm.extract_media_features(
-        _media_df(s, d), "doc_id", "media"
+        _ppm_media_df(s, d), "doc_id", "media"
     )
+    q["media_resize"] = lambda s, d: mm.resize_media(
+        _ppm_media_df(s, d), "doc_id", "media", 8, 6
+    ).select("id", "resize_ok", F.md5("media").alias("media_md5"))
     q["media_frame_sample"] = lambda s, d: mm.frame_sample_plan(
         _media_df(s, d), "doc_id", "media"
-    )
+    ).select("id", "frame_no", F.hex("frame").alias("frame_hex"))
 
     # ---- similarity search ------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: sim.cosine_topk(
@@ -341,6 +433,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_conjunctive"] = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(CONJ_TERMS),
         conj_filter=f"WHERE nt = {len(CONJ_TERMS)}", k=10
+    )
+    o["bm25_querystring"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS), conj_filter="", k=10
     )
     o["tf_pairs"] = f"""
         SELECT doc_id, term, count(*) AS tf FROM (
@@ -515,12 +610,107 @@ def oracle_sql() -> dict[str, str]:
                  WHEN left(hex(media), 8) = '52494646' THEN 'audio/wav'
                  WHEN left(hex(media), 6) = '494433' THEN 'audio/mpeg'
                  WHEN left(hex(media), 8) = '1A45DFA3' THEN 'video/webm'
+                 WHEN left(hex(media), 6) = '50360A' THEN 'image/x-portable-pixmap'
                  ELSE 'application/octet-stream'
                END AS mime,
                octet_length(media)::bigint AS n_bytes,
                md5(text) AS content_md5
         FROM m
     """
+    # ---- geo: DMS parse + grid, same regex + arithmetic as the engine ----
+    from picdexer_spark.operators.geo import GPS_PATTERN
+
+    pat = GPS_PATTERN.replace("'", "''")
+
+    def _sgn(letter):
+        return (f"(CASE WHEN {letter} IN ('N','E') THEN 1.0 "
+                f"WHEN {letter} IN ('S','W') THEN -1.0 END)")
+
+    GEO_BASE = f"""
+        WITH g AS (SELECT doc_id, {GPS_EXPR} AS gps FROM documents),
+        x AS (SELECT doc_id,
+          try_cast(regexp_extract(gps, '{pat}', 1) AS DOUBLE) AS d1,
+          try_cast(regexp_extract(gps, '{pat}', 2) AS DOUBLE) AS m1,
+          try_cast(regexp_extract(gps, '{pat}', 3) AS DOUBLE) AS s1,
+          regexp_extract(gps, '{pat}', 4) AS l1,
+          try_cast(regexp_extract(gps, '{pat}', 5) AS DOUBLE) AS d2,
+          try_cast(regexp_extract(gps, '{pat}', 6) AS DOUBLE) AS m2,
+          try_cast(regexp_extract(gps, '{pat}', 7) AS DOUBLE) AS s2,
+          regexp_extract(gps, '{pat}', 8) AS l2
+          FROM g),
+        pt AS (SELECT doc_id,
+          (d1 + m1/60.0 + s1/3600.0) * {_sgn('l1')} AS lat,
+          (d2 + m2/60.0 + s2/3600.0) * {_sgn('l2')} AS lon
+          FROM x)
+    """
+    o["geo_dms_decimal"] = GEO_BASE + """
+        SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM pt
+    """
+    o["geo_grid_2d"] = GEO_BASE + """
+        SELECT round(lat, 0) AS cell_lat, round(lon, 0) AS cell_lon,
+               count(*) AS n
+        FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    o["folder_terms"] = """
+        SELECT '/corpus/' || source AS folder, count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+    # ---- multimodal: REAL PPM decode/resize, reconstructed in SQL --------
+    # the payload is pure ASCII, so the varchar the oracle builds is
+    # byte-identical to the engine's binary column (md5/length agree)
+    PPM_BASE = """
+        WITH m AS (
+          SELECT doc_id, 10 + doc_id % 40 AS w, 10 + doc_id % 30 AS h,
+                 1 + doc_id % 127 AS c, (doc_id % 31 = 0) AS trunc
+          FROM documents),
+        p AS (
+          SELECT doc_id, w, h, c, trunc,
+                 CASE WHEN trunc THEN substr(whole, 1, 5) ELSE whole END AS payload
+          FROM (SELECT *, 'P6' || chr(10) || w || ' ' || h || chr(10)
+                          || '255' || chr(10)
+                          || repeat(chr(c::INT), (w*h*3)::INT) AS whole
+                FROM m))
+    """
+    o["media_features"] = PPM_BASE + """
+        SELECT doc_id AS id,
+               'image/x-portable-pixmap' AS mime,
+               length(payload)::BIGINT AS n_bytes,
+               md5(payload) AS content_md5,
+               (CASE WHEN trunc THEN 0 ELSE w END)::INT AS width,
+               (CASE WHEN trunc THEN 0 ELSE h END)::INT AS height,
+               (CASE WHEN trunc THEN 0 ELSE 3 END)::INT AS n_channels,
+               CASE WHEN trunc THEN 0.0 ELSE c / 255.0 END AS mean_luma,
+               NOT trunc AS decode_ok
+        FROM p
+    """
+    o["media_resize"] = PPM_BASE + """
+        SELECT doc_id AS id,
+               NOT trunc AS resize_ok,
+               CASE WHEN trunc THEN NULL
+                    ELSE md5('P6' || chr(10) || '8 6' || chr(10) || '255'
+                             || chr(10) || repeat(chr(c::INT), 144))
+               END AS media_md5
+        FROM p
+    """
+    o["media_frame_sample"] = r"""
+        WITH m AS (
+          SELECT doc_id AS id,
+                 CASE
+                   WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF'::blob || encode(text)
+                   WHEN doc_id % 3 = 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::blob || encode(text)
+                   ELSE encode(text)
+                 END AS media
+          FROM documents),
+        k AS (SELECT unnest([0, 1]) AS k)
+        SELECT id, (k * 30)::INT AS frame_no,
+               left(hex(media), 32)
+                 || (CASE WHEN k = 0 THEN '00' ELSE '01' END) AS frame_hex
+        FROM m CROSS JOIN k
+        WHERE octet_length(media) >= 8
+    """
+
     # ---- MinHash / SimHash (md5_60 hash, bit-identical in DuckDB) --------
     def h60(expr, salt=None):
         inner = expr if salt is None else f"{expr} || '#{salt}'"

@@ -339,15 +339,12 @@ def build_index(
         "text",
     )
 
-    # already doc_id-ordered (ids follow the url range/sort of the id pass)
-    # -> write directly; parquet min/max on doc_id gives point-lookup pruning
-    docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
-    docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
-    _parted.unpersist()
-    timer.mark("docs_write")
-
-    # C: term stream (JVM codegen end-to-end)
-    tf = tf_stream(docs_written)
+    # C: term stream (JVM codegen end-to-end) — from the SAME cached
+    # pre-assign partitions the doc store is written from, so the doc-store
+    # write and the posting build run as CONCURRENT jobs (both re-run the
+    # cheap order-preserving id projection over the cache; neither waits on
+    # the other's parquet)
+    tf = tf_stream(docs)
 
     # D: salted posting build — salt = doc-range shard (head-term skew)
     salted = tf.withColumn(
@@ -364,14 +361,30 @@ def build_index(
         .sortWithinPartitions("term", "shard_id", "doc_id")
         .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
     )
-    (
-        postings.write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .option("parquet.bloom.filter.expected.ndv#term", "100000")
-        .parquet(os.path.join(snap_dir, "postings"))
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _docs_write_job():
+        # already doc_id-ordered (ids follow the url range/sort of the id
+        # pass) -> write without further exchange; parquet min/max on doc_id
+        # gives point-lookup pruning
+        docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
+
+    def _postings_write_job():
+        (
+            postings.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option("parquet.bloom.filter.expected.ndv#term", "100000")
+            .parquet(os.path.join(snap_dir, "postings"))
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        docs_future = pool.submit(_docs_write_job)
+        _postings_write_job()
+        docs_future.result()
     postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
-    timer.mark("postings_write")
+    _parted.unpersist()
+    timer.mark("docs+postings_write")
 
     # global doc stats came out of the id-counting pass (no doc-store scan);
     # per-shard doc counts are pure arithmetic: ids are dense over

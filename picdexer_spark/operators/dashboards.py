@@ -63,7 +63,10 @@ def top_terms_with_other(
     )
     counts = vals.groupBy("key").agg(F.count("*").alias("n"))
     topk = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
-    total = vals.agg(F.count("*").alias("t"))
+    # total from the counts AGGREGATE (sum n == count of vals), not a second
+    # scan of the raw value stream: both branches now share the identical
+    # counts exchange, which the physical planner emits once (ReusedExchange)
+    total = counts.agg(F.sum("n").alias("t"))
     other = (
         topk.agg(F.sum("n").alias("s"))
         .crossJoin(total)

@@ -12,11 +12,13 @@ branch for a 100 TB pipeline:
 - decode / resize / frame-sample are Arrow-batched ``mapInPandas`` stages
   with an explicit batch contract (bytes in, bytes + typed features out).
 
-The image/audio codec libraries are NOT in this runtime image, so the codec
-kernels are STUBBED behind ``_decode_image_stub`` (deterministic fake) /
-``NotImplementedError`` — the Spark-side plumbing (schemas, partitioning,
-UDF signatures, batch shapes, error semantics) is real and tested. Swapping
-the stub for Pillow/ffmpeg changes one function body on the executor side.
+The compressed-codec libraries (libjpeg/Pillow/ffmpeg) are NOT in this
+runtime image, so jpeg/png/video payloads cannot be decoded here — but the
+decode, resize and frame-sample kernels are REAL for binary PPM (P6), the
+uncompressed public interchange format: header parse + numpy pixel math,
+byte-exact and oracle-checkable. Swapping in Pillow for compressed formats
+changes only the per-format branch of ``_decode_image``; every batch
+contract stays identical.
 
 MIME sniff mirrors the reference's content-based (not extension-based)
 categorization (internal/common/common.go:21-27).
@@ -24,6 +26,7 @@ categorization (internal/common/common.go:21-27).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +43,7 @@ _MAGIC = [
     (b"RIFF", "audio/wav"),  # RIFF....WAVE, checked loosely
     (b"ID3", "audio/mpeg"),
     (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"P6\n", "image/x-portable-pixmap"),
 ]
 
 MEDIA_FEATURES_SCHEMA = (
@@ -71,17 +75,36 @@ def media_metadata(df: DataFrame, id_col: str, media_col: str) -> DataFrame:
     )
 
 
-def _decode_image_stub(buf: bytes) -> tuple[int, int, int, float]:
-    """Deterministic fake decoder: derives (width, height, channels,
-    mean_luma) from the byte content. REPLACE with a real codec (Pillow /
-    turbojpeg) on a cluster image that ships one — the surrounding batch
-    plumbing is codec-agnostic."""
-    if len(buf) < 8:
-        raise ValueError("truncated media payload")
-    a = np.frombuffer(buf[:256], np.uint8)
-    w = int(64 + (int(a[:16].sum()) % 192))
-    h = int(64 + (int(a[16:32].sum()) % 192))
-    return w, h, 3, float(np.mean(a)) / 255.0
+#: binary-PPM header: magic, width, height, maxval, single whitespace after
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 pixel
+    array, maxval). Raises ValueError on malformed/truncated payloads."""
+    m = _PPM_HEADER.match(buf)
+    if not m:
+        raise ValueError("not a binary PPM")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError("bad PPM dimensions")
+    need = w * h * 3
+    if len(buf) - m.end() < need:
+        raise ValueError("truncated PPM payload")
+    px = np.frombuffer(buf, np.uint8, count=need, offset=m.end())
+    return w, h, px.reshape(h, w, 3), maxval
+
+
+def _decode_image(buf: bytes) -> tuple[int, int, int, float]:
+    """Decode kernel: (width, height, channels, mean_luma in [0,1]).
+
+    Real for binary PPM (the analogue of the reference's ImageMagick decode,
+    binary_resizer.go:35-49, for the one format decodable without codec
+    libs). Compressed formats raise — the caller records decode_ok=false —
+    until the cluster image ships Pillow/turbojpeg; only this dispatch
+    grows a branch then."""
+    w, h, px, maxval = _decode_ppm(buf)
+    return w, h, 3, float(px.mean()) / float(maxval)
 
 
 def extract_media_features(
@@ -117,7 +140,7 @@ def extract_media_features(
             }
             for i, buf in enumerate(pdf["media"]):
                 try:
-                    w, h, c, luma = _decode_image_stub(bytes(buf))
+                    w, h, c, luma = _decode_image(bytes(buf))
                 except Exception:
                     continue
                 out["width"][i] = w
@@ -130,45 +153,74 @@ def extract_media_features(
     return cols.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
 
 
+def resize_ppm_bytes(buf: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of one binary PPM, pure index arithmetic
+    (the reference resizes via ImageMagick subprocess,
+    binary_resizer.go:35-49; here the kernel is in-process numpy)."""
+    w, h, px, _maxval = _decode_ppm(buf)
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = px[rows][:, cols]
+    return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+
+
 def resize_media(
     df: DataFrame, id_col: str, media_col: str, width: int, height: int
 ) -> DataFrame:
-    """The resize branch (reference binary_resizer.go:35-49). STUB: the
-    transform kernel raises until a codec library is present; the plan shape
-    (binary in -> binary out, same partitioning, spill-free streaming
-    batches) is the deliverable here."""
+    """The resize branch: binary in -> binary out, same partitioning,
+    streaming Arrow batches. Real for PPM payloads; rows whose payload
+    cannot be decoded come back with media=NULL and resize_ok=false (the
+    reference logs & drops per-row failures, binary.go:91-104 — here they
+    stay visible for metrics)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "resize kernel needs an image codec (Pillow/ImageMagick); "
-                "not available in this runtime image"
+        for pdf in batches:
+            out_media: list[bytes | None] = []
+            ok = np.zeros(len(pdf), bool)
+            for i, buf in enumerate(pdf["media"]):
+                try:
+                    out_media.append(resize_ppm_bytes(bytes(buf), width, height))
+                    ok[i] = True
+                except Exception:
+                    out_media.append(None)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "media": out_media, "resize_ok": ok}
             )
 
     return df.select(
         F.col(id_col).alias("id"), F.col(media_col).alias("media")
-    ).mapInPandas(resize_batches, "id long, media binary")
+    ).mapInPandas(resize_batches, "id long, media binary, resize_ok boolean")
+
+
+FRAMES_PER_ASSET = 2  # deterministic fake decoder: 2 frames per asset
 
 
 def frame_sample_plan(
     df: DataFrame, id_col: str, media_col: str, every_n: int = 30
 ) -> DataFrame:
     """Video frame-sampling plan (1 row -> N frame rows): the UDTF shape is
-    an exploding mapInPandas; the decoder is stubbed to a deterministic
-    2-frame fake so the fan-out semantics are testable without ffmpeg."""
+    an exploding mapInPandas. The fan-out is vectorized (numpy repeat/tile
+    over the batch — no per-row iteration); the frame decoder itself is a
+    deterministic fake (head bytes + frame index) so the fan-out semantics
+    are testable without ffmpeg."""
+    nf = FRAMES_PER_ASSET
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"id": [], "frame_no": [], "frame": []}
-            for _, r in pdf.iterrows():
-                buf = bytes(r["media"]) if r["media"] is not None else b""
-                if len(buf) < 8:
-                    continue
-                for k in range(2):  # deterministic fake: 2 frames per asset
-                    rows["id"].append(r["id"])
-                    rows["frame_no"].append(k * every_n)
-                    rows["frame"].append(buf[:16] + bytes([k]))
-            yield pd.DataFrame(rows)
+            media = pdf["media"].to_numpy(dtype=object)
+            keep = np.fromiter(
+                (b is not None and len(b) >= 8 for b in media),
+                bool, count=media.size,
+            )
+            ids = pdf["id"].to_numpy()[keep]
+            heads = [bytes(b[:16]) for b in media[keep]]
+            out_ids = np.repeat(ids, nf)
+            frame_no = np.tile(np.arange(nf, dtype=np.int32) * every_n,
+                               ids.size)
+            frames = [h + bytes([k]) for h in heads for k in range(nf)]
+            yield pd.DataFrame(
+                {"id": out_ids, "frame_no": frame_no, "frame": frames}
+            )
 
     return df.select(
         F.col(id_col).alias("id"), F.col(media_col).alias("media")

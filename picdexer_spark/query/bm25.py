@@ -135,6 +135,16 @@ class SearchEngine:
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_query_string(self, q: str, k: int = 10,
+                            prune: bool = True) -> DataFrame:
+        """Search from a kuery-lite query string (the discover search box,
+        reference kibana.ndjson:8): bare words = OR, 'AND'-joined =
+        conjunction; words run through the index analyzer (query/parser.py)."""
+        from picdexer_spark.query.parser import parse_query_string
+
+        terms, mode = parse_query_string(q)
+        return self.search(terms, mode, k, prune)
+
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
         """Collected [(doc_id, score)], the oracle-comparable form."""
         return [

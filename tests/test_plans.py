@@ -99,3 +99,42 @@ def test_ann_broadcasts_query_side(spark):
     plan = cosine_topk(df, "vec_id", "embedding", [0], k=5)
     s = explain_str(plan, "simple")
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+
+
+def test_cosine_topk_window_group_limit_below_exchange(spark):
+    """The per-query top-k must NOT shuffle all n x q scored rows: Spark's
+    InferWindowGroupLimit has to emit a Partial WindowGroupLimit BELOW the
+    exchange (each partition pre-trims to k rows per query)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [rng.standard_normal(8).astype("float32").tolist()
+                      for _ in range(200)],
+    })
+    df = spark.createDataFrame(pdf)
+    plan = explain_str(cosine_topk(df, "vec_id", "embedding", [0, 1], k=5),
+                       "simple")
+    assert "WindowGroupLimit" in plan
+    partial = [ln for ln in plan.splitlines()
+               if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partial, plan
+
+
+def test_search_batch_parallelism_is_shard_times_query(spark, built):
+    """The batch scorer groups by (shard_id, query_id) — one task per
+    query x shard, not one serial loop per shard."""
+    eng = SearchEngine(spark, built)
+    batch = [
+        {"query_id": 0, "terms": ["w0"], "mode": "disjunctive", "k": 3},
+        {"query_id": 1, "terms": ["w1"], "mode": "disjunctive", "k": 3},
+    ]
+    res = eng.search_batch(batch)
+    plan = explain_str(res, "simple")
+    assert "shard_id" in plan and "query_id" in plan
+    # the flatMapGroups input is keyed by both columns
+    import re
+    fm = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+    assert fm and "query_id" in fm[0] and "shard_id" in fm[0], plan

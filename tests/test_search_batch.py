@@ -143,3 +143,35 @@ def test_conjunctive_theta_pruning_skips_blocks():
     assert list(pruned[0]) == list(exact[0]) == [0]
     assert np.array_equal(pruned[1], exact[1])
     assert decoded_pruned < decoded_exact, (decoded_pruned, decoded_exact)
+
+
+def test_query_string_parser():
+    from picdexer_spark.query.parser import parse_query_string
+
+    assert parse_query_string("a b") == (["a", "b"], "disjunctive")
+    assert parse_query_string("a OR b") == (["a", "b"], "disjunctive")
+    assert parse_query_string("a AND b AND c") == (["a", "b", "c"], "conjunctive")
+    # query-side analysis == index-side analysis
+    assert parse_query_string("Batch, AND W0-x") == (["batch", "w0", "x"],
+                                                     "conjunctive")
+    assert parse_query_string("") == ([], "disjunctive")
+    assert parse_query_string("  ") == ([], "disjunctive")
+    with pytest.raises(ValueError):
+        parse_query_string("a AND b OR c")
+    with pytest.raises(ValueError):
+        parse_query_string("field:value")
+    with pytest.raises(ValueError):
+        parse_query_string("(a b)")
+
+
+def test_query_string_end_to_end(spark, built):
+    idx, oracle = built
+    from picdexer_spark.query.bm25 import SearchEngine
+
+    eng = SearchEngine(spark, idx)
+    via_string = [(r["doc_id"], r["score"])
+                  for r in eng.search_query_string("w0 AND w5", 10).collect()]
+    via_api = eng.search_topk(["w0", "w5"], "conjunctive", 10)
+    assert via_string == via_api
+    exp = oracle.search(["w0", "w5"], "conjunctive", 10)
+    assert [d for d, _ in via_string] == [d for d, _ in exp]
