@@ -14,16 +14,18 @@ driver tables don't carry a fulltext corpus at bench scale (documents is
 5k rows at sf0.1).
 
 The scaling probe runs the same warmed build at local[2] (N) and local[8]
-(4N) in fresh subprocess JVMs. 2-vs-8 — not 8-vs-32 — because this VM's
-host throttles aggregate CPU: a pure-python burn test scales 1->8 procs at
-8.1x (linear) but 8->32 at only 2.35x (~19 effective cores under load), so
-8-vs-32 can never evidence engine scaling. Protocol + full-size numbers in
-BASELINE.md.
+(4N) in fresh subprocess JVMs on a 500k-doc corpus. 2-vs-8 — not 8-vs-32 —
+because this VM's host throttles aggregate CPU under sustained load
+(hypervisor steal observed up to 29% in round 1; the exact ceiling varies
+by day, so every run now MEASURES it: a pure-python burn control at the
+same 2/8 process counts is reported as host_ceiling_efficiency next to the
+engine's efficiency). Protocol + full-size numbers in BASELINE.md.
 
 Env:
   SPARK_GRAFT_SF_DIR   input sf dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
   BENCH_SCALING=0      skip the scaling probe
+  BENCH_SCALE_DOCS     scaling-probe corpus size (default 500000)
   BENCH_DOCS           override corpus size
 """
 
@@ -95,8 +97,12 @@ def corpus_docs(sf_dir: str) -> int:
 
 
 def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
-              warmup: bool = True) -> float:
-    """Build the index over the synthetic corpus; returns build seconds."""
+              warmup: bool = True, warmup_docs: int | None = None) -> float:
+    """Build the index over the synthetic corpus; returns build seconds.
+
+    `warmup_docs` caps the throwaway warmup build's size (JIT/codegen/
+    worker-pool warmth is data-size-independent past ~10^5 docs; a smaller
+    warmup keeps the 500k scaling probe's wall time bounded)."""
     from picdexer_spark.fixtures.pages import materialize_pages
     from picdexer_spark.index.build import IndexConfig, build_index
     from picdexer_spark.session import get_spark
@@ -107,27 +113,35 @@ def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
     spark = get_spark(
         f"bench-build-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=4 * cpus,
-        extra_conf={
-            "spark.sql.adaptive.enabled": "false",
-            # bigger Arrow batches amortize per-batch pandas construction in
-            # the posting encoder (rows are ~30B each; 64k rows ≈ 2MB)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
-        },
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        # NOTE: a 64k Arrow batch was tried here and REJECTED: it raised
+        # measured 2-vs-8 efficiency to 0.86 only by slowing the 2-core
+        # extract stage ~14s (giant per-batch pandas frames of text rows);
+        # absolute throughput is the honest goal, not the ratio
     )
     fix = materialize_pages(n_docs, seed=42)
     pages = spark.read.parquet(os.path.join(fix, "pages"))
     if warmup:
-        # full-size throwaway build: JIT, codegen cache, Python worker pool
+        # sized throwaway build: JIT, codegen cache, Python worker pool
         # and shuffle paths all warm (a 1k warmup leaves 31 of 32 workers
         # cold and JIT barely started — measured 3-5x timing swings)
+        wn = min(n_docs, warmup_docs) if warmup_docs else n_docs
+        wpages = pages if wn == n_docs else spark.read.parquet(
+            os.path.join(materialize_pages(wn, seed=42), "pages")
+        )
         wdir = tempfile.mkdtemp(prefix="bench_warm_")
-        build_index(spark, pages, wdir, IndexConfig(shard_range=shard_range))
+        build_index(spark, wpages, wdir, IndexConfig(shard_range=shard_range))
         shutil.rmtree(wdir, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, pages, index_dir, IndexConfig(shard_range=shard_range))
-    dt = time.time() - t0
+    reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
+    best = None
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        build_index(spark, pages, index_dir,
+                    IndexConfig(shard_range=shard_range))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
     spark.stop()
-    return dt
+    return best
 
 
 def main() -> None:
@@ -136,6 +150,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--shard-range", type=int, default=1 << 16)
+    ap.add_argument("--warmup-docs", type=int, default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,7 +159,8 @@ def main() -> None:
 
     if args.build_only:
         d = tempfile.mkdtemp(prefix="bench_scale_idx_")
-        dt = run_build(cpus, n_docs, d, args.shard_range)
+        dt = run_build(cpus, n_docs, d, args.shard_range,
+                       warmup_docs=args.warmup_docs)
         shutil.rmtree(d, ignore_errors=True)
         print(json.dumps({"t": dt}))
         return
@@ -196,14 +212,21 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        scale_docs = n_docs
+        # 500k-doc probe (BENCH_SCALE_DOCS overrides): big enough that
+        # fixed job overhead is <2% of the 2-core build
+        scale_docs = int(os.environ.get("BENCH_SCALE_DOCS", "500000"))
         lo, hi = 2, 8  # N and 4N inside the host's linear CPU region
         ts = {}
         for c in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-only",
                  "--cpus", str(c), "--docs", str(scale_docs),
-                 "--shard-range", str(args.shard_range)],
+                 "--shard-range", str(args.shard_range),
+                 "--warmup-docs", "150000"],
+                # min-of-2 measured builds per level: the host's sustained-
+                # load throughput swings ~10% run to run; min is the
+                # noise-robust wall-clock statistic
+                env={**os.environ, "BENCH_BUILD_REPS": "2"},
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )

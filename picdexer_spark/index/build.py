@@ -178,39 +178,36 @@ def assign_doc_ids(
         offsets[pid] = acc
         acc += counts[pid]
 
-    # ids are assigned with ZERO further shuffle: `part` is already
-    # range-partitioned + sorted by url, so doc_id = partition offset +
-    # running position of the kept rows within the partition — a narrow,
-    # order-preserving mapInPandas with the (tiny) offset dict in the
-    # closure. (A window + broadcast-join formulation would hash-exchange
-    # the whole text-heavy stream on _pid and then range-exchange it again
-    # for the doc-sorted write — two full shuffles for nothing.)
-    out_fields = [
-        f for f in part.schema.fields
+    # ids are assigned with ZERO further shuffle and ZERO Python: `part` is
+    # already range-partitioned + sorted by url, and filtering to the kept
+    # rows preserves both, so within each partition
+    # monotonically_increasing_id() yields consecutive row indices in its
+    # low 33 bits (Spark's documented layout: partition index << 33 | row
+    # position) in DETERMINISTIC url order — stable across task retries
+    # because the sort re-runs identically. doc_id = per-partition offset
+    # (broadcast-joined, metadata-sized) + row position. An earlier
+    # formulation did this with an order-preserving mapInPandas; that paid
+    # a full Arrow round-trip of the text-heavy corpus for what is a pure
+    # integer projection.
+    keep_cols = [
+        f.name for f in part.schema.fields
         if f.name not in ("_pid", "_src", "_ok")
     ]
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(out_fields + [StructField("doc_id", LongType())])
-    keep_cols = [f.name for f in out_fields]
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        base: int | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets.get(int(pdf["_pid"].iat[0]), 0)
-            ok_mask = pdf["_ok"].to_numpy(dtype=bool)
-            kept = pdf.loc[ok_mask, keep_cols].copy()
-            n = int(ok_mask.sum())
-            kept["doc_id"] = np.arange(base + seen, base + seen + n,
-                                       dtype=np.int64)
-            seen += n
-            yield kept
-
-    out = part.mapInPandas(assign, out_schema)
+    spark = part.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, offset)],
+            "_pid int, _offset long",
+        )
+    )
+    mid = F.monotonically_increasing_id()
+    row_in_part = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    out = (
+        part.filter(F.col("_ok"))
+        .withColumn("_row", row_in_part)
+        .join(offsets_df, "_pid")
+        .select(*keep_cols, (F.col("_offset") + F.col("_row")).alias("doc_id"))
+    )
     return out, part, sorted(src_counts.items()), dropped, total_len
 
 
@@ -339,12 +336,20 @@ def build_index(
         "text",
     )
 
-    # C: term stream (JVM codegen end-to-end) — from the SAME cached
-    # pre-assign partitions the doc store is written from, so the doc-store
-    # write and the posting build run as CONCURRENT jobs (both re-run the
-    # cheap order-preserving id projection over the cache; neither waits on
-    # the other's parquet)
-    tf = tf_stream(docs)
+    # already doc_id-ordered (ids follow the url range/sort of the id pass)
+    # -> write directly; parquet min/max on doc_id gives point-lookup
+    # pruning. The posting build reads the WRITTEN parquet back (columnar,
+    # pruned to doc_id/doc_len/text) rather than recomputing from the cache
+    # — an overlapped-writes variant was tried and REVERTED: running the
+    # doc write and posting build concurrently from the cache re-ran the id
+    # projection per branch and was net slower at every core count.
+    docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
+    docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
+    _parted.unpersist()
+    timer.mark("docs_write")
+
+    # C: term stream (JVM codegen end-to-end)
+    tf = tf_stream(docs_written)
 
     # D: salted posting build — salt = doc-range shard (head-term skew)
     salted = tf.withColumn(
@@ -361,30 +366,14 @@ def build_index(
         .sortWithinPartitions("term", "shard_id", "doc_id")
         .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
     )
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _docs_write_job():
-        # already doc_id-ordered (ids follow the url range/sort of the id
-        # pass) -> write without further exchange; parquet min/max on doc_id
-        # gives point-lookup pruning
-        docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
-
-    def _postings_write_job():
-        (
-            postings.write.mode("overwrite")
-            .option("parquet.bloom.filter.enabled#term", "true")
-            .option("parquet.bloom.filter.expected.ndv#term", "100000")
-            .parquet(os.path.join(snap_dir, "postings"))
-        )
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        docs_future = pool.submit(_docs_write_job)
-        _postings_write_job()
-        docs_future.result()
+    (
+        postings.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", "100000")
+        .parquet(os.path.join(snap_dir, "postings"))
+    )
     postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
-    _parted.unpersist()
-    timer.mark("docs+postings_write")
+    timer.mark("postings_write")
 
     # global doc stats came out of the id-counting pass (no doc-store scan);
     # per-shard doc counts are pure arithmetic: ids are dense over

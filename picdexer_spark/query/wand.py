@@ -41,6 +41,15 @@ def block_ub(max_tf: float, min_dl: float, idf: float, k1: float, b: float,
     )
 
 
+def block_ub_vec(max_tf: np.ndarray, min_dl: np.ndarray, idf: float,
+                 k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Vectorized per-block upper bounds (one numpy expression, not a
+    Python loop per block — head terms have thousands of blocks/shard)."""
+    mt = max_tf.astype(np.float64)
+    md = min_dl.astype(np.float64)
+    return idf * (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))
+
+
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Exact top-k with (score desc, doc_id asc) tie-break."""
     if doc_ids.size == 0:
@@ -161,25 +170,24 @@ def score_conjunctive(
         return empty
     idxs = np.flatnonzero(keep)
 
-    # ub-total per surviving driver block
-    ub_tot = np.array(
-        [block_ub(float(tb.max_tf[i]), float(tb.min_dl[i]),
-                  idf[driver], k1, b, avgdl) for i in idxs],
-        np.float64,
-    )
+    # ub-total per surviving driver block (all vectorized; driver blocks
+    # usually overlap 1-2 blocks of each other term, so the slice-max loop
+    # below is over tiny ranges)
+    ub_tot = block_ub_vec(tb.max_tf[idxs], tb.min_dl[idxs],
+                          idf[driver], k1, b, avgdl)
     for t in others:
         ob = blocks[t]
-        o_ub = np.array(
-            [block_ub(float(ob.max_tf[j]), float(ob.min_dl[j]),
-                      idf[t], k1, b, avgdl) for j in range(ob.n_blocks())],
-            np.float64,
-        )
+        o_ub = block_ub_vec(ob.max_tf, ob.min_dl, idf[t], k1, b, avgdl)
         i0 = np.searchsorted(ob.last, tb.first[idxs], side="left")
         i1 = np.searchsorted(ob.first, tb.last[idxs], side="right")
-        # keep-mask guarantees at least one overlapping block per entry
-        ub_tot += np.array(
-            [o_ub[a:z].max() for a, z in zip(i0, i1)], np.float64
-        )
+        # keep-mask guarantees at least one overlapping block per entry;
+        # fast path: single overlapping block (the common doc-range case)
+        single = (i1 - i0) == 1
+        contrib = np.empty(idxs.size, np.float64)
+        contrib[single] = o_ub[i0[single]]
+        for j in np.flatnonzero(~single):
+            contrib[j] = o_ub[i0[j]:i1[j]].max()
+        ub_tot += contrib
 
     order = (
         np.argsort(-ub_tot, kind="stable") if prune
@@ -241,11 +249,10 @@ def score_disjunctive(
     per_block = []  # (term, block_idx, lo, hi, ub)
     for t in asc:
         tb = blocks[t]
+        ubs = block_ub_vec(tb.max_tf, tb.min_dl, idf[t], k1, b, avgdl)
         for i in range(tb.n_blocks()):
             lo, hi = int(tb.first[i]), int(tb.last[i])
-            ub = block_ub(float(tb.max_tf[i]), float(tb.min_dl[i]),
-                          idf[t], k1, b, avgdl)
-            per_block.append((t, i, lo, hi, ub))
+            per_block.append((t, i, lo, hi, float(ubs[i])))
             bounds.append(lo)
             bounds.append(hi + 1)
     edges = np.unique(np.asarray(bounds, np.int64))
