@@ -105,6 +105,8 @@ CONJ_TERMS = ["dup", "spark"]
 TF_TERMS = ["spark", "dup", "batch"]
 QSTRING = "Batch, OR vector OR spark"  # analyzes to [batch, vector, spark]
 QSTRING_TERMS = ["batch", "vector", "spark"]
+# training-free IVF coarse quantizer: centroid = every 7th vector
+IVF_CENTROIDS = [i * 7 for i in range(16)]
 
 BM25_SQL_TEMPLATE = """
 WITH tok AS (
@@ -402,6 +404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _media_df(s, d), "doc_id", "media"
     ).select("id", "frame_no", F.hex("frame").alias("frame_hex"))
 
+    q["token_counts"] = lambda s, d: tx.token_counts(
+        _tbl(s, d, "documents"), "doc_id", "text"
+    )
+
     # ---- similarity search ------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: sim.cosine_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding", [0, 1, 2], k=10
@@ -409,6 +415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_pairs"] = lambda s, d: sim.lsh_candidate_pairs(
         _tbl(s, d, "embeddings"), "vec_id", "embedding", dim=64,
         n_planes=12, min_cos=0.2,
+    )
+    q["ann_ivf_topk"] = lambda s, d: sim.ivf_topk(
+        _tbl(s, d, "embeddings"), "vec_id", "embedding",
+        centroid_ids=IVF_CENTROIDS, query_ids=[0, 1, 2], k=10, n_probe=4,
+    )
+    q["ann_dedup_survivors"] = lambda s, d: sim.near_dup_survivors(
+        _tbl(s, d, "embeddings"), "vec_id", "embedding", dim=64,
+        threshold=0.2,
     )
 
     def _with_shipping(fn):
@@ -789,7 +803,7 @@ def oracle_sql() -> dict[str, str]:
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for j in range(12)
     )
-    o["ann_lsh_pairs"] = f"""
+    ANN_LSH_BASE = f"""
         WITH b AS (
           SELECT vec_id AS id, {sig_bits} AS bucket
           FROM embeddings),
@@ -805,7 +819,68 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos_sim
           FROM cand c JOIN embeddings a ON c.id_a = a.vec_id
                       JOIN embeddings e ON c.id_b = e.vec_id)
+    """
+    o["ann_lsh_pairs"] = ANN_LSH_BASE + """
         SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2
+    """
+    # survivors of greedy keep-smallest-id dedup over the same pair stream
+    o["ann_dedup_survivors"] = ANN_LSH_BASE + """
+        SELECT e.vec_id AS id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT id_b FROM scored WHERE cos_sim >= 0.2)
+    """
+
+    # IVF: relational form of the same quantize-probe-rescore algorithm
+    cent_values = ", ".join(
+        f"({i + 1}, {cid})" for i, cid in enumerate(IVF_CENTROIDS)
+    )
+    COSQ = ("list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) "
+            "* sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))")
+    o["ann_ivf_topk"] = f"""
+        WITH cents(ord, cid) AS (VALUES {cent_values}),
+        cvec AS (SELECT c.ord, e.embedding AS cv
+                 FROM cents c JOIN embeddings e ON e.vec_id = c.cid),
+        assign AS (
+          SELECT vec_id, embedding, ord AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.ord,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {COSQ} DESC, c.ord ASC) AS rn
+            FROM embeddings e CROSS JOIN cvec c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qvec, ord AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.ord,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {COSQ} DESC, c.ord ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) e
+            CROSS JOIN cvec c)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.embedding::DOUBLE[], p.qvec::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(p.qvec::DOUBLE[], p.qvec::DOUBLE[]))), 6) AS cos_sim
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+    from picdexer_spark.operators.textops import BPE_PIECE_PATTERN
+
+    o["token_counts"] = f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'),
+                               x -> x != ''))::BIGINT AS n_ws,
+               len(regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'))::BIGINT AS n_pieces,
+               coalesce(list_sum(list_transform(
+                 regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'),
+                 p -> floor((length(p) + 3) / 4)::BIGINT)), 0)::BIGINT AS n_subwords
+        FROM documents
     """
 
     o["ann_cosine_topk"] = """

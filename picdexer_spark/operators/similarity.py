@@ -77,6 +77,118 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize every vector to its nearest
+    centroid cell, search only the query's ``n_probe`` nearest cells.
+
+    The scale path past brute force: at 10^9 vectors the exact scan touches
+    everything; IVF touches n_probe/n_cells of it. The quantizer here is
+    training-free (centroids = the vectors with ``centroid_ids``, a
+    deterministic sample — swap in k-means centroids without changing any
+    plan shape). Everything is JVM arithmetic: cell assignment is an argmax
+    over the centroid-cosine array, candidates flow through a broadcast
+    join on cell, and the final per-query top-k rides WindowGroupLimit
+    (pre-trimmed to k per partition before the exchange).
+
+    Returns (query_id, neighbor_id, cos_sim, rank) — approximate: a true
+    neighbor living in an unprobed cell is missed, the IVF recall contract.
+    """
+    cent_rows = {
+        r[0]: list(r[1])
+        for r in df.filter(F.col(id_col).isin(centroid_ids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cents = [cent_rows[c] for c in centroid_ids]
+
+    def cos_to(cvec: list) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        return _dot(F.col(vec_col), arr) / (_norm(F.col(vec_col)) * _norm(arr))
+
+    cos_arr = F.array(*[cos_to(c) for c in cents])
+    # 1-based cell index; ties -> first (lowest centroid ordinal), matching
+    # the oracle's (cos DESC, ordinal ASC) row_number
+    cell = F.array_position(cos_arr, F.array_max(cos_arr))
+    cells = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        cell.alias("cell"),
+    )
+
+    qprobe = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.posexplode(cos_arr).alias("j", "ccos"),
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ccos"), F.asc("j")
+                )
+            ),
+        )
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qvec", (F.col("j") + 1).alias("cell"))
+    )
+
+    cand = cells.join(F.broadcast(qprobe), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("nvec"), F.col("qvec")) / (
+        _norm(F.col("nvec")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def near_dup_survivors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-dup filter: the ids that SURVIVE dedup.
+
+    Pair generation is the LSH-bucketed candidate path
+    (:func:`lsh_candidate_pairs` at >= threshold); the survivor rule is the
+    standard greedy keep-smallest-id: a row is dropped iff it is the larger
+    member of some near-dup pair (one anti-join — no iterative connected
+    components, the usual first-pass web-dedup contract).
+    """
+    pairs = lsh_candidate_pairs(
+        df, id_col, vec_col, dim, n_planes, seed,
+        min_cos=threshold, max_bucket_size=max_bucket_size,
+    )
+    losers = pairs.select(F.col("id_b").alias("_loser")).distinct()
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(losers, F.col("id") == F.col("_loser"), "left_anti")
+        .select("id")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,

@@ -36,6 +36,39 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: GPT-2-ish pre-tokenizer classes: letter runs, digit runs, punctuation
+#: runs (whitespace never a token) — shared verbatim with the DuckDB oracle
+BPE_PIECE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]+"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-count estimators a training-data pipeline budgets with:
+
+    - n_ws: whitespace-delimited words;
+    - n_pieces: BPE-ish pre-token pieces (letter/digit/punct runs over
+      lowercased text, :data:`BPE_PIECE_PATTERN`);
+    - n_subwords: sum over pieces of ceil(len/4) — the classic ~4-chars-
+      per-token BPE budget estimate, cheap enough to run over 100 TB.
+
+    All JVM regex/array arithmetic, no UDF.
+    """
+    low = F.lower(F.col(text_col))
+    ws = F.filter(F.split(F.col(text_col), "[ \\t\\n\\r]+"),
+                  lambda x: x != F.lit(""))
+    pieces = F.regexp_extract_all(low, F.lit(BPE_PIECE_PATTERN), 0)
+    subwords = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.floor((F.length(p) + 3) / 4),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_ws"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        subwords.cast("long").alias("n_subwords"),
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash (md5 — the reference's FileID hash).
 

@@ -121,3 +121,59 @@ def test_minhash_est_jaccard_is_exact_for_identical_docs(spark, short_docs):
     assert len(rows[4]) == 32
     # doc 0/1 too short for 3-gram shingles -> no signature rows
     assert 0 not in rows and 2 not in rows and 3 not in rows
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "don't stop! 123 here"), (2, ""),
+         (3, "supercalifragilistic")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.token_counts(df, "doc_id", "text").collect()}
+    assert (got[0]["n_ws"], got[0]["n_pieces"]) == (2, 2)
+    # don't -> don | ' | t ; stop! -> stop | ! ; 123 ; here -> 7 pieces
+    assert got[1]["n_ws"] == 4 and got[1]["n_pieces"] == 7
+    assert got[2]["n_ws"] == 0 and got[2]["n_pieces"] == 0 and got[2]["n_subwords"] == 0
+    # 20-letter run -> ceil(20/4) = 5 subword estimate
+    assert got[3]["n_pieces"] == 1 and got[3]["n_subwords"] == 5
+
+
+def test_ivf_topk_probes_subset_and_exact_rescore(spark):
+    import numpy as np
+    from picdexer_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    res = sim.ivf_topk(df, "vec_id", "embedding",
+                       centroid_ids=[0, 10, 20, 30], query_ids=[5],
+                       k=5, n_probe=4).collect()
+    # n_probe == n_cells -> every cell searched -> equals exact top-k
+    exact = sim.cosine_topk(df, "vec_id", "embedding", [5], k=5).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in res] == \
+           [(r["neighbor_id"], r["cos_sim"]) for r in exact]
+    # with 1 probe the candidate set shrinks (approximate contract)
+    res1 = sim.ivf_topk(df, "vec_id", "embedding",
+                        centroid_ids=[0, 10, 20, 30], query_ids=[5],
+                        k=120, n_probe=1).count()
+    assert res1 < 119
+
+
+def test_near_dup_survivors_greedy_smallest_id(spark):
+    import numpy as np
+    from picdexer_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8).astype("float32")
+    other = rng.standard_normal(8).astype("float32")
+    rows = [(0, base.tolist()), (1, (base * 1.001).tolist()),
+            (2, (base * 0.999).tolist()), (10, other.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    surv = {r["id"] for r in sim.near_dup_survivors(
+        df, "vec_id", "embedding", dim=8, threshold=0.95, n_planes=4
+    ).collect()}
+    # 0 survives its clone cluster; 10 is unrelated and survives
+    assert surv == {0, 10}
