@@ -62,6 +62,15 @@ def test_tf_stream_partial_agg_before_exchange(spark, built):
     assert "partial_count" in post, s  # plan prints top-down: partial is below
 
 
+def test_tf_stream_sharded_elides_agg_exchange(spark, built):
+    """The build shape: one hash exchange on (term, shard_id), with the tf
+    aggregation running on that same partitioning — Catalyst must NOT
+    insert a second exchange (group keys contain the partition keys)."""
+    docs = IndexCatalog(built).read(spark, "docs")
+    tf = tf_stream(docs, shard_range=128)
+    assert count_exchanges(tf) == 1, explain_str(tf, "simple")
+
+
 def test_search_plan_shuffles_only_candidates(spark, built):
     eng = SearchEngine(spark, built)
     plan = eng.search(["w0", "w3"], "disjunctive", 10)
@@ -80,10 +89,10 @@ def test_build_has_two_full_data_exchanges(spark, built):
     with_ids, part, _, _, _ = assign_doc_ids(extracted, ok_col="extract_ok")
     assert count_exchanges(with_ids) == 1  # the url range partition only
     docs = IndexCatalog(built).read(spark, "docs")
-    tf = tf_stream(docs)
-    salted = tf.withColumn("shard_id", F.expr("doc_id div 128"))
-    enc_in = salted.repartition("term", "shard_id")
-    assert count_exchanges(enc_in) == 2  # tf partial-agg exchange + postings
+    enc_in = tf_stream(docs, shard_range=128).sortWithinPartitions(
+        "term", "shard_id", "doc_id"
+    )
+    assert count_exchanges(enc_in) == 1  # the (term, shard) hash exchange
     part.unpersist()
 
 
