@@ -114,10 +114,10 @@ def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
         f"bench-build-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=4 * cpus,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
-        # NOTE: a 64k Arrow batch was tried here and REJECTED: it raised
-        # measured 2-vs-8 efficiency to 0.86 only by slowing the 2-core
-        # extract stage ~14s (giant per-batch pandas frames of text rows);
-        # absolute throughput is the honest goal, not the ratio
+        # NOTE: two tunings tried and REJECTED here (details BASELINE.md):
+        # 64k Arrow batches (raised the 2-vs-8 ratio only by slowing the
+        # 2-core extract) and 32MB input splits (within host noise, no
+        # reproducible win); absolute throughput is the goal, not the ratio
     )
     fix = materialize_pages(n_docs, seed=42)
     pages = spark.read.parquet(os.path.join(fix, "pages"))
