@@ -147,10 +147,17 @@ def assign_doc_ids(
     # same metadata-sized collect, so total_len/avgdl need NO separate
     # post-write scan of the doc store — one fewer serial job barrier
     has_dl = "doc_len" in df.columns
-    part = (
-        df.withColumn(
+    try:
+        # per-input-file lineage; input_file_name() refuses plans reading
+        # MORE than one source (e.g. compaction over a snapshot chain) —
+        # those get a single synthetic lineage bucket instead
+        with_src = df.withColumn(
             "_src", F.coalesce(F.input_file_name(), F.lit("inline"))
         )
+    except Exception:
+        with_src = df.withColumn("_src", F.lit("multi-source"))
+    part = (
+        with_src
         .withColumn("_ok", ok)
         .repartitionByRange(F.col(url_col))
         .sortWithinPartitions(url_col)
@@ -459,11 +466,17 @@ def build_index(
             "avgdl": [float(avgdl)],
             "docs_dropped": [int(dropped)],
             "import_id": [cfg.import_id],
+            # id allocation high-water mark: with tombstoned upserts the
+            # LIVE doc count (n_docs) no longer equals the highest id, so
+            # incremental appends offset from here, never from n_docs
+            "next_doc_id": [int(cfg.id_offset + n_docs)],
+            "shard_range": [int(cfg.shard_range)],
         },
         schema=pa.schema(
             [("n_docs", pa.int64()), ("total_len", pa.int64()),
              ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
-             ("import_id", pa.string())]
+             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
+             ("shard_range", pa.int64())]
         ),
     )
 

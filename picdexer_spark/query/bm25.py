@@ -46,8 +46,21 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
+def _filter_deleted(ids, scores, dels, k):
+    """Drop tombstoned ids from a (score desc, doc_id asc)-sorted result
+    and truncate to k. EXACT given the scorer ran with k_eff = k + |dels in
+    shard|: any live doc in the true top-k sits within the top-(k+|dels|)
+    of the unfiltered ranking."""
+    if dels is not None and ids.size:
+        keep = ~np.isin(ids, dels)
+        ids, scores = ids[keep], scores[keep]
+    return ids[:k], scores[:k]
+
+
+def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
+                       deleted_by_shard=None):
     asc = sorted(terms)
+    deleted_by_shard = deleted_by_shard or {}
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         blocks: dict[str, TermBlocks] = {}
@@ -59,14 +72,17 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
                 g["min_dl"].to_numpy(np.int64),
                 list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
             )
+        dels = deleted_by_shard.get(int(pdf["shard_id"].iat[0]))
+        k_eff = k + (dels.size if dels is not None else 0)
         if mode == "conjunctive":
             ids, scores = score_conjunctive(
-                asc, blocks, idf_map, K1, B, avgdl, k, prune=prune
+                asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
             )
         else:
             ids, scores = score_disjunctive(
-                asc, blocks, idf_map, K1, B, avgdl, k, prune=prune
+                asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
             )
+        ids, scores = _filter_deleted(ids, scores, dels, k)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -86,6 +102,27 @@ class SearchEngine:
         st = self.cat.read(spark, "stats", self.snapshot_id).first()
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
+        st_d = st.asDict()
+        shard_range = int(st_d.get("shard_range") or (1 << 20))
+        # tombstones (upserted/deleted docs): grouped by shard so each shard
+        # scorer over-fetches k + |its tombstones| then filters — exact.
+        # Collected to the driver: tombstone volume is bounded by compaction
+        # cadence; at 10^9-doc scale swap for a broadcast bitmap per shard.
+        self._deleted_by_shard: dict[int, np.ndarray] = {}
+        try:
+            del_rows = self.cat.read(spark, "deletes", self.snapshot_id) \
+                .select("doc_id").collect()
+        except Exception:
+            del_rows = []
+        if del_rows:
+            by_shard: dict[int, list[int]] = {}
+            for r in del_rows:
+                by_shard.setdefault(int(r["doc_id"]) // shard_range, []).append(
+                    int(r["doc_id"])
+                )
+            self._deleted_by_shard = {
+                s: np.array(sorted(v), np.int64) for s, v in by_shard.items()
+            }
         # small vocabularies: pull df stats to the driver once, saving one
         # Spark job per query; a web-scale vocab (hundreds of millions of
         # terms) stays a distributed filtered lookup
@@ -131,7 +168,8 @@ class SearchEngine:
         idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
 
         cand = self.postings.filter(F.col("term").isin(present))
-        scorer = _make_shard_scorer(present, idf_map, k, mode, self.avgdl, prune)
+        scorer = _make_shard_scorer(present, idf_map, k, mode, self.avgdl,
+                                    prune, self._deleted_by_shard)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -198,6 +236,7 @@ class SearchEngine:
             )
         avgdl, k1, b = self.avgdl, K1, B
         spec_by_qid = {qid: (terms, mode, k) for qid, terms, mode, k in qspecs}
+        deleted_by_shard = self._deleted_by_shard
 
         def score_query_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(pdf["query_id"].iat[0])
@@ -211,14 +250,17 @@ class SearchEngine:
                     g["min_dl"].to_numpy(np.int64),
                     list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
                 )
+            dels = deleted_by_shard.get(int(pdf["shard_id"].iat[0]))
+            k_eff = k + (dels.size if dels is not None else 0)
             if mode == "conjunctive":
                 ids, scores = score_conjunctive(
-                    terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
+                    terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
                 )
             else:
                 ids, scores = score_disjunctive(
-                    terms, blocks, idf_map, k1, b, avgdl, k, prune=prune
+                    terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
                 )
+            ids, scores = _filter_deleted(ids, scores, dels, k)
             return pd.DataFrame(
                 {"query_id": qid, "doc_id": ids, "score": scores}
             )

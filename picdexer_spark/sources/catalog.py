@@ -36,13 +36,19 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage")
+TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage",
+          "deletes")
 
 #: append-only tables: a snapshot holds only its DELTA rows; reads union the
 #: parent chain (the Iceberg manifest-list pattern — incremental commits
 #: never rewrite history). term_stats/stats are small and written in full
-#: per snapshot.
-CHAINED_TABLES = {"docs", "postings", "metrics", "lineage"}
+#: per snapshot. `deletes` is the tombstone table: upserting a url with new
+#: content appends the OLD doc_id here (the Lucene delete-bitmap / Iceberg
+#: positional-delete pattern — postings are never rewritten in place; a
+#: compaction rewrites a fresh snapshot without tombstoned docs).
+CHAINED_TABLES = {"docs", "postings", "metrics", "lineage", "deletes"}
+
+DELETES_SCHEMA = "doc_id long, reason string, snapshot_id string"
 
 POSTINGS_SCHEMA = (
     "term string, shard_id long, block_no int, first_doc long, last_doc long,"
@@ -146,6 +152,9 @@ class IndexCatalog:
                 for sid in self.parent_chain(snapshot_id)
             ]
             paths = [p for p in paths if os.path.isdir(p)]
+            if not paths and table == "deletes":
+                # tombstones are optional: a chain with no upserts has none
+                return spark.createDataFrame([], DELETES_SCHEMA)
             return spark.read.parquet(*paths)
         return spark.read.parquet(self.table_path(table, snapshot_id))
 

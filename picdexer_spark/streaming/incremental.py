@@ -27,7 +27,7 @@ import os
 import shutil
 
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from picdexer_spark.index.build import (
@@ -46,13 +46,23 @@ def build_incremental(
     cfg: IndexConfig | None = None,
     source_id: str = "batch-0",
 ) -> BuildResult | None:
-    """Append one batch of pages as a child snapshot.
+    """Append one batch of pages as a child snapshot, with UPSERT semantics.
 
     Returns None when `source_id` was already committed (idempotent
-    re-delivery — the at-least-once streaming case). Rows whose url is
-    already in the committed doc store are anti-joined away, so re-sent
-    rows dedup (the content-addressed idempotency of the reference's md5
-    FileID, common.go:44-63, elasticsearch.go:185-190).
+    re-delivery — the at-least-once streaming case). Per-row identity is
+    content-addressed like the reference's md5 FileID (common.go:44-63,
+    elasticsearch.go:185-190):
+
+    - url unseen               -> indexed as a new doc;
+    - url seen, SAME text md5  -> dropped (pure redelivery);
+    - url seen, NEW text md5   -> UPSERT: the old doc_id is appended to the
+      chained `deletes` table (tombstone — postings are never rewritten in
+      place, the Lucene delete-bitmap / Iceberg positional-delete pattern)
+      and the new content is indexed under a fresh doc_id.
+
+    Whole-index stats (n_docs, total_len, avgdl) are tombstone-adjusted at
+    commit; per-term df stays lazy until :func:`compact` (exactly Lucene's
+    contract — deletes hide hits immediately, statistics converge at merge).
     """
     cfg = cfg or IndexConfig()
     cat = IndexCatalog(index_dir)
@@ -65,22 +75,80 @@ def build_incremental(
 
     committed = cat.committed_stats(spark)
     n_committed = int(committed["n_docs"])
+    next_id = int(committed.get("next_doc_id") or n_committed)
 
-    existing_urls = cat.read(spark, "docs").select("url")
-    fresh = pages.join(existing_urls, "url", "left_anti")
+    # extract once so content identity (text md5) is known BEFORE deciding
+    # what to index; build_index re-runs extract on html=NULL rows, which
+    # keeps the already-extracted text byte-identically (the skip path)
+    from picdexer_spark.index.build import extract_text
+
+    extracted = (
+        extract_text(pages)
+        .drop("html")
+        .filter(F.col("extract_ok"))
+        .withColumn("new_md5", F.md5("text"))
+    )
+    # deterministic in-batch url dedup: smallest (text_md5, warc_ts) wins
+    w = Window.partitionBy("url").orderBy("new_md5", "warc_ts")
+    extracted = (
+        extracted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    live = cat.read(spark, "docs").join(
+        cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
+    )
+    existing = live.select(
+        "url",
+        F.col("text_md5").alias("old_md5"),
+        F.col("doc_id").alias("old_doc_id"),
+        F.col("doc_len").alias("old_len"),
+    )
+    joined = extracted.join(existing, "url", "left")
+    fresh = joined.filter(
+        F.col("old_md5").isNull() | (F.col("new_md5") != F.col("old_md5"))
+    )
+    tomb_rows = (
+        joined.filter(
+            F.col("old_md5").isNotNull()
+            & (F.col("new_md5") != F.col("old_md5"))
+        )
+        .select("old_doc_id", "old_len")
+        .collect()
+    )
+    fresh_pages = fresh.select(
+        "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
 
     delta_cfg = IndexConfig(
         shard_range=cfg.shard_range,
         block_size=cfg.block_size,
         import_id=cfg.import_id,
-        id_offset=n_committed,
+        id_offset=next_id,
     )
     # write the delta snapshot WITHOUT committing, patch in whole-index
-    # stats, then commit atomically with the parent pointer
+    # stats + tombstones, then commit atomically with the parent pointer
     res = build_index(
-        spark, fresh, index_dir, delta_cfg, sources=[source_id], commit=False
+        spark, fresh_pages, index_dir, delta_cfg, sources=[source_id],
+        commit=False,
     )
     snap_dir = os.path.join(index_dir, "snapshots", res.snapshot_id)
+
+    if tomb_rows:
+        _write_small_table(
+            os.path.join(snap_dir, "deletes"),
+            {
+                "doc_id": [int(r["old_doc_id"]) for r in tomb_rows],
+                "reason": ["upsert"] * len(tomb_rows),
+                "snapshot_id": [res.snapshot_id] * len(tomb_rows),
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("reason", pa.string()),
+                 ("snapshot_id", pa.string())]
+            ),
+        )
 
     # term_stats: parent full + delta rollup -> full table for this snapshot
     parent_ts = cat.read(spark, "term_stats", parent)
@@ -96,10 +164,13 @@ def build_incremental(
     shutil.rmtree(final)
     os.rename(tmp, final)
 
-    # stats: parent + delta
-    n_docs = n_committed + res.n_docs
+    # stats: parent + delta - tombstoned (LIVE corpus statistics)
+    n_tomb = len(tomb_rows)
+    tomb_len = sum(int(r["old_len"] or 0) for r in tomb_rows)
+    n_docs = n_committed + res.n_docs - n_tomb
     delta_stats = spark.read.parquet(os.path.join(snap_dir, "stats")).first()
-    total_len = int(committed["total_len"]) + int(delta_stats["total_len"])
+    total_len = (int(committed["total_len"]) + int(delta_stats["total_len"])
+                 - tomb_len)
     dropped = int(committed["docs_dropped"]) + res.docs_dropped
     avgdl = (total_len / n_docs) if n_docs else 0.0
     shutil.rmtree(os.path.join(snap_dir, "stats"))
@@ -111,17 +182,52 @@ def build_incremental(
             "avgdl": [float(avgdl)],
             "docs_dropped": [dropped],
             "import_id": [cfg.import_id],
+            "next_doc_id": [next_id + res.n_docs],
+            "shard_range": [int(cfg.shard_range)],
         },
         schema=pa.schema(
             [("n_docs", pa.int64()), ("total_len", pa.int64()),
              ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
-             ("import_id", pa.string())]
+             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
+             ("shard_range", pa.int64())]
         ),
     )
 
     cat.commit(res.snapshot_id, [source_id], parent=parent)
     return BuildResult(res.snapshot_id, n_docs, res.n_postings_rows,
                        dropped, res.phase_secs)
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+) -> BuildResult:
+    """Rewrite the live corpus as a FRESH snapshot: tombstoned docs drop
+    out, doc_ids are re-assigned dense by url rank, per-term statistics
+    become exact again (the Iceberg rewrite_data_files / Lucene segment-
+    merge analogue). The result is bit-identical to a from-scratch build
+    over the live corpus — tested. History stays readable (old snapshots
+    keep their manifest entries); the new snapshot starts a fresh chain
+    (parent=None)."""
+    cfg = cfg or IndexConfig()
+    cat = IndexCatalog(index_dir)
+    parent = cat.current_snapshot()
+    live = cat.read(spark, "docs").join(
+        cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
+    )
+    pages = live.select(
+        "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    res = build_index(
+        spark, pages, index_dir,
+        IndexConfig(shard_range=cfg.shard_range, block_size=cfg.block_size,
+                    import_id=f"compact-{parent}"),
+        sources=[], commit=False,
+    )
+    cat.commit(res.snapshot_id, [], parent=None)
+    return res
 
 
 def run_dropzone_stream(
