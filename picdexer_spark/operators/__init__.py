@@ -1,3 +1,9 @@
-from picdexer_spark.operators import dashboards, similarity, textops
+from picdexer_spark.operators import (
+    dashboards,
+    geo,
+    multimodal,
+    similarity,
+    textops,
+)
 
-__all__ = ["dashboards", "textops", "similarity"]
+__all__ = ["dashboards", "geo", "multimodal", "similarity", "textops"]
