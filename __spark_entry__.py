@@ -407,6 +407,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: tx.token_counts(
         _tbl(s, d, "documents"), "doc_id", "text"
     )
+    def winnow_fps(s, d):
+        # explode_outer + post-filter, NOT explode: InferFiltersFromGenerate
+        # would add size(fps)>0 and predicate pushdown then inlines the
+        # whole per-window hash chain into the scan filter — re-creating
+        # the O(len^2) md5 blowup the operator's staged projection avoids
+        out = tx.winnow_fingerprints(
+            _tbl(s, d, "documents"), "doc_id", "text", k=8, window=6
+        ).select("id", F.explode_outer("fps").alias("fp"))
+        return out.filter(F.col("fp").isNotNull())
+    q["winnow_fps"] = winnow_fps
 
     # ---- similarity search ------------------------------------------------
     q["ann_cosine_topk"] = lambda s, d: sim.cosine_topk(
@@ -872,6 +882,29 @@ def oracle_sql() -> dict[str, str]:
 
     from picdexer_spark.operators.textops import BPE_PIECE_PATTERN
 
+    o["winnow_fps"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
+          FROM documents),
+        h AS MATERIALIZED (
+          -- MATERIALIZED: an inlined CTE would re-evaluate the O(len) md5
+          -- chain per window below (the same O(len^2) trap the Spark side
+          -- avoids by staging the hash array as a column)
+          SELECT doc_id,
+                 [('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT
+                  FOR i IN range(1, length(norm) - 8 + 2)] AS hashes
+          FROM t),
+        m AS (
+          SELECT doc_id, CASE
+            WHEN len(hashes) >= 6 THEN
+              [list_min(hashes[j:j+5]) FOR j IN range(1, len(hashes) - 6 + 2)]
+            WHEN len(hashes) > 0 THEN [list_min(hashes)]
+            ELSE [] END AS mins
+          FROM h)
+        SELECT doc_id AS id, unnest(list_sort(list_distinct(mins))) AS fp
+        FROM m
+    """
     o["token_counts"] = f"""
         SELECT doc_id,
                len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'),

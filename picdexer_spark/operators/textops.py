@@ -365,6 +365,56 @@ def lang_id_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, window: int = 6,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every char k-gram of the normalized text, slide a window of
+    ``window`` consecutive hashes, keep each window's MINIMUM — guaranteed
+    to share fingerprints with any document overlapping by >= k+window-1
+    chars. The standard local fingerprinting scheme for plagiarism/near-dup
+    detection at corpus scale.
+
+    All JVM array arithmetic (hash60 per k-gram, transform windows,
+    array_min) — no UDF; O(len * window) expression work per doc. Returns
+    (id, fps array<long> — sorted distinct selected hashes).
+    """
+    # normalization = the analyzer's view: lowercase, alnum runs joined by
+    # single spaces (whitespace/punct variations don't perturb k-grams)
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    n = F.length(norm)
+    # hashes[i] = hash60 of the k-gram at 1-based char position i; guarded:
+    # a sequence with stop < start is DESCENDING in Spark, never empty
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: hash60(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # MATERIALIZE the hash array as a column before windowing: referencing
+    # the hashes EXPRESSION inside the window transform would re-embed (and
+    # re-evaluate) the whole O(len) md5 chain per window — O(len^2) md5s
+    staged = df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
+    h = F.col("_h")
+    nh = F.size(h)
+    mins = (
+        F.when(
+            nh >= window,
+            F.transform(
+                F.sequence(F.lit(1), nh - window + 1),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            ),
+        )
+        .when(nh > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return staged.select(
+        "id", F.array_sort(F.array_distinct(mins)).alias("fps")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Document fingerprint: md5 over the k lexicographically-smallest
     distinct tokens (deterministic, locality-insensitive key for clustering;

@@ -177,3 +177,31 @@ def test_near_dup_survivors_greedy_smallest_id(spark):
     ).collect()}
     # 0 survives its clone cluster; 10 is unrelated and survives
     assert surv == {0, 10}
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    k+window-1 chars (after normalization) share at least one fingerprint;
+    unrelated docs share none (w.h.p.); short/empty/None texts yield empty
+    fingerprint sets without error."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight"),
+         (1, "INTRO! quick brown fox jumps over the lazy TAIL bits"),
+         (2, "completely unrelated words appear in this one thing"),
+         (3, "ab"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: set(r["fps"])
+            for r in tx.winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert rows[0] & rows[1], "overlapping docs must share a fingerprint"
+    assert not (rows[0] & rows[2])
+    assert rows[3] == set() and rows[4] == set() and rows[5] == set()
+    # punctuation/case robustness: normalization removes them entirely
+    df2 = spark.createDataFrame(
+        [(0, "Alpha, beta; GAMMA delta epsilon zeta eta theta"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    r2 = {r["id"]: set(r["fps"])
+          for r in tx.winnow_fingerprints(df2, "doc_id", "text").collect()}
+    assert r2[0] == r2[1]
