@@ -66,7 +66,10 @@ def _ensure_shipped(spark: SparkSession) -> None:
         f"picdexer_spark_pkg_u{os.getuid()}_{int(newest_src * 1000)}.zip",
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # atomic publish: a concurrent session must never observe (and
+        # addPyFile) a half-written zip; also sweep older stamps
+        tmp_path = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp_path, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fn in files:
                     if fn.endswith(".py"):
@@ -75,6 +78,17 @@ def _ensure_shipped(spark: SparkSession) -> None:
                             full, os.path.dirname(pkg_dir)
                         )
                         zf.write(full, rel)
+        os.replace(tmp_path, zip_path)
+        import glob
+
+        for old in glob.glob(os.path.join(
+            tempfile.gettempdir(), f"picdexer_spark_pkg_u{os.getuid()}_*.zip"
+        )):
+            if old != zip_path:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:

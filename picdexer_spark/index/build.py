@@ -123,15 +123,18 @@ def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
 def assign_doc_ids(
     df: DataFrame, url_col: str = "url", offset: int = 0,
     ok_col: str | None = None,
-) -> tuple[DataFrame, DataFrame, list, int]:
+) -> tuple[DataFrame, DataFrame, list, int, int]:
     """doc_id = `offset` + dense rank of url (lexicographic, UTF-8) over the
     KEPT rows (``ok_col`` true, when given); dropped rows never consume ids.
 
     Two-phase global rank: range-partition by url, rank within partition,
-    add per-partition offsets (computed from partition counts). Never a
-    single-partition window, never monotonically_increasing_id — the result
-    is a pure function of the kept-url SET, so it is stable across retries
-    and resumable (incremental builds pass offset = committed n_docs).
+    add per-partition offsets (computed from partition counts). The
+    in-partition position comes from monotonically_increasing_id's low 33
+    bits, which is safe HERE because it is evaluated after a deterministic
+    sortWithinPartitions(url) that re-runs identically on task retry — the
+    result is a pure function of the kept-url SET, so it is stable across
+    retries and resumable (incremental builds pass offset = committed
+    next_doc_id). Never a single-partition window.
 
     The single counting pass also harvests per-input-file row counts (the
     lineage table), the dropped-row total, and — when the input carries a

@@ -157,11 +157,14 @@ def resize_ppm_bytes(buf: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize of one binary PPM, pure index arithmetic
     (the reference resizes via ImageMagick subprocess,
     binary_resizer.go:35-49; here the kernel is in-process numpy)."""
-    w, h, px, _maxval = _decode_ppm(buf)
+    w, h, px, maxval = _decode_ppm(buf)
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     out = px[rows][:, cols]
-    return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+    # preserve the source maxval: pixel bytes are copied unchanged, so a
+    # hardcoded 255 header would silently rescale brightness for inputs
+    # with maxval != 255
+    return b"P6\n%d %d\n%d\n" % (width, height, maxval) + out.tobytes()
 
 
 def resize_media(

@@ -61,11 +61,14 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, p: acc + F.floor((F.length(p) + 3) / 4),
     )
+    # coalesce: NULL text must count as 0 everywhere (matches the oracle's
+    # coalesce — without it size(split(NULL)) yields NULL and the value
+    # gate diverges on the first NULL-text row)
     return df.select(
         F.col(id_col),
-        F.size(ws).cast("long").alias("n_ws"),
-        F.size(pieces).cast("long").alias("n_pieces"),
-        subwords.cast("long").alias("n_subwords"),
+        F.coalesce(F.size(ws).cast("long"), F.lit(0)).alias("n_ws"),
+        F.coalesce(F.size(pieces).cast("long"), F.lit(0)).alias("n_pieces"),
+        F.coalesce(subwords.cast("long"), F.lit(0)).alias("n_subwords"),
     )
 
 

@@ -28,6 +28,7 @@ import shutil
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from picdexer_spark.index.build import (
@@ -70,31 +71,44 @@ def build_incremental(
     if source_id in manifest["processed_sources"]:
         return None
     parent = manifest["current"]
-    if parent is None:
-        return build_index(spark, pages, index_dir, cfg, sources=[source_id])
-
-    committed = cat.committed_stats(spark)
-    n_committed = int(committed["n_docs"])
-    next_id = int(committed.get("next_doc_id") or n_committed)
 
     # extract once so content identity (text md5) is known BEFORE deciding
     # what to index; build_index re-runs extract on html=NULL rows, which
-    # keeps the already-extracted text byte-identically (the skip path)
+    # keeps the already-extracted text byte-identically (the skip path).
+    # Extraction FAILURES flow through (new_md5 NULL): they never tombstone
+    # or match, and build_index drops AND counts them (docs_dropped stays
+    # honest). In-batch url conflicts resolve LAST-WRITE-WINS by warc_ts
+    # (the ES index-by-id overwrite semantics), md5 as deterministic
+    # tie-break; failed rows lose to any successful extraction of the url.
     from picdexer_spark.index.build import extract_text
 
-    extracted = (
-        extract_text(pages)
-        .drop("html")
-        .filter(F.col("extract_ok"))
-        .withColumn("new_md5", F.md5("text"))
+    extracted = extract_text(pages).drop("html").withColumn(
+        "new_md5", F.md5("text")
     )
-    # deterministic in-batch url dedup: smallest (text_md5, warc_ts) wins
-    w = Window.partitionBy("url").orderBy("new_md5", "warc_ts")
+    w = Window.partitionBy("url").orderBy(
+        F.desc("extract_ok"), F.desc("warc_ts"), F.asc("new_md5")
+    )
     extracted = (
         extracted.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+    if parent is None:
+        fresh_pages = extracted.select(
+            "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
+            "text", "lang",
+        )
+        return build_index(spark, fresh_pages, index_dir, cfg,
+                           sources=[source_id])
+
+    committed = cat.committed_stats(spark)
+    n_committed = int(committed["n_docs"])
+    next_id = int(committed.get("next_doc_id") or n_committed)
+    # the shard layout is a property of the INDEX, not of this batch's cfg:
+    # tombstone-to-shard mapping and delta blocks must agree with the
+    # committed chain or deleted docs would silently resurface
+    shard_range = int(committed.get("shard_range") or cfg.shard_range)
 
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
@@ -105,13 +119,20 @@ def build_incremental(
         F.col("doc_id").alias("old_doc_id"),
         F.col("doc_len").alias("old_len"),
     )
-    joined = extracted.join(existing, "url", "left")
+    # persist: both the tombstone collect and the delta build consume this
+    # (without it the extract + dedup + doc-store join pipeline runs twice)
+    joined = extracted.join(existing, "url", "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     fresh = joined.filter(
-        F.col("old_md5").isNull() | (F.col("new_md5") != F.col("old_md5"))
+        F.col("old_md5").isNull()
+        | F.col("new_md5").isNull()
+        | (F.col("new_md5") != F.col("old_md5"))
     )
     tomb_rows = (
         joined.filter(
             F.col("old_md5").isNotNull()
+            & F.col("new_md5").isNotNull()
             & (F.col("new_md5") != F.col("old_md5"))
         )
         .select("old_doc_id", "old_len")
@@ -123,7 +144,7 @@ def build_incremental(
     )
 
     delta_cfg = IndexConfig(
-        shard_range=cfg.shard_range,
+        shard_range=shard_range,
         block_size=cfg.block_size,
         import_id=cfg.import_id,
         id_offset=next_id,
@@ -134,6 +155,7 @@ def build_incremental(
         spark, fresh_pages, index_dir, delta_cfg, sources=[source_id],
         commit=False,
     )
+    joined.unpersist()
     snap_dir = os.path.join(index_dir, "snapshots", res.snapshot_id)
 
     if tomb_rows:
@@ -183,7 +205,7 @@ def build_incremental(
             "docs_dropped": [dropped],
             "import_id": [cfg.import_id],
             "next_doc_id": [next_id + res.n_docs],
-            "shard_range": [int(cfg.shard_range)],
+            "shard_range": [shard_range],
         },
         schema=pa.schema(
             [("n_docs", pa.int64()), ("total_len", pa.int64()),
@@ -210,9 +232,13 @@ def compact(
     over the live corpus — tested. History stays readable (old snapshots
     keep their manifest entries); the new snapshot starts a fresh chain
     (parent=None)."""
-    cfg = cfg or IndexConfig()
     cat = IndexCatalog(index_dir)
     parent = cat.current_snapshot()
+    committed = cat.committed_stats(spark) or {}
+    if cfg is None:
+        cfg = IndexConfig(
+            shard_range=int(committed.get("shard_range") or IndexConfig().shard_range)
+        )
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
     )

@@ -106,3 +106,18 @@ def test_frame_sample_fanout(media_df):
         assert all(9 <= len(x["frame"]) <= 17 for x in rs)
         if rid != 8:  # id 8's payload is only 10 bytes
             assert all(len(x["frame"]) == 17 for x in rs)
+
+
+def test_resize_preserves_maxval(spark):
+    """Resizing must emit the SOURCE maxval (pixels are copied unchanged;
+    a hardcoded 255 header would silently rescale brightness)."""
+    buf = b"P6\n4 4\n100\n" + bytes([100] * 48)
+    df = spark.createDataFrame([(0, buf)], "id long, media binary")
+    out = mm.resize_media(df, "id", "media", 2, 2).first()
+    w, h, px, maxval = mm._decode_ppm(bytes(out["media"]))
+    assert (w, h, maxval) == (2, 2, 100) and (px == 100).all()
+    # luma stays 1.0 through the round trip
+    feats = mm.extract_media_features(
+        mm.resize_media(df, "id", "media", 2, 2), "id", "media"
+    ).first()
+    assert feats["mean_luma"] == 1.0

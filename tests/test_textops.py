@@ -205,3 +205,11 @@ def test_winnow_fingerprints(spark):
     r2 = {r["id"]: set(r["fps"])
           for r in tx.winnow_fingerprints(df2, "doc_id", "text").collect()}
     assert r2[0] == r2[1]
+
+
+def test_token_counts_null_text(spark):
+    df = spark.createDataFrame([(0, None), (1, "two words")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.token_counts(df, "doc_id", "text").collect()}
+    assert (got[0]["n_ws"], got[0]["n_pieces"], got[0]["n_subwords"]) == (0, 0, 0)
+    assert got[1]["n_ws"] == 2

@@ -139,3 +139,54 @@ def test_compact_equals_fresh_build(spark, upserted, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in exp], terms
         for (gd, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_first_batch_inbatch_url_dedup(spark, tmp_path):
+    """Duplicate urls inside the FIRST batch must collapse to one live doc
+    (previously the parent-None path bypassed dedup and every later upsert
+    of that url fanned out over the duplicates)."""
+    idx = str(tmp_path / "dup0")
+    rows = [("u1", "version one text"), ("u1", "version one text"),
+            ("u2", "other doc")]
+    r1 = build_incremental(spark, _pages(spark, rows), idx, CFG, "s1")
+    assert r1.n_docs == 2
+    # upsert u1 once: exactly one tombstone, one replacement
+    r2 = build_incremental(
+        spark, _pages(spark, [("u1", "version two text")]), idx, CFG, "s2"
+    )
+    assert r2.n_docs == 2
+    assert IndexCatalog(idx).read(spark, "deletes").count() == 1
+
+
+def test_inbatch_conflict_last_write_wins(spark, tmp_path):
+    """Two versions of a url in ONE batch: the later warc_ts wins (the ES
+    index-by-id overwrite semantics), not the smaller md5."""
+    idx = str(tmp_path / "lww")
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1, 10, 0), None, "older version words", "en"),
+         ("u1", dt.datetime(2024, 1, 1, 10, 5), None, "newest version words", "en")],
+        PAGES_SCHEMA,
+    )
+    build_incremental(spark, pages, idx, CFG, "s1")
+    eng = SearchEngine(spark, idx)
+    assert eng.search_topk(["newest"], "disjunctive", 5) != []
+    assert eng.search_topk(["older"], "disjunctive", 5) == []
+
+
+def test_upsert_respects_committed_shard_range(spark, tmp_path):
+    """A delta batch built with a DIFFERENT cfg.shard_range must still map
+    tombstones to the committed index's shard layout (otherwise deleted
+    docs resurface in shards the filter never sees)."""
+    idx = str(tmp_path / "sr")
+    base = [(f"u{i:03d}", f"doc number{i} words") for i in range(200)]
+    build_incremental(spark, _pages(spark, base), idx,
+                      IndexConfig(shard_range=64), "s1")
+    # upsert with a mismatched shard_range in cfg: doc u150 (doc_id 150,
+    # shard 2 under range 64) gets new content
+    build_incremental(
+        spark, _pages(spark, [("u150", "replacement uniqword here")]),
+        idx, IndexConfig(shard_range=1 << 20), "s2",
+    )
+    eng = SearchEngine(spark, idx)
+    assert eng.search_topk(["number150"], "disjunctive", 5) == []
+    assert len(eng.search_topk(["uniqword"], "disjunctive", 5)) == 1
