@@ -237,11 +237,36 @@ def score_disjunctive(
     k: int,
     prune: bool = True,
 ):
-    """Exact disjunctive (OR) top-k with block-max segment pruning."""
+    """Exact disjunctive (OR) top-k.
+
+    prune=True: block-max segment pruning (doc-range segments whose summed
+    ub cannot beat the running kth score are skipped — wins whenever term
+    ubs are skewed, e.g. rare∨head). prune=False: vectorized BULK scoring —
+    decode every block once, one np.unique merge, one score pass; no
+    segment bookkeeping at all (faster when nothing is prunable, e.g.
+    head-only queries where every segment's ub beats any kth score).
+    Both paths are exact and bit-identical (tested).
+    """
     asc = [t for t in sorted(terms) if t in blocks and blocks[t].n_blocks() > 0]
     empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
     if not asc:
         return empty
+
+    if not prune:
+        parts = []
+        for t in asc:
+            tb = blocks[t]
+            ids, tfs, dls = tb.decode_many(np.arange(tb.n_blocks()))
+            if ids.size:
+                parts.append((t, ids, tfs, dls))
+        if not parts:
+            return empty
+        all_ids = np.unique(np.concatenate([p[1] for p in parts]))
+        scores = np.zeros(all_ids.size, np.float64)
+        for t, ids, tfs, dls in parts:  # asc term order (pinned summation)
+            pos = np.searchsorted(all_ids, ids)
+            scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+        return _topk(all_ids.astype(np.int64), scores, k)
 
     # segment sweep: doc-id space cut at every block boundary; per segment,
     # sum of overlapping block UBs = max achievable score there

@@ -158,12 +158,28 @@ class IndexCatalog:
             return spark.read.parquet(*paths)
         return spark.read.parquet(self.table_path(table, snapshot_id))
 
+    def read_live_docs(self, spark: SparkSession,
+                       snapshot_id: str | None = None) -> DataFrame:
+        """The doc store minus tombstoned rows — what a user means by
+        'the documents' after upserts."""
+        docs = self.read(spark, "docs", snapshot_id)
+        dels = self.read(spark, "deletes", snapshot_id).select("doc_id")
+        return docs.join(dels, "doc_id", "left_anti")
+
     def register_views(self, spark: SparkSession,
                        snapshot_id: str | None = None) -> None:
-        """CREATE OR REPLACE VIEW analogue for the engine tables."""
+        """CREATE OR REPLACE VIEW analogue for the engine tables.
+
+        `docs` is the LIVE view (tombstones filtered — dashboards over a
+        post-upsert index must not count superseded versions); the raw
+        chain including tombstoned rows is exposed as `docs_all`."""
         for t in TABLES:
             try:
-                self.read(spark, t, snapshot_id).createOrReplaceTempView(t)
+                df = self.read(spark, t, snapshot_id)
+                if t == "docs":
+                    df.createOrReplaceTempView("docs_all")
+                    df = self.read_live_docs(spark, snapshot_id)
+                df.createOrReplaceTempView(t)
             except Exception:
                 pass  # table absent in this snapshot chain
 

@@ -190,3 +190,14 @@ def test_upsert_respects_committed_shard_range(spark, tmp_path):
     eng = SearchEngine(spark, idx)
     assert eng.search_topk(["number150"], "disjunctive", 5) == []
     assert len(eng.search_topk(["uniqword"], "disjunctive", 5)) == 1
+
+
+def test_dashboard_views_count_live_docs_only(spark, upserted):
+    """register_views must expose `docs` as the LIVE set: a doc-count
+    dashboard over a post-upsert index must not count superseded versions
+    (raw chain stays available as `docs_all`)."""
+    idx, _, _ = upserted
+    cat = IndexCatalog(idx)
+    cat.install_dashboards(spark)
+    assert spark.sql("SELECT n FROM dash_doc_count").first()["n"] == 150
+    assert spark.sql("SELECT count(*) AS n FROM docs_all").first()["n"] == 160
