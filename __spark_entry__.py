@@ -119,6 +119,7 @@ CONJ_TERMS = ["dup", "spark"]
 TF_TERMS = ["spark", "dup", "batch"]
 QSTRING = "Batch, OR vector OR spark"  # analyzes to [batch, vector, spark]
 QSTRING_TERMS = ["batch", "vector", "spark"]
+PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
 
@@ -179,7 +180,8 @@ def _get_index(spark: SparkSession, sf_dir: str) -> str:
     pages = _documents_as_pages(spark, sf_dir)
     res = build_index(
         spark, pages, index_dir,
-        IndexConfig(shard_range=1 << 20, import_id=f"entry-{os.path.basename(key)}"),
+        IndexConfig(shard_range=1 << 20, store_positions=True,
+                    import_id=f"entry-{os.path.basename(key)}"),
     )
     if res.docs_dropped:
         # a dropped row would shift url-rank doc_ids off the source doc_ids
@@ -224,6 +226,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_querystring"] = bm25_querystring
+
+    def bm25_phrase(s, d):
+        # Lucene match_phrase over the positional index (the quoted-phrase
+        # path of the discover box: '"part filter"')
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search(PHRASE, "phrase", 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_phrase"] = bm25_phrase
 
     def tf_pairs(s, d):
         docs = _tbl(s, d, "documents")
@@ -475,6 +485,38 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_querystring"] = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(QSTRING_TERMS), conj_filter="", k=10
     )
+    phrase_str = " ".join(PHRASE)
+    o["bm25_phrase"] = f'''
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tdf AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(toks) AS term FROM tok)
+          WHERE term IN ({sql_terms(PHRASE)}) GROUP BY term),
+        idfs AS (
+          SELECT sum(ln(1 + (st.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))) AS idf_sum
+          FROM tdf CROSS JOIN st),
+        pf AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   [array_to_string(toks[i:i+{len(PHRASE) - 1}], ' ')
+                    FOR i IN range(1, len(toks) - {len(PHRASE) - 2})],
+                   g -> g = '{phrase_str}')) AS ptf
+          FROM tok),
+        scored AS (
+          SELECT pf.doc_id,
+                 idfs.idf_sum * (pf.ptf * 2.2)
+                 / (pf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                    / (st.total_len::double / st.n_docs))) AS s
+          FROM pf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs
+          WHERE pf.ptf > 0)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    '''
     o["tf_pairs"] = f"""
         SELECT doc_id, term, count(*) AS tf FROM (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

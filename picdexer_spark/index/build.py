@@ -77,6 +77,10 @@ class IndexConfig:
     block_size: int = BLOCK_SIZE
     import_id: str = "import-0"
     id_offset: int = 0  # starting doc_id (incremental builds append)
+    #: store token positions in the posting blocks (the Lucene proximity
+    #: data) — enables phrase queries; costs extra shuffle volume + index
+    #: bytes (roughly the corpus token count in varints), so it is opt-in
+    store_positions: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -237,6 +241,7 @@ def _make_partition_encoder(block_size: int):
     cols = [
         "term", "shard_id", "block_no", "first_doc", "last_doc", "n",
         "max_tf", "min_dl", "sum_tf", "doc_ids_enc", "tfs_enc", "dls_enc",
+        "pos_enc",
     ]
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -245,12 +250,17 @@ def _make_partition_encoder(block_size: int):
         ids = pdf["doc_id"].to_numpy(np.uint64)
         tfs = pdf["tf"].to_numpy(np.uint64)
         dls = pdf["dl"].to_numpy(np.uint64)
+        poss = (pdf["positions"].to_numpy(dtype=object)
+                if "positions" in pdf.columns else None)
         change = np.flatnonzero((term[1:] != term[:-1]) | (shard[1:] != shard[:-1]))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [term.size]))
         out = {c: [] for c in cols}
         for s, e in zip(starts, ends):
-            for b in encode_blocks(ids[s:e], tfs[s:e], dls[s:e], block_size):
+            for b in encode_blocks(
+                ids[s:e], tfs[s:e], dls[s:e], block_size,
+                positions=poss[s:e] if poss is not None else None,
+            ):
                 out["term"].append(term[s])
                 out["shard_id"].append(int(shard[s]))
                 for k, v in b.items():
@@ -292,8 +302,9 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select(*cols).mapInPandas(extract_pages_batches, out_schema)
 
 
-def tf_stream(docs: DataFrame, shard_range: int | None = None) -> DataFrame:
-    """Stage C: (term, doc_id, tf, dl) — all JVM.
+def tf_stream(docs: DataFrame, shard_range: int | None = None,
+              with_positions: bool = False) -> DataFrame:
+    """Stage C: (term, doc_id, tf, dl[, positions]) — all JVM.
 
     With ``shard_range`` given, the token stream is hash-partitioned by
     (term, shard_id) ONCE and the tf aggregation runs on that partitioning:
@@ -306,17 +317,34 @@ def tf_stream(docs: DataFrame, shard_range: int | None = None) -> DataFrame:
     WITHIN one document, avg tf ≈ 1.3, while the second exchange re-moved
     every distinct posting. Measured 21% faster at 8 cores.)
     """
-    toks = docs.select(
-        "doc_id", F.col("doc_len").alias("dl"),
-        F.explode(tokens_col("text")).alias("term"),
-    )
+    if with_positions:
+        # posexplode: position = token ordinal in the analyzed stream (the
+        # Lucene proximity data); positions aggregate to a sorted list per
+        # posting — tf is its size, no separate count
+        toks = docs.select(
+            "doc_id", F.col("doc_len").alias("dl"),
+            F.posexplode(tokens_col("text")).alias("pos", "term"),
+        )
+        aggs = [
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        ]
+        post = lambda df: df.withColumn(  # noqa: E731
+            "tf", F.size("positions").cast("long")
+        )
+    else:
+        toks = docs.select(
+            "doc_id", F.col("doc_len").alias("dl"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        aggs = [F.count("*").alias("tf")]
+        post = lambda df: df  # noqa: E731
     if shard_range is None:
-        return toks.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+        return post(toks.groupBy("term", "doc_id", "dl").agg(*aggs))
     toks = toks.withColumn("shard_id", F.expr(f"doc_id div {shard_range}"))
-    return (
+    return post(
         toks.repartition("term", "shard_id")
         .groupBy("term", "shard_id", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
+        .agg(*aggs)
     )
 
 
@@ -386,7 +414,7 @@ def build_index(
     # each hash partition, and a parquet BLOOM FILTER on `term` gives the
     # query path its `term IN (...)` row-group pruning instead of global
     # range layout. salt = doc-range shard defuses head-term skew.
-    tf = tf_stream(docs_written, cfg.shard_range)
+    tf = tf_stream(docs_written, cfg.shard_range, cfg.store_positions)
     postings = (
         tf.sortWithinPartitions("term", "shard_id", "doc_id")
         .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
@@ -474,12 +502,13 @@ def build_index(
             # incremental appends offset from here, never from n_docs
             "next_doc_id": [int(cfg.id_offset + n_docs)],
             "shard_range": [int(cfg.shard_range)],
+            "positions": [bool(cfg.store_positions)],
         },
         schema=pa.schema(
             [("n_docs", pa.int64()), ("total_len", pa.int64()),
              ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
              ("import_id", pa.string()), ("next_doc_id", pa.int64()),
-             ("shard_range", pa.int64())]
+             ("shard_range", pa.int64()), ("positions", pa.bool_())]
         ),
     )
 

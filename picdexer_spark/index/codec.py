@@ -27,6 +27,15 @@ Format per posting block (one DataFrame row in the `postings` table):
 doc_ids are encoded as: first value stored as delta vs `first_doc` (i.e. 0),
 subsequent values as gaps minus 1 (gaps are >= 1 in a strictly-increasing
 run), which shaves a byte exactly at the varint 128/16384 boundaries.
+
+Optional positional payload (`pos_enc` binary, NULL when the index is built
+without positions): one varint stream holding the per-posting position
+COUNTS (n values — n is known from block metadata) followed by every
+posting's positions delta-encoded (first raw, then gap-1), concatenated in
+posting order. Encoding and decoding are fully vectorized including the
+per-posting cumsum reset (the segmented-cumsum trick). Positions are token
+ordinals from the analyzer (0-based), what phrase adjacency checks consume
+— the Lucene proximity-data analogue.
 """
 
 from __future__ import annotations
@@ -109,17 +118,61 @@ def delta_decode(deltas: np.ndarray, base: int) -> np.ndarray:
     return np.cumsum(out, dtype=np.uint64)
 
 
+def encode_positions(flat_pos: np.ndarray, lens: np.ndarray) -> bytes:
+    """Encode per-posting position lists (flat values + per-posting counts).
+
+    Stream layout: varint(lens) ++ varint(deltas) where each posting's
+    positions are (first raw, then gap-1). Fully vectorized.
+    """
+    lens = np.ascontiguousarray(lens, np.uint64)
+    flat = np.ascontiguousarray(flat_pos, np.uint64)
+    if flat.size == 0:
+        return varint_encode(lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+    starts = starts[lens > 0]
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    d[1:] = flat[1:] - flat[:-1] - np.uint64(1)
+    d[starts] = flat[starts]
+    return varint_encode(lens) + varint_encode(d)
+
+
+def decode_positions(buf: bytes, n_postings: int):
+    """Inverse of :func:`encode_positions` -> (lens int64, flat uint64).
+
+    Per-posting slices are flat[starts[i] : starts[i] + lens[i]] with
+    starts = cumsum-exclusive(lens). Segmented delta-decode is vectorized
+    (global cumsum minus per-segment base)."""
+    vals = varint_decode(buf)
+    lens = vals[:n_postings].astype(np.int64)
+    d = vals[n_postings:]
+    if d.size == 0:
+        return lens, np.zeros(0, np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    starts = starts[lens > 0]
+    adj = d + np.uint64(1)
+    adj[starts] = d[starts]
+    c = np.cumsum(adj, dtype=np.uint64)
+    seg_base = (c[starts] - adj[starts]).astype(np.uint64)
+    nz_lens = lens[lens > 0]
+    flat = c - np.repeat(seg_base, nz_lens)
+    return lens, flat
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: list | None = None,
 ) -> list[dict]:
     """Chop one sorted posting run into encoded blocks.
 
     ``doc_ids`` must be strictly increasing; ``tfs``/``doc_lens`` aligned.
-    Returns a list of plain dicts matching the postings-table row schema
-    (minus term/shard, which the caller owns).
+    ``positions``: optional per-posting position arrays (same length as
+    doc_ids) — encoded into pos_enc; NULL otherwise. Returns a list of
+    plain dicts matching the postings-table row schema (minus term/shard,
+    which the caller owns).
     """
     n = doc_ids.size
     blocks: list[dict] = []
@@ -129,6 +182,15 @@ def encode_blocks(
         btf = np.ascontiguousarray(tfs[b0:b1], dtype=np.uint64)
         bdl = np.ascontiguousarray(doc_lens[b0:b1], dtype=np.uint64)
         first = int(ids[0])
+        if positions is not None:
+            plists = positions[b0:b1]
+            lens = np.fromiter((len(p) for p in plists), np.int64,
+                               count=len(plists))
+            flat = (np.concatenate([np.asarray(p, np.uint64) for p in plists])
+                    if lens.sum() else np.zeros(0, np.uint64))
+            pos_enc = encode_positions(flat, lens)
+        else:
+            pos_enc = None
         blocks.append(
             {
                 "block_no": b0 // block_size,
@@ -141,6 +203,7 @@ def encode_blocks(
                 "doc_ids_enc": varint_encode(delta_encode(ids, first)),
                 "tfs_enc": varint_encode(btf - np.uint64(1)),
                 "dls_enc": varint_encode(bdl),
+                "pos_enc": pos_enc,
             }
         )
     return blocks

@@ -34,7 +34,10 @@ class OracleIndex:
     def __init__(self, docs: list[tuple[int, str]]):
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
+        self.tokens: dict[int, list[str]] = {}
         for doc_id, text in docs:
+            toks = tokenize_py(text or "")
+            self.tokens[doc_id] = toks
             tfs = term_freqs_py(text or "")
             self.doc_len[doc_id] = sum(tfs.values())
             for term, tf in tfs.items():
@@ -88,6 +91,30 @@ class OracleIndex:
             for t in uniq:  # ascending term order — pinned summation order
                 s += self.score_one(t, d)
             scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def search_phrase(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Lucene match_phrase (slop 0) oracle, spec pinned for the engine:
+        phrase_tf = exact-adjacency occurrence count; score =
+        (sum of idf over phrase term OCCURRENCES, duplicates counted) *
+        ptf*(k1+1) / (ptf + k1*(1-b+b*dl/avgdl)); docs with ptf >= 1."""
+        if not terms:
+            return []
+        m = len(terms)
+        idf_sum = sum(self.idf(t) for t in terms)
+        scored = []
+        for d, toks in self.tokens.items():
+            ptf = sum(
+                1 for i in range(len(toks) - m + 1)
+                if toks[i:i + m] == terms
+            )
+            if ptf:
+                dl = self.doc_len[d]
+                s = (idf_sum * (ptf * (K1 + 1.0))
+                     / (ptf + K1 * (1.0 - B + B * dl / self.avgdl)))
+                scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 

@@ -36,6 +36,7 @@ from picdexer_spark.query.wand import (
     TermBlocks,
     score_conjunctive,
     score_disjunctive,
+    score_phrase,
 )
 from picdexer_spark.sources.catalog import IndexCatalog
 
@@ -59,7 +60,8 @@ def _filter_deleted(ids, scores, dels, k):
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
                        deleted_by_shard=None):
-    asc = sorted(terms)
+    asc = sorted(set(terms))
+    ordered = list(terms)  # phrase mode needs the original order
     deleted_by_shard = deleted_by_shard or {}
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -71,12 +73,18 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
                 g["max_tf"].to_numpy(np.int64),
                 g["min_dl"].to_numpy(np.int64),
                 list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
+                pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns
+                         else None),
             )
         dels = deleted_by_shard.get(int(pdf["shard_id"].iat[0]))
         k_eff = k + (dels.size if dels is not None else 0)
         if mode == "conjunctive":
             ids, scores = score_conjunctive(
                 asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
+            )
+        elif mode == "phrase":
+            ids, scores = score_phrase(
+                ordered, blocks, idf_map, K1, B, avgdl, k_eff
             )
         else:
             ids, scores = score_disjunctive(
@@ -153,14 +161,20 @@ class SearchEngine:
         k: int = 10,
         prune: bool = True,
     ) -> DataFrame:
-        """Top-k (doc_id, score), globally ordered (score desc, doc_id asc)."""
-        if mode not in ("conjunctive", "disjunctive"):
+        """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
+
+        mode "phrase": `terms` is the phrase IN ORDER; docs must contain
+        the exact adjacent sequence (Lucene match_phrase, slop 0 — needs an
+        index built with store_positions=True)."""
+        if mode not in ("conjunctive", "disjunctive", "phrase"):
             raise ValueError(f"unknown mode {mode!r}")
         uniq = sorted(set(terms))
         if not uniq:
             return self._empty()
         dfs = self.term_dfs(uniq)
-        if mode == "conjunctive" and any(t not in dfs for t in uniq):
+        if mode in ("conjunctive", "phrase") and any(
+            t not in dfs for t in uniq
+        ):
             return self._empty()  # a required term matches nothing
         present = [t for t in uniq if t in dfs]
         if not present:
@@ -168,8 +182,10 @@ class SearchEngine:
         idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
 
         cand = self.postings.filter(F.col("term").isin(present))
-        scorer = _make_shard_scorer(present, idf_map, k, mode, self.avgdl,
-                                    prune, self._deleted_by_shard)
+        scorer_terms = list(terms) if mode == "phrase" else present
+        scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
+                                    self.avgdl, prune,
+                                    self._deleted_by_shard)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

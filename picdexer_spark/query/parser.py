@@ -32,6 +32,15 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
         raise ValueError(
             "unsupported query-string construct (parentheses/field qualifier)"
         )
+    stripped = q.strip()
+    if '"' in stripped:
+        # kuery quoted phrase: the WHOLE query must be one quoted phrase
+        # (mixing phrases with bare terms is outside the supported subset —
+        # refuse rather than silently degrade a phrase to OR terms)
+        if (stripped.startswith('"') and stripped.endswith('"')
+                and '"' not in stripped[1:-1] and len(stripped) >= 2):
+            return tokenize_py(stripped[1:-1]), "phrase"
+        raise ValueError("quotes are only supported as one whole-query phrase")
     raw = q.split()
     ops = {w.upper() for w in raw if w.upper() in _OPS}
     if ops == {"AND"}:

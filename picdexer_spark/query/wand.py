@@ -61,16 +61,49 @@ def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 class TermBlocks:
     """All posting blocks of one term within the scoring group, decoded lazily."""
 
-    __slots__ = ("first", "last", "max_tf", "min_dl", "enc", "_cache")
+    __slots__ = ("first", "last", "max_tf", "min_dl", "enc", "pos_enc",
+                 "_cache")
 
-    def __init__(self, first, last, max_tf, min_dl, enc):
+    def __init__(self, first, last, max_tf, min_dl, enc, pos_enc=None):
         order = np.argsort(first, kind="stable")
         self.first = np.asarray(first, np.int64)[order]
         self.last = np.asarray(last, np.int64)[order]
         self.max_tf = np.asarray(max_tf, np.int64)[order]
         self.min_dl = np.asarray(min_dl, np.int64)[order]
         self.enc = [enc[i] for i in order]
+        self.pos_enc = [pos_enc[i] for i in order] if pos_enc is not None else None
         self._cache: dict[int, tuple] = {}
+
+    def positions_for(self, doc_ids: np.ndarray) -> dict[int, np.ndarray]:
+        """doc_id -> positions array, decoding only blocks containing the
+        requested (sorted) doc ids. Requires an index built with
+        store_positions=True."""
+        from picdexer_spark.index.codec import decode_positions
+
+        if self.pos_enc is None:
+            raise ValueError("postings carry no positions")
+        out: dict[int, np.ndarray] = {}
+        if doc_ids.size == 0 or self.n_blocks() == 0:
+            return out
+        need = np.unique(
+            np.clip(
+                np.searchsorted(self.first, doc_ids.astype(np.int64),
+                                side="right") - 1,
+                0, self.n_blocks() - 1,
+            )
+        )
+        want = set(int(x) for x in doc_ids.tolist())
+        for bi in need:
+            buf = self.pos_enc[int(bi)]
+            if buf is None:
+                raise ValueError("postings carry no positions")
+            ids, _tfs, _dls = self.decode(int(bi))
+            lens, flat = decode_positions(bytes(buf), ids.size)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            for i, d in enumerate(ids.tolist()):
+                if d in want:
+                    out[int(d)] = flat[starts[i]:starts[i] + lens[i]]
+        return out
 
     def n_blocks(self) -> int:
         return self.first.size
@@ -331,3 +364,73 @@ def score_disjunctive(
             kth = _topk(top_ids, top_scores, k)[1]
             theta = kth[-1] if kth.size >= k else -np.inf
     return _topk(top_ids, top_scores, k)
+
+
+def score_phrase(
+    terms: list[str],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+):
+    """Exact phrase (match_phrase) top-k within one scoring group.
+
+    Lucene PhraseQuery semantics, pinned for the oracle:
+    - candidates = docs containing ALL phrase terms (conjunction);
+    - phrase_tf = number of positions p where term_j occurs at p+j for
+      every j (exact adjacency, slop 0);
+    - score = (sum of idf over the phrase's term OCCURRENCES, duplicates
+      counted) * (ptf*(k1+1)) / (ptf + k1*(1-b+b*dl/avgdl)), docs with
+      ptf >= 1 only. Requires an index built with store_positions=True.
+
+    `terms` is the phrase IN ORDER (not deduped, not sorted).
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    uniq = sorted(set(terms))
+    if any(t not in blocks or blocks[t].n_blocks() == 0 for t in uniq):
+        return empty
+    # conjunction candidates + per-doc dl via bulk decode of the rarest term
+    sizes = {t: int(blocks[t].last.size) for t in uniq}
+    driver = min(uniq, key=lambda t: (sizes[t], t))
+    tb = blocks[driver]
+    cand, _tf, cand_dl = tb.decode_many(np.arange(tb.n_blocks()))
+    mask = np.ones(cand.size, bool)
+    for t in uniq:
+        if t == driver:
+            continue
+        _tfs, _dls, hit = blocks[t].lookup(cand)
+        mask &= hit
+        if not mask.any():
+            return empty
+    cand = cand[mask]
+    cand_dl = cand_dl[mask]
+    if cand.size == 0:
+        return empty
+
+    # positions only for surviving candidates; adjacency check per doc
+    pos_by_term = {t: blocks[t].positions_for(cand) for t in uniq}
+    idf_sum = float(sum(idf[t] for t in terms))  # occurrences, dups counted
+    out_ids, out_ptf, out_dl = [], [], []
+    for i, d in enumerate(cand.tolist()):
+        matches = pos_by_term[terms[0]][int(d)].astype(np.int64)
+        for j, t in enumerate(terms[1:], 1):
+            if matches.size == 0:
+                break
+            matches = matches[np.isin(
+                matches + j, pos_by_term[t][int(d)].astype(np.int64)
+            )]
+        if matches.size:
+            out_ids.append(int(d))
+            out_ptf.append(matches.size)
+            out_dl.append(int(cand_dl[i]))
+    if not out_ids:
+        return empty
+    ids = np.asarray(out_ids, np.int64)
+    ptf = np.asarray(out_ptf, np.float64)
+    dl = np.asarray(out_dl, np.float64)
+    scores = idf_sum * (ptf * (k1 + 1.0)) / (
+        ptf + k1 * (1.0 - b + b * dl / avgdl)
+    )
+    return _topk(ids, scores, k)

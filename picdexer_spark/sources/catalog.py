@@ -53,7 +53,7 @@ DELETES_SCHEMA = "doc_id long, reason string, snapshot_id string"
 POSTINGS_SCHEMA = (
     "term string, shard_id long, block_no int, first_doc long, last_doc long,"
     " n int, max_tf long, min_dl long, sum_tf long,"
-    " doc_ids_enc binary, tfs_enc binary, dls_enc binary"
+    " doc_ids_enc binary, tfs_enc binary, dls_enc binary, pos_enc binary"
 )
 
 DOCS_SCHEMA = (

@@ -143,11 +143,13 @@ def build_incremental(
         "text", "lang",
     )
 
+    store_pos = bool(committed.get("positions") or False)
     delta_cfg = IndexConfig(
         shard_range=shard_range,
         block_size=cfg.block_size,
         import_id=cfg.import_id,
         id_offset=next_id,
+        store_positions=store_pos,
     )
     # write the delta snapshot WITHOUT committing, patch in whole-index
     # stats + tombstones, then commit atomically with the parent pointer
@@ -206,12 +208,13 @@ def build_incremental(
             "import_id": [cfg.import_id],
             "next_doc_id": [next_id + res.n_docs],
             "shard_range": [shard_range],
+            "positions": [store_pos],
         },
         schema=pa.schema(
             [("n_docs", pa.int64()), ("total_len", pa.int64()),
              ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
              ("import_id", pa.string()), ("next_doc_id", pa.int64()),
-             ("shard_range", pa.int64())]
+             ("shard_range", pa.int64()), ("positions", pa.bool_())]
         ),
     )
 
@@ -237,7 +240,8 @@ def compact(
     committed = cat.committed_stats(spark) or {}
     if cfg is None:
         cfg = IndexConfig(
-            shard_range=int(committed.get("shard_range") or IndexConfig().shard_range)
+            shard_range=int(committed.get("shard_range") or IndexConfig().shard_range),
+            store_positions=bool(committed.get("positions") or False),
         )
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
@@ -249,7 +253,8 @@ def compact(
     res = build_index(
         spark, pages, index_dir,
         IndexConfig(shard_range=cfg.shard_range, block_size=cfg.block_size,
-                    import_id=f"compact-{parent}"),
+                    import_id=f"compact-{parent}",
+                    store_positions=cfg.store_positions),
         sources=[], commit=False,
     )
     cat.commit(res.snapshot_id, [], parent=None)
