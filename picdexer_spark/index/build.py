@@ -16,20 +16,22 @@ cmd/assemble.go:98-162) fused with the index build its ES deployment performs:
                        pass yields lineage per input file and the dropped-row
                        total. Docs come out doc_id-ordered and are written
                        without further exchange.
-  stage C  tokenize    JVM-side split tokenizer + explode + partial-agg
-                       groupBy -> (term, doc_id, tf, dl); stays inside
-                       whole-stage codegen, map-side combine collapses to
-                       distinct postings before any shuffle
-  stage D  postings    ONE hash exchange on (term, salt) + sort-within +
-                       mapInPandas encoder -> delta+varint blocks with
-                       block-max metadata, parquet bloom filter on term for
-                       query pruning. salt = doc_id div shard_range:
-                       EXPLICIT SALTING of head terms — Zipf head terms
-                       ("the") split into bounded doc-range sub-groups so no
-                       reducer sees more than shard_range postings for one
-                       term; because salts are contiguous doc ranges, the
-                       global posting list is the concatenation of salted
-                       runs (no re-merge needed) and every (term, shard)
+  stage C  tokenize    JVM-side split tokenizer + explode + LOCAL sort by
+                       (term, shard, doc) — whole-stage codegen + Tungsten
+                       sort, NO exchange (docs never span input partitions)
+  stage D  postings    map-side partial encode (run-length tf + delta+varint
+                       per partition-local (term, shard) run), then ONE hash
+                       exchange on (term, salt) carrying the COMPRESSED
+                       partial runs (~index-sized, not token-stream-sized),
+                       then a reducer-side merge/re-block -> BLOCK_SIZE
+                       blocks with block-max metadata, parquet bloom filter
+                       on term for query pruning. salt = doc_id div
+                       shard_range: EXPLICIT SALTING of head terms — Zipf
+                       head terms ("the") split into bounded doc-range
+                       sub-groups so no reducer sees more than shard_range
+                       postings for one term; because salts are contiguous
+                       doc ranges, the global posting list is the
+                       concatenation of salted runs and every (term, shard)
                        group stays sorted by doc_id
   stage E  commit      write all tables into a new snapshot dir, atomically
                        advance MANIFEST (resumable; Iceberg-snapshot
@@ -37,10 +39,10 @@ cmd/assemble.go:98-162) fused with the index build its ES deployment performs:
 
 Scale notes (100 TB / 10^12 docs): exactly TWO full-corpus shuffles — the
 url range exchange for identity (one-time) and the (term, salt) exchange
-whose volume is the distinct-postings stream (already partially aggregated
-map-side). shard_range bounds per-group memory at O(shard_range *
-bytes/posting); head-term skew is defused by construction; everything else
-is metadata-sized.
+whose volume is the varint-compressed partial posting runs (roughly the
+final index size — the raw token stream never crosses the wire). shard_range
+bounds per-group memory at O(shard_range * bytes/posting); head-term skew is
+defused by construction; everything else is metadata-sized.
 """
 
 from __future__ import annotations
@@ -59,7 +61,12 @@ from pyspark.storagelevel import StorageLevel
 
 from picdexer_spark.functions.extract import extract_pages_batches
 from picdexer_spark.functions.tokenize import tokens_col
-from picdexer_spark.index.codec import BLOCK_SIZE, encode_blocks
+from picdexer_spark.index.codec import (
+    BLOCK_SIZE,
+    encode_concat,
+    segmented_delta_decode,
+    varint_decode,
+)
 from picdexer_spark.sources.catalog import (
     DOCS_SCHEMA,
     POSTINGS_SCHEMA,
@@ -163,9 +170,16 @@ def assign_doc_ids(
         )
     except Exception:
         with_src = df.withColumn("_src", F.lit("multi-source"))
+    # repartitionByRange needs a RangePartitioner sampling job that runs the
+    # ENTIRE upstream (reservoir sampling scans every partition) just to
+    # pick url boundaries — without a cache the heaviest stage (the extract
+    # mapInPandas) would execute twice. Persisting HERE means the sampling
+    # job materializes the cache and the real exchange reads from it: one
+    # extract pass total. Spill-bounded (MEMORY_AND_DISK); released as soon
+    # as the post-exchange cache is materialized by the counting collect.
+    pre = with_src.withColumn("_ok", ok).persist(StorageLevel.MEMORY_AND_DISK)
     part = (
-        with_src
-        .withColumn("_ok", ok)
+        pre
         .repartitionByRange(F.col(url_col))
         .sortWithinPartitions(url_col)
         .withColumn("_pid", F.spark_partition_id())
@@ -175,6 +189,7 @@ def assign_doc_ids(
     if has_dl:
         aggs.append(F.sum("doc_len").alias("len_sum"))
     cells = part.groupBy("_pid", "_src", "_ok").agg(*aggs).collect()
+    pre.unpersist()
     counts: dict[int, int] = {}
     src_counts: dict[str, int] = {}
     dropped = 0
@@ -226,67 +241,262 @@ def assign_doc_ids(
 
 
 # ---------------------------------------------------------------------------
-# stage D: posting-block encoder.
+# stage C+D: MAP-SIDE PARTIAL POSTING ENCODE -> compressed-block exchange ->
+# merge/re-block.
 #
-# NOT applyInPandas: at web scale the (term, shard) group count approaches the
-# distinct-posting count for tail terms, and Spark's grouped-map pays an
-# Arrow round-trip + pandas construction PER GROUP (measured 200s+ for a 2k-doc
-# corpus). Instead: one shuffle (repartition on (term, shard)), sort within
-# partitions by (term, shard, doc_id), then a mapInPandas pass that slices
-# group boundaries with numpy and carries the trailing (possibly split) group
-# across Arrow batches — whole-partition batching, per-group cost is two
-# numpy slices.
+# The round-2 shape shuffled the raw exploded token stream (one row per token
+# occurrence, ~30-60 B serialized each) to co-locate (term, shard) groups —
+# that exchange WAS the build (128 s of a 163 s 2-core build). Here the heavy
+# work happens BEFORE any exchange, inside the input partition:
+#
+#   1. JVM tokenize + explode + LOCAL Tungsten sort by (term, shard, doc
+#      [, pos]) — no exchange; every doc lives wholly in one input partition,
+#      so within a partition the sorted stream contains complete
+#      (term, doc) postings and complete per-partition (term, shard) runs;
+#   2. a mapInPandas pass run-length-aggregates tf/positions and
+#      varint-encodes each partition-local (term, shard) run as ONE partial
+#      row (delta+varint, ~2-4 B/posting) — fully vectorized across runs
+#      (encode the whole Arrow chunk's values in one numpy pass, slice the
+#      byte stream per run: codec.encode_concat);
+#   3. the ONLY full-data exchange now carries those compressed partial
+#      runs — roughly the final index size instead of the raw token stream
+#      (~10x fewer rows, ~10x fewer bytes);
+#   4. reducer-side, a second mapInPandas decodes each (term, shard) group's
+#      partial runs in one vectorized pass, merges them by doc_id (docs are
+#      partition-disjoint, so this is a concatenation-sort, never a
+#      re-aggregation), and re-blocks at BLOCK_SIZE with block-max metadata
+#      — the OUTPUT ROWS ARE BIT-IDENTICAL to the round-2 single-exchange
+#      encoder's (same postings, same order, same chop, same codec), so
+#      every rank-identity / salting-parity / oracle-hash contract holds
+#      unchanged.
+#
+# NOT applyInPandas anywhere: tail terms make (term, shard) groups tiny and
+# grouped-map pays an Arrow round-trip per group (measured 200 s+ for a
+# 2k-doc corpus in round 1). Both passes are mapInPandas with the
+# carry-the-trailing-group trick, and per-group Python work is O(1) slices.
 # ---------------------------------------------------------------------------
-def _make_partition_encoder(block_size: int):
-    cols = [
-        "term", "shard_id", "block_no", "first_doc", "last_doc", "n",
-        "max_tf", "min_dl", "sum_tf", "doc_ids_enc", "tfs_enc", "dls_enc",
-        "pos_enc",
-    ]
 
-    def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+#: partial (pre-exchange) posting-run row: one partition-local run of one
+#: (term, shard). pos_deltas_enc holds ONLY the position deltas (per-posting
+#: counts are the tfs — no separate lens stream needed until the final
+#: pos_enc format is assembled reducer-side).
+PARTIAL_SCHEMA = (
+    "term string, shard_id long, first_doc long, n int,"
+    " doc_ids_enc binary, tfs_enc binary, dls_enc binary,"
+    " pos_deltas_enc binary"
+)
+
+
+def _carry_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Re-chunk Arrow batches so every yielded frame contains only COMPLETE
+    (term, shard_id) groups (the trailing group is held back and prepended
+    to the next batch — it may continue there). Input must arrive sorted by
+    (term, shard_id, ...)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
         term = pdf["term"].to_numpy()
         shard = pdf["shard_id"].to_numpy(np.int64)
-        ids = pdf["doc_id"].to_numpy(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.uint64)
-        dls = pdf["dl"].to_numpy(np.uint64)
-        poss = (pdf["positions"].to_numpy(dtype=object)
-                if "positions" in pdf.columns else None)
-        change = np.flatnonzero((term[1:] != term[:-1]) | (shard[1:] != shard[:-1]))
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [term.size]))
-        out = {c: [] for c in cols}
-        for s, e in zip(starts, ends):
-            for b in encode_blocks(
-                ids[s:e], tfs[s:e], dls[s:e], block_size,
-                positions=poss[s:e] if poss is not None else None,
-            ):
-                out["term"].append(term[s])
-                out["shard_id"].append(int(shard[s]))
-                for k, v in b.items():
-                    out[k].append(v)
+        tail_start = int(np.argmax((term == term[-1]) & (shard == shard[-1])))
+        carry = pdf.iloc[tail_start:]
+        head = pdf.iloc[:tail_start]
+        if len(head):
+            yield head
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _make_partial_encoder(with_positions: bool):
+    """mapInPandas factory: sorted (term, shard_id, doc_id[, pos]) token
+    rows -> one encoded partial run per partition-local (term, shard)."""
+
+    def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].to_numpy()
+        shard = pdf["shard_id"].to_numpy(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.uint64)
+        nrows = term.size
+        # posting boundaries: (term, doc) change points (shard is a pure
+        # function of doc, so it never splits a posting)
+        new_post = np.empty(nrows, bool)
+        new_post[0] = True
+        new_post[1:] = (doc[1:] != doc[:-1]) | (term[1:] != term[:-1])
+        p_starts = np.flatnonzero(new_post)
+        m = p_starts.size
+        tf = np.diff(np.append(p_starts, nrows)).astype(np.uint64)
+        p_doc = doc[p_starts].astype(np.uint64)
+        p_dl = dl[p_starts]
+        p_term = term[p_starts]
+        p_shard = shard[p_starts]
+        # run boundaries: (term, shard) change points at posting level
+        new_run = np.empty(m, bool)
+        new_run[0] = True
+        new_run[1:] = (p_shard[1:] != p_shard[:-1]) | (p_term[1:] != p_term[:-1])
+        r_starts = np.flatnonzero(new_run)
+        r_counts = np.diff(np.append(r_starts, m))
+        # doc-id deltas with per-run resets (first delta vs first_doc = 0)
+        d = np.empty(m, np.uint64)
+        if m > 1:
+            d[1:] = p_doc[1:] - p_doc[:-1] - np.uint64(1)
+        d[r_starts] = np.uint64(0)
+        out = {
+            "term": p_term[r_starts],
+            "shard_id": p_shard[r_starts],
+            "first_doc": p_doc[r_starts].astype(np.int64),
+            "n": r_counts.astype(np.int32),
+            "doc_ids_enc": encode_concat(d, r_counts),
+            "tfs_enc": encode_concat(tf - np.uint64(1), r_counts),
+            "dls_enc": encode_concat(p_dl, r_counts),
+        }
+        if with_positions:
+            pos = pdf["pos"].to_numpy(np.uint64)
+            e = np.empty(nrows, np.uint64)
+            if nrows > 1:
+                e[1:] = pos[1:] - pos[:-1] - np.uint64(1)
+            e[p_starts] = pos[p_starts]
+            tok_per_run = np.add.reduceat(tf.astype(np.int64), r_starts)
+            out["pos_deltas_enc"] = encode_concat(e, tok_per_run)
+        else:
+            out["pos_deltas_enc"] = [None] * int(r_counts.size)
         return pd.DataFrame(out)
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            # hold back the trailing group — it may continue in the next batch
-            term = pdf["term"].to_numpy()
-            shard = pdf["shard_id"].to_numpy(np.int64)
-            tail_start = int(np.argmax((term == term[-1]) & (shard == shard[-1])))
-            carry = pdf.iloc[tail_start:]
-            head = pdf.iloc[:tail_start]
-            if len(head):
-                yield _encode_groups(head)
-        if carry is not None and len(carry):
-            yield _encode_groups(carry)
+        for chunk in _carry_chunks(batches):
+            yield _encode_chunk(chunk)
 
     return encode_partition
+
+
+def _make_merge_encoder(block_size: int, with_positions: bool):
+    """mapInPandas factory: sorted (term, shard_id, first_doc) partial runs
+    -> final BLOCK_SIZE posting blocks with block-max metadata, bit-identical
+    to encoding the group's full sorted run in one piece."""
+
+    def _merge_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        nparts = len(pdf)
+        term = pdf["term"].to_numpy()
+        shard = pdf["shard_id"].to_numpy(np.int64)
+        firsts = pdf["first_doc"].to_numpy(np.int64)
+        counts = pdf["n"].to_numpy(np.int64)  # postings per partial run
+        # one vectorized decode over ALL partial runs in the chunk
+        ids = segmented_delta_decode(
+            varint_decode(b"".join(pdf["doc_ids_enc"])), counts, firsts
+        )
+        tfs = varint_decode(b"".join(pdf["tfs_enc"])) + np.uint64(1)
+        dls = varint_decode(b"".join(pdf["dls_enc"]))
+        total = int(ids.size)
+        # group (term, shard) index per partial row -> per posting
+        new_grp = np.empty(nparts, bool)
+        new_grp[0] = True
+        new_grp[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+        grp_of_part = np.cumsum(new_grp) - 1
+        g_first_part = np.flatnonzero(new_grp)
+        grp_of_post = np.repeat(grp_of_part, counts)
+        # merge partial runs: docs are partition-disjoint so a per-group
+        # sort by doc_id IS the posting-list merge (no re-aggregation)
+        order = np.lexsort((ids, grp_of_post))
+        ids_s = ids[order]
+        tfs_s = tfs[order]
+        dls_s = dls[order]
+        grp_s = grp_of_post[order]
+        if with_positions:
+            flat = segmented_delta_decode(
+                varint_decode(b"".join(pdf["pos_deltas_enc"])),
+                tfs.astype(np.int64), np.zeros(total, np.int64),
+            )
+            # permute token slices to the sorted posting order
+            tok_start = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+            sel_tf = tfs_s.astype(np.int64)
+            sel_start = np.concatenate(([0], np.cumsum(sel_tf)[:-1]))
+            ntok = int(sel_tf.sum())
+            gather = (
+                np.repeat(tok_start[order], sel_tf)
+                + np.arange(ntok) - np.repeat(sel_start, sel_tf)
+            )
+            flat_s = flat[gather]
+        # chop each group into BLOCK_SIZE blocks
+        g_counts = np.bincount(grp_s, minlength=int(grp_of_part[-1]) + 1)
+        g_starts = np.concatenate(([0], np.cumsum(g_counts)[:-1]))
+        pidx = np.arange(total) - np.repeat(g_starts, g_counts)
+        new_block = (pidx % block_size) == 0
+        b_starts = np.flatnonzero(new_block)
+        b_counts = np.diff(np.append(b_starts, total))
+        b_ends = b_starts + b_counts
+        bg = grp_s[b_starts]
+        d2 = np.empty(total, np.uint64)
+        if total > 1:
+            d2[1:] = ids_s[1:] - ids_s[:-1] - np.uint64(1)
+        d2[b_starts] = np.uint64(0)
+        out = {
+            "term": term[g_first_part][bg],
+            "shard_id": shard[g_first_part][bg],
+            "block_no": (pidx[b_starts] // block_size).astype(np.int32),
+            "first_doc": ids_s[b_starts].astype(np.int64),
+            "last_doc": ids_s[b_ends - 1].astype(np.int64),
+            "n": b_counts.astype(np.int32),
+            "max_tf": np.maximum.reduceat(tfs_s, b_starts).astype(np.int64),
+            "min_dl": np.minimum.reduceat(dls_s, b_starts).astype(np.int64),
+            "sum_tf": np.add.reduceat(tfs_s.astype(np.int64), b_starts),
+            "doc_ids_enc": encode_concat(d2, b_counts),
+            "tfs_enc": encode_concat(tfs_s - np.uint64(1), b_counts),
+            "dls_enc": encode_concat(dls_s, b_counts),
+        }
+        if with_positions:
+            # final pos_enc format (codec.encode_positions):
+            # varint(per-posting counts) ++ varint(deltas, per-posting reset)
+            lens_bytes = encode_concat(tfs_s, b_counts)
+            f2 = np.empty(ntok, np.uint64)
+            if ntok > 1:
+                f2[1:] = flat_s[1:] - flat_s[:-1] - np.uint64(1)
+            sel_p_starts = np.concatenate(([0], np.cumsum(sel_tf)[:-1]))
+            f2[sel_p_starts] = flat_s[sel_p_starts]
+            tok_per_block = out["sum_tf"]
+            delta_bytes = encode_concat(f2, tok_per_block)
+            out["pos_enc"] = [a + b for a, b in zip(lens_bytes, delta_bytes)]
+        else:
+            out["pos_enc"] = [None] * int(b_counts.size)
+        return pd.DataFrame(out)
+
+    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for chunk in _carry_chunks(batches):
+            yield _merge_chunk(chunk)
+
+    return merge_partition
+
+
+def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Stages C+D: docs -> final posting blocks with ONE exchange whose
+    volume is the compressed partial runs (~index-sized), per the pipeline
+    comment above."""
+    if cfg.store_positions:
+        toks = docs.select(
+            "doc_id", F.col("doc_len").alias("dl"),
+            F.posexplode(tokens_col("text")).alias("pos", "term"),
+        )
+        sort_keys = ["term", "shard_id", "doc_id", "pos"]
+    else:
+        toks = docs.select(
+            "doc_id", F.col("doc_len").alias("dl"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        sort_keys = ["term", "shard_id", "doc_id"]
+    toks = toks.withColumn("shard_id", F.expr(f"doc_id div {cfg.shard_range}"))
+    partials = (
+        toks.sortWithinPartitions(*sort_keys)  # local Tungsten sort, no exchange
+        .mapInPandas(_make_partial_encoder(cfg.store_positions), PARTIAL_SCHEMA)
+    )
+    return (
+        partials.repartition("term", "shard_id")
+        .sortWithinPartitions("term", "shard_id", "first_doc")
+        .mapInPandas(
+            _make_merge_encoder(cfg.block_size, cfg.store_positions),
+            POSTINGS_SCHEMA,
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -406,19 +616,13 @@ def build_index(
     _parted.unpersist()
     timer.mark("docs_write")
 
-    # C+D: term stream and salted posting build share ONE hash exchange on
-    # (term, shard) — the tf aggregation runs on the exchange's own
-    # partitioning (see tf_stream), no range sampling job (a
-    # repartitionByRange would run the whole upstream once more just to pick
-    # boundaries). Files come out sorted by (term, shard, doc_id) WITHIN
-    # each hash partition, and a parquet BLOOM FILTER on `term` gives the
-    # query path its `term IN (...)` row-group pruning instead of global
-    # range layout. salt = doc-range shard defuses head-term skew.
-    tf = tf_stream(docs_written, cfg.shard_range, cfg.store_positions)
-    postings = (
-        tf.sortWithinPartitions("term", "shard_id", "doc_id")
-        .mapInPandas(_make_partition_encoder(cfg.block_size), POSTINGS_SCHEMA)
-    )
+    # C+D: map-side partial posting encode -> ONE exchange of compressed
+    # partial runs -> merge/re-block (see the encode_postings pipeline
+    # comment). Files come out sorted by (term, shard, doc_id) WITHIN each
+    # hash partition, and a parquet BLOOM FILTER on `term` gives the query
+    # path its `term IN (...)` row-group pruning instead of global range
+    # layout. salt = doc-range shard defuses head-term skew.
+    postings = encode_postings(docs_written, cfg)
     (
         postings.write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#term", "true")

@@ -159,6 +159,60 @@ def decode_positions(buf: bytes, n_postings: int):
     return lens, flat
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """LEB128 byte count per value, vectorized (1..10 for uint64)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.size, np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def encode_concat(values: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """varint-encode `values` ONCE, then split the byte stream into
+    len(counts) segments where segment i holds counts[i] values.
+
+    The batched form of varint_encode: one numpy pass over a whole Arrow
+    batch's worth of runs/blocks instead of a Python-level encode call per
+    group (tail terms make groups tiny — per-group call overhead dominates
+    otherwise). sum(counts) must equal len(values)."""
+    buf = varint_encode(values)
+    counts = np.ascontiguousarray(counts, np.int64)
+    if counts.size == 1:
+        return [buf]
+    cum = np.concatenate(([0], np.cumsum(varint_lengths(values))))
+    vend = np.cumsum(counts)
+    vstart = vend - counts
+    mv = memoryview(buf)
+    return [bytes(mv[cum[a]:cum[b]]) for a, b in zip(vstart, vend)]
+
+
+def decode_concat(bufs, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_concat`: decode a sequence of varint byte
+    segments (counts[i] values each) in ONE numpy pass. Varint streams are
+    self-delimiting, so decoding the concatenation equals concatenating the
+    decodes; `counts` is only needed by callers to slice the result."""
+    return varint_decode(b"".join(bufs))
+
+
+def segmented_delta_decode(deltas: np.ndarray, seg_counts: np.ndarray,
+                           seg_bases: np.ndarray) -> np.ndarray:
+    """Decode many delta runs at once: run i has seg_counts[i] values whose
+    first delta is relative to seg_bases[i] (first stored raw-offset, rest
+    gap-1) — the vectorized, multi-run form of :func:`delta_decode`."""
+    d = np.ascontiguousarray(deltas, np.uint64)
+    seg_counts = np.ascontiguousarray(seg_counts, np.int64)
+    if d.size == 0:
+        return d
+    starts = np.concatenate(([0], np.cumsum(seg_counts)[:-1]))
+    starts = starts[seg_counts > 0]
+    adj = d + np.uint64(1)
+    adj[starts] = d[starts] + seg_bases.astype(np.uint64)[seg_counts > 0]
+    c = np.cumsum(adj, dtype=np.uint64)
+    base = (c[starts] - adj[starts]).astype(np.uint64)
+    return c - np.repeat(base, seg_counts[seg_counts > 0])
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

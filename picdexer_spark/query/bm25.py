@@ -47,22 +47,17 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _filter_deleted(ids, scores, dels, k):
-    """Drop tombstoned ids from a (score desc, doc_id asc)-sorted result
-    and truncate to k. EXACT given the scorer ran with k_eff = k + |dels in
-    shard|: any live doc in the true top-k sits within the top-(k+|dels|)
-    of the unfiltered ranking."""
-    if dels is not None and ids.size:
-        keep = ~np.isin(ids, dels)
-        ids, scores = ids[keep], scores[keep]
-    return ids[:k], scores[:k]
-
-
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                       deleted_by_shard=None):
+                       tomb_counts=None):
+    """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
+    tombstone COUNT (metadata-sized): each shard over-fetches
+    k + |its tombstones|, and the caller anti-joins the chained `deletes`
+    table afterwards — EXACT, because any live doc in a shard's true top-k
+    sits within the top-(k + |shard tombstones|) of its unfiltered ranking.
+    The tombstone IDS never leave the cluster (no driver collect)."""
     asc = sorted(set(terms))
     ordered = list(terms)  # phrase mode needs the original order
-    deleted_by_shard = deleted_by_shard or {}
+    tomb_counts = tomb_counts or {}
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         blocks: dict[str, TermBlocks] = {}
@@ -76,8 +71,7 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
                 pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns
                          else None),
             )
-        dels = deleted_by_shard.get(int(pdf["shard_id"].iat[0]))
-        k_eff = k + (dels.size if dels is not None else 0)
+        k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         if mode == "conjunctive":
             ids, scores = score_conjunctive(
                 asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
@@ -90,7 +84,6 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
             ids, scores = score_disjunctive(
                 asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
             )
-        ids, scores = _filter_deleted(ids, scores, dels, k)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -112,25 +105,24 @@ class SearchEngine:
         self.avgdl = float(st["avgdl"])
         st_d = st.asDict()
         shard_range = int(st_d.get("shard_range") or (1 << 20))
-        # tombstones (upserted/deleted docs): grouped by shard so each shard
-        # scorer over-fetches k + |its tombstones| then filters — exact.
-        # Collected to the driver: tombstone volume is bounded by compaction
-        # cadence; at 10^9-doc scale swap for a broadcast bitmap per shard.
-        self._deleted_by_shard: dict[int, np.ndarray] = {}
-        try:
-            del_rows = self.cat.read(spark, "deletes", self.snapshot_id) \
-                .select("doc_id").collect()
-        except Exception:
-            del_rows = []
-        if del_rows:
-            by_shard: dict[int, list[int]] = {}
-            for r in del_rows:
-                by_shard.setdefault(int(r["doc_id"]) // shard_range, []).append(
-                    int(r["doc_id"])
-                )
-            self._deleted_by_shard = {
-                s: np.array(sorted(v), np.int64) for s, v in by_shard.items()
-            }
+        #: whether the snapshot chain stores positional postings (phrase
+        #: queries are refused DRIVER-side otherwise — not as an opaque
+        #: executor stack trace)
+        self.has_positions = bool(st_d.get("positions") or False)
+        # tombstones (upserted/deleted docs) stay DISTRIBUTED: only the
+        # per-shard COUNTS come to the driver (metadata-sized — one row per
+        # shard with tombstones). Each shard scorer over-fetches
+        # k + |its tombstones|; the results are then anti-joined against the
+        # chained `deletes` table (broadcast — tombstone volume is bounded
+        # by compaction cadence) — exact, with zero collect of ids.
+        self.deletes = self.cat.read(spark, "deletes", self.snapshot_id) \
+            .select("doc_id")
+        self._tomb_counts: dict[int, int] = {
+            int(r["s"]): int(r["c"])
+            for r in self.deletes.groupBy(
+                F.expr(f"doc_id div {shard_range}").alias("s")
+            ).agg(F.count("*").alias("c")).collect()
+        }
         # small vocabularies: pull df stats to the driver once, saving one
         # Spark job per query; a web-scale vocab (hundreds of millions of
         # terms) stays a distributed filtered lookup
@@ -168,6 +160,11 @@ class SearchEngine:
         index built with store_positions=True)."""
         if mode not in ("conjunctive", "disjunctive", "phrase"):
             raise ValueError(f"unknown mode {mode!r}")
+        if mode == "phrase" and not self.has_positions:
+            raise ValueError(
+                "phrase search needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
         uniq = sorted(set(terms))
         if not uniq:
             return self._empty()
@@ -181,12 +178,22 @@ class SearchEngine:
             return self._empty()
         idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
 
-        cand = self.postings.filter(F.col("term").isin(present))
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        if mode == "phrase":
+            pay_cols.append("pos_enc")  # proximity payload only when needed
+        cand = self.postings.filter(F.col("term").isin(present)) \
+            .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
-                                    self.avgdl, prune,
-                                    self._deleted_by_shard)
+                                    self.avgdl, prune, self._tomb_counts)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
+        if self._tomb_counts:
+            # drop tombstoned docs distributed-side (deletes stays a DF;
+            # broadcast anti-join — never collected)
+            per_shard = per_shard.join(
+                F.broadcast(self.deletes), "doc_id", "left_anti"
+            )
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_query_string(self, q: str, k: int = 10,
@@ -214,21 +221,33 @@ class SearchEngine:
         """Run a whole query SET as one Spark job (the query-throughput
         path: at cluster scale you don't schedule a job per query).
 
-        `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n}].
-        One postings scan filtered to the union of all query terms; a
-        broadcast join against the tiny (query_id, term) table replicates
-        each candidate block to the queries that need it; ONE shuffle to
-        (shard_id, query_id) so every query x shard pair is its own task —
-        the parallelism is n_shards * n_queries, not n_shards (the round-1
-        shape scored all queries serially inside each shard task: 6 queries
-        on a 2-shard corpus used 2 of 32 cores and ran slower than 6
-        sequential jobs). Per-query global top-k via window rank — Spark's
-        WindowGroupLimit pushes the rank<=k cut below the exchange. Returns
+        `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n}],
+        mode one of conjunctive/disjunctive/phrase (phrase terms in order;
+        needs a positional index — validated driver-side). One postings scan
+        filtered to the union of all query terms; a broadcast join against
+        the tiny (query_id, term) table replicates each candidate block to
+        the queries that need it; ONE shuffle to (shard_id, query_id) so
+        every query x shard pair is its own task — the parallelism is
+        n_shards * n_queries, not n_shards (the round-1 shape scored all
+        queries serially inside each shard task: 6 queries on a 2-shard
+        corpus used 2 of 32 cores and ran slower than 6 sequential jobs).
+        Per-query global top-k via window rank — Spark's WindowGroupLimit
+        pushes the rank<=k cut below the exchange. Returns
         (query_id, rank, doc_id, score).
         """
         import pandas as pd
         from pyspark.sql import Window
 
+        modes = {q.get("mode") for q in queries}
+        bad = modes - {"conjunctive", "disjunctive", "phrase"}
+        if bad:
+            raise ValueError(f"unknown query mode(s) {sorted(bad)!r}")
+        any_phrase = "phrase" in modes
+        if any_phrase and not self.has_positions:
+            raise ValueError(
+                "phrase search needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
         all_terms = sorted({t for q in queries for t in set(q["terms"])})
         if not all_terms:
             return self.spark.createDataFrame(
@@ -240,19 +259,25 @@ class SearchEngine:
         for q in queries:
             uniq = sorted(set(q["terms"]))
             present = [t for t in uniq if t in dfs]
-            if q["mode"] == "conjunctive" and len(present) < len(uniq):
+            if q["mode"] in ("conjunctive", "phrase") and \
+                    len(present) < len(uniq):
                 continue  # a required term matches nothing anywhere
             if present:
+                # phrase scoring needs the original term ORDER; conj/disj
+                # score over the deduped ascending set
+                sterms = list(q["terms"]) if q["mode"] == "phrase" else present
                 qspecs.append(
-                    (int(q["query_id"]), present, q["mode"], int(q["k"]))
+                    (int(q["query_id"]), present, sterms, q["mode"],
+                     int(q["k"]))
                 )
         if not qspecs:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
         avgdl, k1, b = self.avgdl, K1, B
-        spec_by_qid = {qid: (terms, mode, k) for qid, terms, mode, k in qspecs}
-        deleted_by_shard = self._deleted_by_shard
+        spec_by_qid = {qid: (sterms, mode, k)
+                       for qid, _present, sterms, mode, k in qspecs}
+        tomb_counts = self._tomb_counts
 
         def score_query_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(pdf["query_id"].iat[0])
@@ -265,39 +290,53 @@ class SearchEngine:
                     g["max_tf"].to_numpy(np.int64),
                     g["min_dl"].to_numpy(np.int64),
                     list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
+                    pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns
+                             else None),
                 )
-            dels = deleted_by_shard.get(int(pdf["shard_id"].iat[0]))
-            k_eff = k + (dels.size if dels is not None else 0)
+            k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
             if mode == "conjunctive":
                 ids, scores = score_conjunctive(
                     terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
+                )
+            elif mode == "phrase":
+                ids, scores = score_phrase(
+                    terms, blocks, idf_map, k1, b, avgdl, k_eff
                 )
             else:
                 ids, scores = score_disjunctive(
                     terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
                 )
-            ids, scores = _filter_deleted(ids, scores, dels, k)
             return pd.DataFrame(
                 {"query_id": qid, "doc_id": ids, "score": scores}
             )
 
         qterms = self.spark.createDataFrame(
-            [(qid, t) for qid, terms, _m, _k in qspecs for t in terms],
+            [(qid, t) for qid, present, _s, _m, _k in qspecs
+             for t in present],
             "query_id long, term string",
         )
         cand = self.postings.filter(F.col("term").isin(all_terms))
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        if any_phrase:
+            pay_cols.append("pos_enc")
         per_shard = (
-            cand.join(F.broadcast(qterms), "term")
+            cand.select(*pay_cols)
+            .join(F.broadcast(qterms), "term")
             .groupBy("shard_id", "query_id")
             .applyInPandas(
                 score_query_shard, "query_id long, doc_id long, score double"
             )
         )
+        if tomb_counts:
+            per_shard = per_shard.join(
+                F.broadcast(self.deletes), "doc_id", "left_anti"
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         kdf = self.spark.createDataFrame(
-            [(qid, k) for qid, _, _, k in qspecs], "query_id long, k int"
+            [(qid, k) for qid, _p, _s, _m, k in qspecs], "query_id long, k int"
         )
         return (
             per_shard.withColumn("rank", F.row_number().over(w))

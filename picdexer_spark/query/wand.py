@@ -74,17 +74,19 @@ class TermBlocks:
         self.pos_enc = [pos_enc[i] for i in order] if pos_enc is not None else None
         self._cache: dict[int, tuple] = {}
 
-    def positions_for(self, doc_ids: np.ndarray) -> dict[int, np.ndarray]:
-        """doc_id -> positions array, decoding only blocks containing the
-        requested (sorted) doc ids. Requires an index built with
-        store_positions=True."""
+    def positions_flat(self, doc_ids: np.ndarray):
+        """(doc_rep, pos) flattened position stream for the requested SORTED
+        doc ids — one doc_rep entry per position occurrence, docs ascending,
+        positions ascending within a doc. Decodes only blocks containing
+        requested ids; per-block work is vectorized (no per-doc Python).
+        Requires an index built with store_positions=True."""
         from picdexer_spark.index.codec import decode_positions
 
         if self.pos_enc is None:
             raise ValueError("postings carry no positions")
-        out: dict[int, np.ndarray] = {}
+        empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint64))
         if doc_ids.size == 0 or self.n_blocks() == 0:
-            return out
+            return empty
         need = np.unique(
             np.clip(
                 np.searchsorted(self.first, doc_ids.astype(np.int64),
@@ -92,18 +94,34 @@ class TermBlocks:
                 0, self.n_blocks() - 1,
             )
         )
-        want = set(int(x) for x in doc_ids.tolist())
+        want = np.asarray(doc_ids, np.uint64)
+        out_docs, out_pos = [], []
         for bi in need:
             buf = self.pos_enc[int(bi)]
             if buf is None:
                 raise ValueError("postings carry no positions")
             ids, _tfs, _dls = self.decode(int(bi))
+            j = np.searchsorted(want, ids)
+            jc = np.clip(j, 0, max(want.size - 1, 0))
+            sel = np.flatnonzero((j < want.size) & (want[jc] == ids))
+            if sel.size == 0:
+                continue
             lens, flat = decode_positions(bytes(buf), ids.size)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            for i, d in enumerate(ids.tolist()):
-                if d in want:
-                    out[int(d)] = flat[starts[i]:starts[i] + lens[i]]
-        return out
+            sl = lens[sel]
+            tot = int(sl.sum())
+            if tot == 0:
+                continue
+            gather = (
+                np.repeat(starts[sel], sl)
+                + np.arange(tot)
+                - np.repeat(np.concatenate(([0], np.cumsum(sl)[:-1])), sl)
+            )
+            out_pos.append(flat[gather])
+            out_docs.append(np.repeat(ids[sel], sl))
+        if not out_docs:
+            return empty
+        return np.concatenate(out_docs), np.concatenate(out_pos)
 
     def n_blocks(self) -> int:
         return self.first.size
@@ -386,16 +404,35 @@ def score_phrase(
       ptf >= 1 only. Requires an index built with store_positions=True.
 
     `terms` is the phrase IN ORDER (not deduped, not sorted).
+
+    Pruning + vectorization (round 3): the conjunctive block-range keep-mask
+    runs BEFORE any decode — a driver block survives only if every other
+    phrase term has at least one block overlapping its doc range — so a
+    head-ish phrase never pays a full decode of the rarest term's list; and
+    the adjacency check is one vectorized (doc, pos) key intersection per
+    phrase slot instead of a Python loop per candidate doc. Both changes are
+    exact (bit-identity vs the exhaustive path is tested).
     """
     empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
     uniq = sorted(set(terms))
     if any(t not in blocks or blocks[t].n_blocks() == 0 for t in uniq):
         return empty
-    # conjunction candidates + per-doc dl via bulk decode of the rarest term
+    # conjunction candidates via the rarest term, block-range pruned first
     sizes = {t: int(blocks[t].last.size) for t in uniq}
     driver = min(uniq, key=lambda t: (sizes[t], t))
     tb = blocks[driver]
-    cand, _tf, cand_dl = tb.decode_many(np.arange(tb.n_blocks()))
+    keep = np.ones(tb.n_blocks(), bool)
+    for t in uniq:
+        if t == driver:
+            continue
+        ob = blocks[t]
+        i0 = np.searchsorted(ob.last, tb.first, side="left")
+        keep &= (i0 < ob.n_blocks()) & (
+            ob.first[np.clip(i0, 0, ob.n_blocks() - 1)] <= tb.last
+        )
+    if not keep.any():
+        return empty
+    cand, _tf, cand_dl = tb.decode_many(np.flatnonzero(keep))
     mask = np.ones(cand.size, bool)
     for t in uniq:
         if t == driver:
@@ -409,28 +446,31 @@ def score_phrase(
     if cand.size == 0:
         return empty
 
-    # positions only for surviving candidates; adjacency check per doc
-    pos_by_term = {t: blocks[t].positions_for(cand) for t in uniq}
-    idf_sum = float(sum(idf[t] for t in terms))  # occurrences, dups counted
-    out_ids, out_ptf, out_dl = [], [], []
-    for i, d in enumerate(cand.tolist()):
-        matches = pos_by_term[terms[0]][int(d)].astype(np.int64)
-        for j, t in enumerate(terms[1:], 1):
-            if matches.size == 0:
-                break
-            matches = matches[np.isin(
-                matches + j, pos_by_term[t][int(d)].astype(np.int64)
-            )]
-        if matches.size:
-            out_ids.append(int(d))
-            out_ptf.append(matches.size)
-            out_dl.append(int(cand_dl[i]))
-    if not out_ids:
+    # positions only for surviving candidates; vectorized adjacency:
+    # key(doc, p) = (doc - base) << 32 | p; a phrase start p in doc d
+    # survives slot j iff key(d, p + j) occurs in term_j's position stream
+    base = np.uint64(cand.min())
+    flats = {t: blocks[t].positions_flat(cand) for t in uniq}
+
+    def keys(docs: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        return ((docs - base) << np.uint64(32)) | pos
+
+    alive_doc, alive_pos = flats[terms[0]]
+    for j, t in enumerate(terms[1:], 1):
+        if alive_doc.size == 0:
+            return empty
+        hit = np.isin(
+            keys(alive_doc, alive_pos + np.uint64(j)), keys(*flats[t])
+        )
+        alive_doc, alive_pos = alive_doc[hit], alive_pos[hit]
+    if alive_doc.size == 0:
         return empty
-    ids = np.asarray(out_ids, np.int64)
-    ptf = np.asarray(out_ptf, np.float64)
-    dl = np.asarray(out_dl, np.float64)
+    match_docs, ptf = np.unique(alive_doc, return_counts=True)
+    dl = cand_dl[np.searchsorted(cand, match_docs)].astype(np.float64)
+
+    idf_sum = float(sum(idf[t] for t in terms))  # occurrences, dups counted
+    ptf = ptf.astype(np.float64)
     scores = idf_sum * (ptf * (k1 + 1.0)) / (
         ptf + k1 * (1.0 - b + b * dl / avgdl)
     )
-    return _topk(ids, scores, k)
+    return _topk(match_docs.astype(np.int64), scores, k)

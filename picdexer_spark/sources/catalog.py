@@ -61,6 +61,28 @@ DOCS_SCHEMA = (
     " doc_len long, text_md5 string, text string"
 )
 
+METRICS_SCHEMA = (
+    "shard_id long, docs_indexed long, postings_emitted long,"
+    " bytes_compressed long, snapshot_id string"
+)
+
+LINEAGE_SCHEMA = (
+    "source_partition string, n_rows long, import_id string,"
+    " snapshot_id string"
+)
+
+#: chained reads span snapshots that may predate a column (e.g. a parent
+#: built without positions has no pos_enc) — parquet schema inference is
+#: footer-order-dependent there, so chained tables are ALWAYS read with a
+#: pinned schema (missing columns come back NULL deterministically)
+CHAINED_SCHEMAS = {
+    "docs": DOCS_SCHEMA,
+    "postings": POSTINGS_SCHEMA,
+    "deletes": DELETES_SCHEMA,
+    "metrics": METRICS_SCHEMA,
+    "lineage": LINEAGE_SCHEMA,
+}
+
 
 class IndexCatalog:
     def __init__(self, index_dir: str):
@@ -155,7 +177,7 @@ class IndexCatalog:
             if not paths and table == "deletes":
                 # tombstones are optional: a chain with no upserts has none
                 return spark.createDataFrame([], DELETES_SCHEMA)
-            return spark.read.parquet(*paths)
+            return spark.read.schema(CHAINED_SCHEMAS[table]).parquet(*paths)
         return spark.read.parquet(self.table_path(table, snapshot_id))
 
     def read_live_docs(self, spark: SparkSession,

@@ -129,15 +129,21 @@ def build_incremental(
         | F.col("new_md5").isNull()
         | (F.col("new_md5") != F.col("old_md5"))
     )
-    tomb_rows = (
-        joined.filter(
-            F.col("old_md5").isNotNull()
-            & F.col("new_md5").isNotNull()
-            & (F.col("new_md5") != F.col("old_md5"))
-        )
-        .select("old_doc_id", "old_len")
-        .collect()
-    )
+    # tombstones stay DISTRIBUTED: only their count + length sum come to the
+    # driver (one metadata-sized agg row); the ids are written as a Spark
+    # parquet table below. A full re-crawl batch (every url changed) never
+    # funnels through the driver.
+    tomb = joined.filter(
+        F.col("old_md5").isNotNull()
+        & F.col("new_md5").isNotNull()
+        & (F.col("new_md5") != F.col("old_md5"))
+    ).select("old_doc_id", "old_len")
+    trow = tomb.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("old_len"), F.lit(0)).alias("len_sum"),
+    ).first()
+    n_tomb = int(trow["n"])
+    tomb_len = int(trow["len_sum"])
     fresh_pages = fresh.select(
         "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
         "text", "lang",
@@ -157,22 +163,15 @@ def build_incremental(
         spark, fresh_pages, index_dir, delta_cfg, sources=[source_id],
         commit=False,
     )
-    joined.unpersist()
     snap_dir = os.path.join(index_dir, "snapshots", res.snapshot_id)
 
-    if tomb_rows:
-        _write_small_table(
-            os.path.join(snap_dir, "deletes"),
-            {
-                "doc_id": [int(r["old_doc_id"]) for r in tomb_rows],
-                "reason": ["upsert"] * len(tomb_rows),
-                "snapshot_id": [res.snapshot_id] * len(tomb_rows),
-            },
-            schema=pa.schema(
-                [("doc_id", pa.int64()), ("reason", pa.string()),
-                 ("snapshot_id", pa.string())]
-            ),
-        )
+    if n_tomb:
+        tomb.select(
+            F.col("old_doc_id").alias("doc_id"),
+            F.lit("upsert").alias("reason"),
+            F.lit(res.snapshot_id).alias("snapshot_id"),
+        ).write.mode("overwrite").parquet(os.path.join(snap_dir, "deletes"))
+    joined.unpersist()
 
     # term_stats: parent full + delta rollup -> full table for this snapshot
     parent_ts = cat.read(spark, "term_stats", parent)
@@ -189,8 +188,6 @@ def build_incremental(
     os.rename(tmp, final)
 
     # stats: parent + delta - tombstoned (LIVE corpus statistics)
-    n_tomb = len(tomb_rows)
-    tomb_len = sum(int(r["old_len"] or 0) for r in tomb_rows)
     n_docs = n_committed + res.n_docs - n_tomb
     delta_stats = spark.read.parquet(os.path.join(snap_dir, "stats")).first()
     total_len = (int(committed["total_len"]) + int(delta_stats["total_len"])

@@ -124,3 +124,99 @@ def test_parser_phrase_mode():
         parse_query_string('hello "a b"')  # mixed phrase + bare terms
     with pytest.raises(ValueError):
         parse_query_string('"a" "b"')
+
+
+# ---------------------------------------------------------------------------
+# round-3: phrase pruning + batch phrase
+# ---------------------------------------------------------------------------
+def test_phrase_block_range_pruning_skips_decode():
+    """The conjunctive block-range keep-mask must run BEFORE decoding the
+    driver term: blocks of the rarest term whose doc range no other phrase
+    term touches are never decoded — and the result is exact."""
+    import numpy as np
+
+    from picdexer_spark.index.codec import encode_blocks
+    from picdexer_spark.query.wand import TermBlocks, score_phrase
+
+    def mk(ids, positions):
+        tfs = np.array([len(p) for p in positions], np.uint64)
+        dls = np.full(ids.size, 10, np.uint64)
+        rows = encode_blocks(ids, tfs, dls, block_size=4,
+                             positions=positions)
+        return TermBlocks(
+            np.array([r["first_doc"] for r in rows], np.int64),
+            np.array([r["last_doc"] for r in rows], np.int64),
+            np.array([r["max_tf"] for r in rows], np.int64),
+            np.array([r["min_dl"] for r in rows], np.int64),
+            [(r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"]) for r in rows],
+            pos_enc=[r["pos_enc"] for r in rows],
+        )
+
+    # term 'a' in 96 docs (24 blocks of 4) at position 0; term 'b' only in
+    # docs 0..7 (2 blocks) at position 1 -> phrase "a b" matches docs 0..7
+    ids_a = np.arange(96, dtype=np.uint64)
+    a = mk(ids_a, [np.array([0], np.uint64)] * 96)
+    ids_b = np.arange(8, dtype=np.uint64)
+    b = mk(ids_b, [np.array([1], np.uint64)] * 8)
+    blocks = {"a": a, "b": b}
+    idf = {"a": 1.0, "b": 1.0}
+    got_ids, got_scores = score_phrase(["a", "b"], blocks, idf, 1.2, 0.75,
+                                       10.0, 8)
+    assert list(got_ids) == list(range(8))
+    assert (got_scores > 0).all()
+    # only the driver ('a' is NOT the driver here: b is rarer) ... count
+    # decodes on the larger list: blocks of 'a' touched must be only the
+    # two ranges where 'b' has blocks
+    assert len(a._cache) <= 3, len(a._cache)  # 2 blocks cover docs 0..7
+    assert len(b._cache) <= 3
+
+
+def test_batch_phrase_bit_identical_to_single_path(spark, built_pos):
+    """A phrase query through search_batch must return exactly what the
+    single-query search() path returns — same ids, same float64 scores —
+    alongside conj/disj queries in the same batch."""
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrases = [p for p in _phrases_from(docs, n=6, length=2) if len(p) == 2]
+    assert len(phrases) >= 4
+    batch = [
+        {"query_id": i, "terms": p, "mode": "phrase", "k": 10}
+        for i, p in enumerate(phrases)
+    ]
+    batch.append({"query_id": 90, "terms": ["w0", "w3"],
+                  "mode": "disjunctive", "k": 10})
+    batch.append({"query_id": 91, "terms": ["w5", "w9"],
+                  "mode": "conjunctive", "k": 10})
+    got = eng.search_batch(batch).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for q in batch:
+        single = eng.search_topk(
+            q["terms"], q["mode"], q["k"]
+        )
+        rows = sorted(by_qid.get(q["query_id"], []))
+        assert [(d, s) for _, d, s in rows] == single, q
+
+
+def test_search_batch_rejects_unknown_mode(spark, built_pos):
+    idx, _, _ = built_pos
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(ValueError) as ei:
+        eng.search_batch([{"query_id": 0, "terms": ["w0"],
+                           "mode": "fuzzy", "k": 5}])
+    assert "fuzzy" in str(ei.value)
+
+
+def test_search_batch_phrase_refused_without_positions(spark, tmp_path):
+    pdf = gen_pages(80, seed=6)
+    idx = str(tmp_path / "nopos_batch")
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=64))
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(ValueError) as ei:
+        eng.search_batch([{"query_id": 0, "terms": ["w0", "w1"],
+                           "mode": "phrase", "k": 5}])
+    assert "position" in str(ei.value).lower()

@@ -63,12 +63,36 @@ def test_tf_stream_partial_agg_before_exchange(spark, built):
 
 
 def test_tf_stream_sharded_elides_agg_exchange(spark, built):
-    """The build shape: one hash exchange on (term, shard_id), with the tf
-    aggregation running on that same partitioning — Catalyst must NOT
-    insert a second exchange (group keys contain the partition keys)."""
+    """tf_stream (the reference/analysis formulation): one hash exchange on
+    (term, shard_id), with the tf aggregation running on that same
+    partitioning — Catalyst must NOT insert a second exchange (group keys
+    contain the partition keys)."""
     docs = IndexCatalog(built).read(spark, "docs")
     tf = tf_stream(docs, shard_range=128)
     assert count_exchanges(tf) == 1, explain_str(tf, "simple")
+
+
+def test_encode_postings_partial_encode_below_single_exchange(spark, built):
+    """The round-3 build shape: the posting path has exactly ONE exchange,
+    and the partial posting encoder (a PythonMapInPandas) sits BELOW it —
+    i.e. what crosses the wire is the varint-compressed partial runs, never
+    the raw token stream."""
+    from picdexer_spark.index.build import IndexConfig, encode_postings
+
+    docs = IndexCatalog(built).read(spark, "docs")
+    for store_pos in (False, True):
+        plan = encode_postings(
+            docs, IndexConfig(shard_range=128, store_positions=store_pos)
+        )
+        assert count_exchanges(plan) == 1, explain_str(plan, "simple")
+        s = explain_str(plan, "simple")
+        # plan prints top-down: the map-side encoder must appear AFTER
+        # (= physically below) the Exchange line
+        pre, _, post = s.partition("Exchange")
+        assert "MapInPandas" in pre, s   # reducer-side merge above
+        assert "MapInPandas" in post, s  # partial encoder below (map-side)
+        # and the local sort feeding it must not be a global Sort
+        assert "Sort" in post, s
 
 
 def test_search_plan_shuffles_only_candidates(spark, built):
@@ -82,17 +106,20 @@ def test_search_plan_shuffles_only_candidates(spark, built):
 
 def test_build_has_two_full_data_exchanges(spark, built):
     # reconstruct the two heavy plan fragments and count their exchanges
-    from picdexer_spark.index.build import assign_doc_ids, extract_text
+    from picdexer_spark.index.build import (
+        IndexConfig,
+        assign_doc_ids,
+        encode_postings,
+        extract_text,
+    )
 
     pages = spark.createDataFrame(gen_pages(200, seed=12))
     extracted = extract_text(pages).drop("html")
     with_ids, part, _, _, _ = assign_doc_ids(extracted, ok_col="extract_ok")
     assert count_exchanges(with_ids) == 1  # the url range partition only
     docs = IndexCatalog(built).read(spark, "docs")
-    enc_in = tf_stream(docs, shard_range=128).sortWithinPartitions(
-        "term", "shard_id", "doc_id"
-    )
-    assert count_exchanges(enc_in) == 1  # the (term, shard) hash exchange
+    enc = encode_postings(docs, IndexConfig(shard_range=128))
+    assert count_exchanges(enc) == 1  # the (term, shard) partial-run exchange
     part.unpersist()
 
 
