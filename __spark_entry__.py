@@ -119,6 +119,9 @@ CONJ_TERMS = ["dup", "spark"]
 TF_TERMS = ["spark", "dup", "batch"]
 QSTRING = "Batch, OR vector OR spark"  # analyzes to [batch, vector, spark]
 QSTRING_TERMS = ["batch", "vector", "spark"]
+# discover-panel field qualifier: lang filter ANDed with the scored query
+FILTERED_QSTRING = "lang:de Batch, OR vector OR spark"
+FILTERED_LANG = "de"
 PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
@@ -226,6 +229,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_querystring"] = bm25_querystring
+
+    def bm25_filtered_querystring(s, d):
+        # kuery field qualifier: `lang:de <terms>` — exact-match docs-table
+        # filter cogrouped into the shard scorer; BM25 stats stay
+        # corpus-wide (ES filter context)
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(FILTERED_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_filtered_querystring"] = bm25_filtered_querystring
 
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
@@ -484,6 +496,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_querystring"] = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(QSTRING_TERMS), conj_filter="", k=10
+    )
+    # filter restricts candidates AFTER corpus-wide scoring stats (the ES
+    # filter-context contract) — the join+where rides the template's
+    # post-scoring slot
+    o["bm25_filtered_querystring"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS),
+        conj_filter=(
+            f"JOIN documents USING (doc_id) WHERE lang = '{FILTERED_LANG}'"
+        ),
+        k=10,
     )
     phrase_str = " ".join(PHRASE)
     o["bm25_phrase"] = f'''

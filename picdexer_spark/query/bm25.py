@@ -47,6 +47,32 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
+    blocks: dict[str, TermBlocks] = {}
+    for t, g in pdf.groupby("term", sort=False):
+        blocks[t] = TermBlocks(
+            g["first_doc"].to_numpy(np.int64),
+            g["last_doc"].to_numpy(np.int64),
+            g["max_tf"].to_numpy(np.int64),
+            g["min_dl"].to_numpy(np.int64),
+            list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
+            pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns else None),
+        )
+    return blocks
+
+
+def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
+                  allowed=None):
+    if mode == "conjunctive":
+        return score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
+                                 prune=prune, allowed=allowed)
+    if mode == "phrase":
+        return score_phrase(ordered, blocks, idf_map, K1, B, avgdl, k_eff,
+                            allowed=allowed)
+    return score_disjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
+                             prune=prune, allowed=allowed)
+
+
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
                        tomb_counts=None):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
@@ -60,30 +86,35 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
     tomb_counts = tomb_counts or {}
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        blocks: dict[str, TermBlocks] = {}
-        for t, g in pdf.groupby("term", sort=False):
-            blocks[t] = TermBlocks(
-                g["first_doc"].to_numpy(np.int64),
-                g["last_doc"].to_numpy(np.int64),
-                g["max_tf"].to_numpy(np.int64),
-                g["min_dl"].to_numpy(np.int64),
-                list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
-                pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns
-                         else None),
-            )
+        blocks = _blocks_from_pdf(pdf)
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
-        if mode == "conjunctive":
-            ids, scores = score_conjunctive(
-                asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
+        ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
+                                    avgdl, k_eff, prune)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return score_shard
+
+
+def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
+    """Cogrouped scorer: (candidate blocks of one shard, allowed doc_ids of
+    the same shard) -> exact top-k over the allowed set only. The whitelist
+    is applied INSIDE the kernels before top-k selection (a post-filter
+    over a top-k would be inexact for selective filters); it is bounded per
+    task by shard_range. Tombstoned docs never appear in the whitelist
+    (it is computed from the LIVE docs view), so no over-fetch is needed."""
+    asc = sorted(set(terms))
+    ordered = list(terms)
+
+    def score_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.zeros(0, np.int64),
+                 "score": np.zeros(0, np.float64)}
             )
-        elif mode == "phrase":
-            ids, scores = score_phrase(
-                ordered, blocks, idf_map, K1, B, avgdl, k_eff
-            )
-        else:
-            ids, scores = score_disjunctive(
-                asc, blocks, idf_map, K1, B, avgdl, k_eff, prune=prune
-            )
+        allowed = np.sort(right["doc_id"].to_numpy(np.uint64))
+        blocks = _blocks_from_pdf(left)
+        ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
+                                    avgdl, k, prune, allowed=allowed)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -104,7 +135,9 @@ class SearchEngine:
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         st_d = st.asDict()
-        shard_range = int(st_d.get("shard_range") or (1 << 20))
+        self.shard_range = shard_range = int(
+            st_d.get("shard_range") or (1 << 20)
+        )
         #: whether the snapshot chain stores positional postings (phrase
         #: queries are refused DRIVER-side otherwise — not as an opaque
         #: executor stack trace)
@@ -200,11 +233,96 @@ class SearchEngine:
                             prune: bool = True) -> DataFrame:
         """Search from a kuery-lite query string (the discover search box,
         reference kibana.ndjson:8): bare words = OR, 'AND'-joined =
-        conjunction; words run through the index analyzer (query/parser.py)."""
-        from picdexer_spark.query.parser import parse_query_string
+        conjunction, a quoted whole query = phrase, and `field:value`
+        tokens (lang:, url:) become exact-match docs-table filters ANDed
+        with the scored text query; words run through the index analyzer
+        (query/parser.py)."""
+        from picdexer_spark.query.parser import parse_kuery
 
-        terms, mode = parse_query_string(q)
+        terms, mode, filters = parse_kuery(q)
+        if filters:
+            return self.search_filtered(terms, mode, filters, k, prune)
         return self.search(terms, mode, k, prune)
+
+    #: docs-table fields a kuery `field:value` may filter on (exact match)
+    FILTER_FIELDS = ("lang", "url")
+
+    def search_filtered(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        filters: list[tuple[str, str]] = (),
+        k: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Top-k (doc_id, score) over docs matching ALL `filters`
+        ([(field, value)] exact matches on docs-table columns — the kuery
+        `lang:en` discover-panel construct). BM25 statistics stay
+        corpus-wide (the ES filter-context contract: filters restrict
+        candidates, never reweight scores).
+
+        Plan: the candidate posting blocks and the filtered doc_ids are
+        COGROUPED by shard — the whitelist never leaves the cluster and is
+        bounded per task by shard_range; the kernels apply it before top-k
+        selection, so results are exact at any filter selectivity."""
+        if not filters:
+            return self.search(terms, mode, k, prune)
+        for f, _v in filters:
+            if f not in self.FILTER_FIELDS:
+                raise ValueError(
+                    f"unsupported filter field {f!r} "
+                    f"(supported: {self.FILTER_FIELDS})"
+                )
+        if mode not in ("conjunctive", "disjunctive", "phrase"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "phrase" and not self.has_positions:
+            raise ValueError(
+                "phrase search needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
+        cond = F.lit(True)
+        for f, v in filters:
+            cond = cond & (F.col(f) == F.lit(v))
+        live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        uniq = sorted(set(terms))
+        if not uniq:
+            # filter-only discover query: match_all within the filter
+            # (the Lucene constant-score contract, _score = 1.0)
+            return (
+                live.filter(cond)
+                .select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+        dfs = self.term_dfs(uniq)
+        if mode in ("conjunctive", "phrase") and any(
+            t not in dfs for t in uniq
+        ):
+            return self._empty()
+        present = [t for t in uniq if t in dfs]
+        if not present:
+            return self._empty()
+        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+
+        allowed = live.filter(cond).select(
+            F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),
+            "doc_id",
+        )
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        if mode == "phrase":
+            pay_cols.append("pos_enc")
+        cand = self.postings.filter(F.col("term").isin(present)) \
+            .select(*pay_cols)
+        scorer_terms = list(terms) if mode == "phrase" else present
+        scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
+                                             self.avgdl, prune)
+        per_shard = (
+            cand.groupBy("shard_id")
+            .cogroup(allowed.groupBy("shard_id"))
+            .applyInPandas(scorer, RESULT_SCHEMA)
+        )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
         """Collected [(doc_id, score)], the oracle-comparable form."""
@@ -274,7 +392,7 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
-        avgdl, k1, b = self.avgdl, K1, B
+        avgdl = self.avgdl
         spec_by_qid = {qid: (sterms, mode, k)
                        for qid, _present, sterms, mode, k in qspecs}
         tomb_counts = self._tomb_counts
@@ -282,30 +400,12 @@ class SearchEngine:
         def score_query_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(pdf["query_id"].iat[0])
             terms, mode, k = spec_by_qid[qid]
-            blocks: dict[str, TermBlocks] = {}
-            for t, g in pdf.groupby("term", sort=False):
-                blocks[t] = TermBlocks(
-                    g["first_doc"].to_numpy(np.int64),
-                    g["last_doc"].to_numpy(np.int64),
-                    g["max_tf"].to_numpy(np.int64),
-                    g["min_dl"].to_numpy(np.int64),
-                    list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
-                    pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns
-                             else None),
-                )
+            blocks = _blocks_from_pdf(pdf)
             k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
-            if mode == "conjunctive":
-                ids, scores = score_conjunctive(
-                    terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
-                )
-            elif mode == "phrase":
-                ids, scores = score_phrase(
-                    terms, blocks, idf_map, k1, b, avgdl, k_eff
-                )
-            else:
-                ids, scores = score_disjunctive(
-                    terms, blocks, idf_map, k1, b, avgdl, k_eff, prune=prune
-                )
+            ids, scores = _score_blocks(
+                mode, sorted(set(terms)), list(terms), blocks, idf_map,
+                avgdl, k_eff, prune,
+            )
             return pd.DataFrame(
                 {"query_id": qid, "doc_id": ids, "score": scores}
             )

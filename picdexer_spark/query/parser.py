@@ -2,22 +2,30 @@
 
 The reference's discover panel (internal/setup/assets/kibana.ndjson:8)
 feeds a Kibana kuery string to ES. The subset picdexer users actually type
-over an analyzed text field is flat: bare words (OR semantics, kuery's
-default for analyzed matches) or `AND`-joined words (conjunction). This
-parser covers exactly that subset and refuses anything it cannot represent
-faithfully (mixed AND/OR, parentheses, field qualifiers) rather than
-guessing.
+over an analyzed text field: bare words (OR semantics, kuery's default for
+analyzed matches), `AND`-joined words (conjunction), one whole-query quoted
+phrase, and — via :func:`parse_kuery` — `field:value` exact-match filters
+(the `lang:en` construct) ANDed with the scored text query. Anything the
+subset cannot represent faithfully (mixed AND/OR, parentheses, nested
+quotes) is refused rather than guessed.
 
-Every word goes through the SAME analyzer as indexed text
+Every bare word goes through the SAME analyzer as indexed text
 (functions/tokenize.py), so `Batch,` matches the indexed term `batch` —
-query-side and index-side analysis agree, the Lucene contract.
+query-side and index-side analysis agree, the Lucene contract. Filter
+VALUES are not analyzed (they match stored docs-table columns exactly,
+the kuery keyword-field behavior).
 """
 
 from __future__ import annotations
 
+import re
+
 from picdexer_spark.functions.tokenize import tokenize_py
 
 _OPS = ("AND", "OR")
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 
 
 def parse_query_string(q: str) -> tuple[list[str], str]:
@@ -52,3 +60,53 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
     words = [w for w in raw if w.upper() not in _OPS]
     terms = [t for w in words for t in tokenize_py(w)]
     return terms, mode
+
+
+def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
+    """Full kuery-lite: 'lang:en batch OR vector' ->
+    ([batch, vector], disjunctive, [(lang, en)]).
+
+    `field:value` tokens become exact-match filters (ANDed with each other
+    and with the scored text part — the kuery top-level-AND convention);
+    the remaining bare words follow :func:`parse_query_string` rules, or
+    may be one quoted phrase. Values may be quoted (`lang:"en"`). Raises
+    ValueError on parentheses, nested/mixed quoting, or mixed AND/OR.
+    """
+    if q is None or not q.strip():
+        return [], "disjunctive", []
+    if "(" in q or ")" in q:
+        raise ValueError("parentheses are not supported by kuery-lite")
+    toks = _TOKEN_RE.findall(q.strip())
+    filters: list[tuple[str, str]] = []
+    rest: list[str] = []
+    for t in toks:
+        m = None if t.startswith('"') else _FIELD_RE.match(t)
+        if m:
+            f, v = m.groups()
+            if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+                v = v[1:-1]
+            if '"' in v:
+                raise ValueError(f"unsupported filter value in {t!r}")
+            filters.append((f, v))
+        else:
+            rest.append(t)
+    if any('"' in t for t in rest):
+        # the scored remainder may be exactly ONE whole quoted phrase
+        if len(rest) != 1 or not (
+            rest[0].startswith('"') and rest[0].endswith('"')
+            and '"' not in rest[0][1:-1] and len(rest[0]) >= 2
+        ):
+            raise ValueError(
+                "quotes are only supported as one whole quoted phrase"
+            )
+        return tokenize_py(rest[0][1:-1]), "phrase", filters
+    ops = {w.upper() for w in rest if w.upper() in _OPS}
+    if ops == {"AND"}:
+        mode = "conjunctive"
+    elif ops <= {"OR"}:
+        mode = "disjunctive"
+    else:
+        raise ValueError("mixed AND/OR is not supported by kuery-lite")
+    words = [w for w in rest if w.upper() not in _OPS]
+    terms = [t for w in words for t in tokenize_py(w)]
+    return terms, mode, filters

@@ -50,6 +50,16 @@ def block_ub_vec(max_tf: np.ndarray, min_dl: np.ndarray, idf: float,
     return idf * (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))
 
 
+def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership mask of `values` in a SORTED array (searchsorted — no
+    hashing, no Python sets)."""
+    if sorted_set.size == 0:
+        return np.zeros(values.size, bool)
+    j = np.searchsorted(sorted_set, values)
+    jc = np.clip(j, 0, sorted_set.size - 1)
+    return (j < sorted_set.size) & (sorted_set[jc] == values)
+
+
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Exact top-k with (score desc, doc_id asc) tie-break."""
     if doc_ids.size == 0:
@@ -184,8 +194,15 @@ def score_conjunctive(
     avgdl: float,
     k: int,
     prune: bool = True,
+    allowed: np.ndarray | None = None,
 ):
     """Exact conjunctive (AND) top-k within one scoring group.
+
+    `allowed`: optional SORTED uint64 doc_id whitelist (a pushed docs-table
+    filter, e.g. kuery `lang:en`) — only whitelisted docs enter the top-k.
+    Scoring statistics stay corpus-wide (the ES filter-context contract),
+    and all pruning stays exact: block upper bounds bound every doc,
+    including the allowed ones.
 
     Two pruning layers, both exact:
     1. block-range: a driver block survives only if EVERY other term has at
@@ -263,6 +280,8 @@ def score_conjunctive(
             per_term_tf[t] = (tfs, dls)
             if not mask.any():
                 break
+        if allowed is not None:
+            mask &= _in_sorted(cand, allowed)
         if not mask.any():
             continue
         cand = cand[mask]
@@ -287,8 +306,10 @@ def score_disjunctive(
     avgdl: float,
     k: int,
     prune: bool = True,
+    allowed: np.ndarray | None = None,
 ):
-    """Exact disjunctive (OR) top-k.
+    """Exact disjunctive (OR) top-k. `allowed`: optional sorted doc_id
+    whitelist, see score_conjunctive.
 
     prune=True: block-max segment pruning (doc-range segments whose summed
     ub cannot beat the running kth score are skipped — wins whenever term
@@ -317,6 +338,9 @@ def score_disjunctive(
         for t, ids, tfs, dls in parts:  # asc term order (pinned summation)
             pos = np.searchsorted(all_ids, ids)
             scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+        if allowed is not None:
+            keep = _in_sorted(all_ids, allowed)
+            all_ids, scores = all_ids[keep], scores[keep]
         return _topk(all_ids.astype(np.int64), scores, k)
 
     # segment sweep: doc-id space cut at every block boundary; per segment,
@@ -374,6 +398,9 @@ def score_disjunctive(
         for t, ids, tfs, dls in parts:  # parts already in asc term order
             pos = np.searchsorted(all_ids, ids)
             scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+        if allowed is not None:
+            keep = _in_sorted(all_ids, allowed)
+            all_ids, scores = all_ids[keep], scores[keep]
         top_ids = np.concatenate([top_ids, all_ids.astype(np.int64)])
         top_scores = np.concatenate([top_scores, scores])
         if top_ids.size > max(4 * k, 256):
@@ -392,8 +419,10 @@ def score_phrase(
     b: float,
     avgdl: float,
     k: int,
+    allowed: np.ndarray | None = None,
 ):
     """Exact phrase (match_phrase) top-k within one scoring group.
+    `allowed`: optional sorted doc_id whitelist, see score_conjunctive.
 
     Lucene PhraseQuery semantics, pinned for the oracle:
     - candidates = docs containing ALL phrase terms (conjunction);
@@ -441,6 +470,8 @@ def score_phrase(
         mask &= hit
         if not mask.any():
             return empty
+    if allowed is not None:
+        mask &= _in_sorted(cand, allowed)
     cand = cand[mask]
     cand_dl = cand_dl[mask]
     if cand.size == 0:
