@@ -16,13 +16,15 @@ cmd/assemble.go:98-162) fused with the index build its ES deployment performs:
                        pass yields lineage per input file and the dropped-row
                        total. Docs come out doc_id-ordered and are written
                        without further exchange.
-  stage C  tokenize    JVM-side split tokenizer + explode + LOCAL sort by
-                       (term, shard, doc) — whole-stage codegen + Tungsten
-                       sort, NO exchange (docs never span input partitions)
-  stage D  postings    map-side partial encode (run-length tf + delta+varint
-                       per partition-local (term, shard) run), then ONE hash
-                       exchange on (term, salt) carrying the COMPRESSED
-                       partial runs (~index-sized, not token-stream-sized),
+  stage C  tokenize    JVM-side split tokenizer -> array<string> per doc
+                       (whole-stage codegen; no explode, no sort, NO
+                       exchange — one row stays one document)
+  stage D  postings    map-side partial encode in Arrow (dictionary-encode
+                       tokens to int codes, numpy (code, doc) sort,
+                       run-length tf + delta+varint per chunk-local
+                       (term, shard) run), then ONE hash exchange on
+                       (term, salt) carrying the COMPRESSED partial runs
+                       (~index-sized, not token-stream-sized),
                        then a reducer-side merge/re-block -> BLOCK_SIZE
                        blocks with block-max metadata, parquet bloom filter
                        on term for query pruning. salt = doc_id div
@@ -67,11 +69,7 @@ from picdexer_spark.index.codec import (
     segmented_delta_decode,
     varint_decode,
 )
-from picdexer_spark.sources.catalog import (
-    DOCS_SCHEMA,
-    POSTINGS_SCHEMA,
-    IndexCatalog,
-)
+from picdexer_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
 
 
 @dataclass
@@ -249,15 +247,15 @@ def assign_doc_ids(
 # that exchange WAS the build (128 s of a 163 s 2-core build). Here the heavy
 # work happens BEFORE any exchange, inside the input partition:
 #
-#   1. JVM tokenize + explode + LOCAL Tungsten sort by (term, shard, doc
-#      [, pos]) — no exchange; every doc lives wholly in one input partition,
-#      so within a partition the sorted stream contains complete
-#      (term, doc) postings and complete per-partition (term, shard) runs;
-#   2. a mapInPandas pass run-length-aggregates tf/positions and
-#      varint-encodes each partition-local (term, shard) run as ONE partial
-#      row (delta+varint, ~2-4 B/posting) — fully vectorized across runs
-#      (encode the whole Arrow chunk's values in one numpy pass, slice the
-#      byte stream per run: codec.encode_concat);
+#   1. JVM tokenize only (codegen split+filter -> array<string> per doc) —
+#      no explode, no sort, no exchange; one row stays one document;
+#   2. a mapInArrow pass dictionary-encodes each ~10^4-doc Arrow batch's
+#      tokens to int32 codes (C++), sorts (code, doc) in numpy, run-length
+#      aggregates tf/positions, and varint-encodes each chunk-local
+#      (term, shard) run as ONE partial row (delta+varint, ~2-4 B/posting)
+#      — vectorized across runs (encode the whole chunk's values in one
+#      numpy pass, slice the byte stream per run: codec.encode_concat);
+#      token strings never materialize as Python objects;
 #   3. the ONLY full-data exchange now carries those compressed partial
 #      runs — roughly the final index size instead of the raw token stream
 #      (~10x fewer rows, ~10x fewer bytes);
@@ -310,63 +308,106 @@ def _carry_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield carry
 
 
-def _make_partial_encoder(with_positions: bool):
-    """mapInPandas factory: sorted (term, shard_id, doc_id[, pos]) token
-    rows -> one encoded partial run per partition-local (term, shard)."""
+def _make_arrow_partial_encoder(shard_range: int, with_positions: bool):
+    """mapInArrow factory: (doc_id, doc_len, tokens array<string>) rows ->
+    encoded partial runs, never materializing a Python string per token.
 
-    def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].to_numpy()
-        shard = pdf["shard_id"].to_numpy(np.int64)
-        doc = pdf["doc_id"].to_numpy(np.int64)
-        dl = pdf["dl"].to_numpy(np.uint64)
-        nrows = term.size
-        # posting boundaries: (term, doc) change points (shard is a pure
-        # function of doc, so it never splits a posting)
-        new_post = np.empty(nrows, bool)
+    Why Arrow and not explode+sort+mapInPandas: at 2 cores the explode
+    formulation spent the posting phase on a JVM Tungsten sort of ~10^8
+    (term, doc) STRING rows plus the pandas conversion's 10^8 PyObject
+    strings. Here the JVM does only the codegen tokenizer (no explode, no
+    sort); each Arrow batch (~10^4 docs = ~2*10^6 tokens) is processed as
+    one chunk: `dictionary_encode` maps tokens to int32 codes at C++ speed,
+    the (code, doc) sort is a numpy lexsort on integers, and term strings
+    surface only once per RUN (vocab-sized), not once per token. Chunks
+    always hold whole documents (a row is a whole doc), so partial runs
+    from different chunks never share a (term, doc) posting — the merge
+    stage's concatenation-sort invariant holds.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([
+        ("term", pa.string()), ("shard_id", pa.int64()),
+        ("first_doc", pa.int64()), ("n", pa.int32()),
+        ("doc_ids_enc", pa.binary()), ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()), ("pos_deltas_enc", pa.binary()),
+    ])
+
+    def _encode_batch(rb: "pa.RecordBatch"):
+        idx = {n: i for i, n in enumerate(rb.schema.names)}
+        doc = rb.column(idx["doc_id"]).to_numpy(zero_copy_only=False)
+        dl = rb.column(idx["doc_len"]).to_numpy(zero_copy_only=False)
+        toks = rb.column(idx["tokens"])
+        if len(doc) == 0:
+            return None
+        lens = pc.list_value_length(toks).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        total = len(flat)
+        if total == 0:
+            return None
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc, lens)
+        dl_rep = np.repeat(dl, lens)
+        tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(tok_starts, lens)
+        order = np.lexsort((doc_rep, codes))  # by code, then doc; stable
+        c = codes[order]
+        d = doc_rep[order]
+        dd = dl_rep[order]
+        # posting boundaries: (code, doc) change points
+        new_post = np.empty(total, bool)
         new_post[0] = True
-        new_post[1:] = (doc[1:] != doc[:-1]) | (term[1:] != term[:-1])
+        new_post[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
         p_starts = np.flatnonzero(new_post)
         m = p_starts.size
-        tf = np.diff(np.append(p_starts, nrows)).astype(np.uint64)
-        p_doc = doc[p_starts].astype(np.uint64)
-        p_dl = dl[p_starts]
-        p_term = term[p_starts]
-        p_shard = shard[p_starts]
-        # run boundaries: (term, shard) change points at posting level
+        tf = np.diff(np.append(p_starts, total)).astype(np.uint64)
+        p_doc = d[p_starts].astype(np.uint64)
+        p_dl = dd[p_starts].astype(np.uint64)
+        p_code = c[p_starts]
+        p_shard = d[p_starts] // shard_range
         new_run = np.empty(m, bool)
         new_run[0] = True
-        new_run[1:] = (p_shard[1:] != p_shard[:-1]) | (p_term[1:] != p_term[:-1])
+        new_run[1:] = (p_shard[1:] != p_shard[:-1]) | (p_code[1:] != p_code[:-1])
         r_starts = np.flatnonzero(new_run)
         r_counts = np.diff(np.append(r_starts, m))
-        # doc-id deltas with per-run resets (first delta vs first_doc = 0)
-        d = np.empty(m, np.uint64)
+        dlt = np.empty(m, np.uint64)
         if m > 1:
-            d[1:] = p_doc[1:] - p_doc[:-1] - np.uint64(1)
-        d[r_starts] = np.uint64(0)
-        out = {
-            "term": p_term[r_starts],
-            "shard_id": p_shard[r_starts],
-            "first_doc": p_doc[r_starts].astype(np.int64),
-            "n": r_counts.astype(np.int32),
-            "doc_ids_enc": encode_concat(d, r_counts),
-            "tfs_enc": encode_concat(tf - np.uint64(1), r_counts),
-            "dls_enc": encode_concat(p_dl, r_counts),
-        }
+            dlt[1:] = p_doc[1:] - p_doc[:-1] - np.uint64(1)
+        dlt[r_starts] = np.uint64(0)
         if with_positions:
-            pos = pdf["pos"].to_numpy(np.uint64)
-            e = np.empty(nrows, np.uint64)
-            if nrows > 1:
-                e[1:] = pos[1:] - pos[:-1] - np.uint64(1)
-            e[p_starts] = pos[p_starts]
+            p = pos[order]
+            e = np.empty(total, np.uint64)
+            if total > 1:
+                e[1:] = (p[1:] - p[:-1] - 1).astype(np.uint64)
+            e[p_starts] = p[p_starts].astype(np.uint64)
             tok_per_run = np.add.reduceat(tf.astype(np.int64), r_starts)
-            out["pos_deltas_enc"] = encode_concat(e, tok_per_run)
+            pos_col = pa.array(encode_concat(e, tok_per_run), pa.binary())
         else:
-            out["pos_deltas_enc"] = [None] * int(r_counts.size)
-        return pd.DataFrame(out)
+            pos_col = pa.nulls(int(r_counts.size), pa.binary())
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(vocab[p_code[r_starts]], pa.string()),
+                pa.array(p_shard[r_starts], pa.int64()),
+                pa.array(p_doc[r_starts].astype(np.int64), pa.int64()),
+                pa.array(r_counts.astype(np.int32), pa.int32()),
+                pa.array(encode_concat(dlt, r_counts), pa.binary()),
+                pa.array(encode_concat(tf - np.uint64(1), r_counts),
+                         pa.binary()),
+                pa.array(encode_concat(p_dl, r_counts), pa.binary()),
+                pos_col,
+            ],
+            schema=out_schema,
+        )
 
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for chunk in _carry_chunks(batches):
-            yield _encode_chunk(chunk)
+    def encode_partition(batches):
+        for rb in batches:
+            out = _encode_batch(rb)
+            if out is not None:
+                yield out
 
     return encode_partition
 
@@ -471,23 +512,15 @@ def _make_merge_encoder(block_size: int, with_positions: bool):
 def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Stages C+D: docs -> final posting blocks with ONE exchange whose
     volume is the compressed partial runs (~index-sized), per the pipeline
-    comment above."""
-    if cfg.store_positions:
-        toks = docs.select(
-            "doc_id", F.col("doc_len").alias("dl"),
-            F.posexplode(tokens_col("text")).alias("pos", "term"),
-        )
-        sort_keys = ["term", "shard_id", "doc_id", "pos"]
-    else:
-        toks = docs.select(
-            "doc_id", F.col("doc_len").alias("dl"),
-            F.explode(tokens_col("text")).alias("term"),
-        )
-        sort_keys = ["term", "shard_id", "doc_id"]
-    toks = toks.withColumn("shard_id", F.expr(f"doc_id div {cfg.shard_range}"))
-    partials = (
-        toks.sortWithinPartitions(*sort_keys)  # local Tungsten sort, no exchange
-        .mapInPandas(_make_partial_encoder(cfg.store_positions), PARTIAL_SCHEMA)
+    comment above. The map side ships token ARRAYS (one row per doc)
+    straight into the Arrow partial encoder — no explode, no JVM sort, no
+    per-token Python objects."""
+    toks = docs.select(
+        "doc_id", "doc_len", tokens_col("text").alias("tokens")
+    )
+    partials = toks.mapInArrow(
+        _make_arrow_partial_encoder(cfg.shard_range, cfg.store_positions),
+        PARTIAL_SCHEMA,
     )
     return (
         partials.repartition("term", "shard_id")

@@ -90,9 +90,11 @@ def test_encode_postings_partial_encode_below_single_exchange(spark, built):
         # (= physically below) the Exchange line
         pre, _, post = s.partition("Exchange")
         assert "MapInPandas" in pre, s   # reducer-side merge above
-        assert "MapInPandas" in post, s  # partial encoder below (map-side)
-        # and the local sort feeding it must not be a global Sort
-        assert "Sort" in post, s
+        assert "MapInArrow" in post, s   # partial encoder below (map-side)
+        # no sort and no explode below the exchange: the map side is
+        # tokenize -> Arrow encoder, nothing else
+        assert "Sort" not in post, s
+        assert "Generate" not in post, s
 
 
 def test_search_plan_shuffles_only_candidates(spark, built):
