@@ -466,6 +466,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "embeddings"), "vec_id", "embedding",
         centroid_ids=IVF_CENTROIDS, query_ids=[0, 1, 2], k=10, n_probe=4,
     )
+    def ann_ivf_kmeans_topk(s, d):
+        # trained coarse quantizer: 2 Lloyd's rounds of spherical k-means
+        # (assign by cosine, mean update, empty cell keeps its centroid)
+        # seeded from IVF_CENTROIDS, then the same quantize/probe/rescore
+        emb = _tbl(s, d, "embeddings")
+        cents = sim.kmeans_centroids(emb, "vec_id", "embedding",
+                                     IVF_CENTROIDS, n_iter=2)
+        return sim.ivf_topk(emb, "vec_id", "embedding",
+                            centroid_ids=IVF_CENTROIDS, query_ids=[0, 1, 2],
+                            k=10, n_probe=4, centroids=cents)
+    q["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
+
     q["ann_dedup_survivors"] = lambda s, d: sim.near_dup_survivors(
         _tbl(s, d, "embeddings"), "vec_id", "embedding", dim=64,
         threshold=0.2,
@@ -940,6 +952,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.embedding, c.ord,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY {COSQ} DESC, c.ord ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) e
+            CROSS JOIN cvec c)
+          WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.embedding::DOUBLE[], p.qvec::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(p.qvec::DOUBLE[], p.qvec::DOUBLE[]))), 6) AS cos_sim
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id != p.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+    # IVF with a TRAINED quantizer: 2 Lloyd's rounds unrolled as chained
+    # CTEs (no recursion needed for a fixed iteration count) — assignment
+    # by cosine (ties -> lowest cell), element-wise mean update over the
+    # 64 dims, empty cells keep their previous centroid; then the same
+    # probe/rescore as ann_ivf_topk. Validates the TRAINING, not just the
+    # probe.
+    def _km_round(prev: str, n: str) -> str:
+        return f"""
+        assign{n} AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN {prev} c)
+          WHERE rn = 1),
+        means{n} AS (
+          SELECT cell, list(m ORDER BY dim) AS cv FROM (
+            SELECT a.cell, t.dim, avg(a.embedding[t.dim]::DOUBLE) AS m
+            FROM assign{n} a CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) t
+            GROUP BY a.cell, t.dim)
+          GROUP BY cell),
+        km{n} AS (
+          SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN means{n} m USING (cell))"""
+
+    o["ann_ivf_kmeans_topk"] = f"""
+        WITH cents(cell, cid) AS (VALUES {cent_values}),
+        km0 AS (SELECT c.cell, e.embedding::DOUBLE[] AS cv
+                FROM cents c JOIN embeddings e ON e.vec_id = c.cid),
+        {_km_round('km0', '1')},
+        {_km_round('km1', '2')},
+        cvec AS (SELECT cell AS ord, cv FROM km2),
+        assign AS (
+          SELECT vec_id, embedding, ord AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.ord,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.ord ASC) AS rn
+            FROM embeddings e CROSS JOIN cvec c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qvec, ord AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.ord,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.ord ASC) AS rn
             FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) e
             CROSS JOIN cvec c)
           WHERE rn <= 4),

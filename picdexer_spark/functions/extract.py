@@ -79,7 +79,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     bytes -> text between <article>...</article>, entities unescaped.
     Unparsable html (no article element) -> None.
     """
-    s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    s = html.str.decode("utf-8", errors="replace")  # vectorized, null-safe
     # (?s): article bodies span newlines — without DOTALL any page whose
     # text contains '\n' silently fails extraction, breaking the pinned
     # extract(wrap(text)) == text byte-identity invariant

@@ -77,6 +77,74 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed_ids: list[int],
+    n_iter: int = 2,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) over an embedding column — the trained
+    coarse quantizer for :func:`ivf_topk` (which is training-free by
+    default; pass these centroids to make recall tunable without changing
+    any plan shape).
+
+    Pinned semantics (mirrored by the DuckDB oracle and the numpy
+    reference in tests):
+    - init: centroids = the vectors with ``seed_ids``, in that order;
+    - assign: cell = argmax cosine(vector, centroid), ties -> lowest cell;
+    - update: centroid = element-wise MEAN of assigned vectors (cosine
+      assignment makes normalization immaterial); an empty cell keeps its
+      previous centroid;
+    - ``n_iter`` assign+update rounds, deterministic throughout.
+
+    Scale shape: each round is one job — per-dimension partial sums
+    (posexplode -> groupBy(cell, dim), map-side combine collapses to
+    k*d rows before the exchange) and only the k*d centroid matrix ever
+    reaches the driver. At 10^9 vectors the per-round shuffle is k*d rows.
+    """
+    cent_rows = {
+        r[0]: [float(x) for x in r[1]]
+        for r in df.filter(F.col(id_col).isin(seed_ids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cents = [cent_rows[s] for s in seed_ids]
+    for _ in range(n_iter):
+        cos_arr = F.array(*[
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            / (_norm(F.col(vec_col))
+               * F.lit(float(np.sqrt(np.dot(c, c)))))
+            for c in cents
+        ])
+        # 1-based argmax, ties -> first (lowest cell ordinal)
+        cell = F.array_position(cos_arr, F.array_max(cos_arr))
+        sums = (
+            df.select(cell.alias("cell"),
+                      F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"),
+                 F.count("*").alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]) - 1, {})[int(r["dim"])] = (
+                float(r["s"]), int(r["c"])
+            )
+        new_cents = []
+        for j, old in enumerate(cents):
+            got = by_cell.get(j)
+            if not got:
+                new_cents.append(old)  # empty cell keeps its centroid
+            else:
+                new_cents.append(
+                    [got[d][0] / got[d][1] for d in range(len(old))]
+                )
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -85,9 +153,12 @@ def ivf_topk(
     query_ids: list[int],
     k: int = 10,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize every vector to its nearest
     centroid cell, search only the query's ``n_probe`` nearest cells.
+    ``centroids`` (e.g. from :func:`kmeans_centroids`) overrides the
+    training-free ``centroid_ids`` quantizer without changing plan shape.
 
     The scale path past brute force: at 10^9 vectors the exact scan touches
     everything; IVF touches n_probe/n_cells of it. The quantizer here is
@@ -101,13 +172,16 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cos_sim, rank) — approximate: a true
     neighbor living in an unprobed cell is missed, the IVF recall contract.
     """
-    cent_rows = {
-        r[0]: list(r[1])
-        for r in df.filter(F.col(id_col).isin(centroid_ids))
-        .select(id_col, vec_col)
-        .collect()
-    }
-    cents = [cent_rows[c] for c in centroid_ids]
+    if centroids is not None:
+        cents = [list(c) for c in centroids]
+    else:
+        cent_rows = {
+            r[0]: list(r[1])
+            for r in df.filter(F.col(id_col).isin(centroid_ids))
+            .select(id_col, vec_col)
+            .collect()
+        }
+        cents = [cent_rows[c] for c in centroid_ids]
 
     def cos_to(cvec: list) -> F.Column:
         arr = F.array(*[F.lit(float(x)) for x in cvec])

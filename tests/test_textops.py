@@ -213,3 +213,64 @@ def test_token_counts_null_text(spark):
     got = {r["doc_id"]: r for r in tx.token_counts(df, "doc_id", "text").collect()}
     assert (got[0]["n_ws"], got[0]["n_pieces"], got[0]["n_subwords"]) == (0, 0, 0)
     assert got[1]["n_ws"] == 2
+
+
+def test_kmeans_centroids_matches_numpy_reference(spark):
+    """Spherical k-means (assign by cosine, mean update, empty cell keeps
+    its centroid) must match a straightforward numpy implementation of the
+    pinned semantics, and trained centroids must improve (or equal) the
+    quantizer's within-cell cosine vs the training-free seeds."""
+    import numpy as np
+    from picdexer_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((90, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = [0, 7, 21, 40]
+
+    def np_kmeans(n_iter):
+        v = vecs.astype(np.float64)
+        cents = [v[s].copy() for s in seeds]
+        for _ in range(n_iter):
+            c = np.stack(cents)
+            cos = (v @ c.T) / (
+                np.linalg.norm(v, axis=1)[:, None]
+                * np.linalg.norm(c, axis=1)[None, :]
+            )
+            cell = np.argmax(cos, axis=1)  # ties -> lowest index
+            for j in range(len(cents)):
+                sel = v[cell == j]
+                if len(sel):
+                    cents[j] = sel.mean(axis=0)
+        return cents
+
+    for n_iter in (1, 2):
+        got = sim.kmeans_centroids(df, "vec_id", "embedding", seeds,
+                                   n_iter=n_iter)
+        want = np_kmeans(n_iter)
+        for g, w in zip(got, want):
+            assert np.allclose(np.array(g), w, rtol=1e-9, atol=1e-12)
+
+    # quality: mean within-cell cosine with trained centroids >= seeds'
+    def quality(cents):
+        c = np.stack([np.asarray(x, np.float64) for x in cents])
+        v = vecs.astype(np.float64)
+        cos = (v @ c.T) / (
+            np.linalg.norm(v, axis=1)[:, None]
+            * np.linalg.norm(c, axis=1)[None, :]
+        )
+        return cos.max(axis=1).mean()
+
+    trained = sim.kmeans_centroids(df, "vec_id", "embedding", seeds, n_iter=2)
+    assert quality(trained) >= quality([vecs[s].tolist() for s in seeds])
+
+    # trained centroids drop into ivf_topk unchanged; full-probe == exact
+    res = sim.ivf_topk(df, "vec_id", "embedding", centroid_ids=seeds,
+                       query_ids=[5], k=5, n_probe=len(seeds),
+                       centroids=trained).collect()
+    exact = sim.cosine_topk(df, "vec_id", "embedding", [5], k=5).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in res] == \
+           [(r["neighbor_id"], r["cos_sim"]) for r in exact]
