@@ -123,6 +123,11 @@ QSTRING_TERMS = ["batch", "vector", "spark"]
 FILTERED_QSTRING = "lang:de Batch, OR vector OR spark"
 FILTERED_LANG = "de"
 PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
+# prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
+# stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
+PREFIX_QSTRING = "s* OR dup"
+PREFIX_STEM = "s"
+PREFIX_BARE = ["dup"]
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
 
@@ -238,6 +243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(FILTERED_QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_filtered_querystring"] = bm25_filtered_querystring
+
+    def bm25_prefix_querystring(s, d):
+        # kuery trailing-* prefix: `s*` expands against the term dictionary
+        # (top_terms_N rewrite, df desc / term asc, capped at 50) and the
+        # expansion scores disjunctively with each term's own idf
+        # (scoring_boolean), OR'd with the bare term
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(PREFIX_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_prefix_querystring"] = bm25_prefix_querystring
 
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
@@ -519,6 +534,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         k=10,
     )
+    # prefix expansion computed IN SQL: the same top_terms_50 rewrite the
+    # engine pins (df desc, term asc, LIMIT cap) — the oracle validates the
+    # dictionary expansion, not just the scoring of a hardcoded term set
+    o["bm25_prefix_querystring"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        dfall AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        expand AS (SELECT term FROM dfall WHERE term LIKE '{PREFIX_STEM}%'
+                   ORDER BY df DESC, term ASC LIMIT 50),
+        qterms AS (SELECT term FROM expand
+                   UNION SELECT unnest([{sql_terms(PREFIX_BARE)}])),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN (SELECT term FROM qterms)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, df FROM dfall
+               WHERE term IN (SELECT term FROM qterms)),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+
     phrase_str = " ".join(PHRASE)
     o["bm25_phrase"] = f'''
         WITH tok AS (

@@ -229,17 +229,60 @@ class SearchEngine:
             )
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    #: Lucene top_terms_N rewrite cap for prefix expansion (ES default 50)
+    MAX_PREFIX_EXPANSIONS = 50
+
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int | None = None) -> list[str]:
+        """Terms in the dictionary starting with `prefix`, the
+        `max_expansions` highest-df ones (ties -> term asc) — the Lucene
+        `top_terms_N` multi-term rewrite (keeps the scored term set
+        bounded no matter how hot the prefix). Deterministic: both the
+        driver-cache and the distributed path order by (df desc, term asc).
+
+        Scale shape (web-scale vocab, no df cache): a filtered
+        term-dictionary scan — `startswith` pushes a StringStartsWith
+        filter to the parquet footer, so only row groups whose term range
+        overlaps the prefix load — then TakeOrdered(max_expansions)."""
+        n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
+            else max_expansions
+        if self._df_cache is not None:
+            hits = [(t, d) for t, d in self._df_cache.items()
+                    if t.startswith(prefix)]
+            hits.sort(key=lambda td: (-td[1], td[0]))
+            return [t for t, _ in hits[:n]]
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def search_query_string(self, q: str, k: int = 10,
                             prune: bool = True) -> DataFrame:
         """Search from a kuery-lite query string (the discover search box,
         reference kibana.ndjson:8): bare words = OR, 'AND'-joined =
-        conjunction, a quoted whole query = phrase, and `field:value`
-        tokens (lang:, url:) become exact-match docs-table filters ANDed
-        with the scored text query; words run through the index analyzer
-        (query/parser.py)."""
+        conjunction, a quoted whole query = phrase, `field:value` tokens
+        (lang:, url:) become exact-match docs-table filters ANDed with the
+        scored text query, and trailing-`*` words are prefix terms
+        (dictionary-expanded per :meth:`expand_prefix`, scored
+        disjunctively with each matched term's own idf — the Lucene
+        `scoring_boolean` contract over a `top_terms_N` expansion); words
+        run through the index analyzer (query/parser.py)."""
         from picdexer_spark.query.parser import parse_kuery
 
         terms, mode, filters = parse_kuery(q)
+        prefixes = [t[:-1] for t in terms if t.endswith("*")]
+        if prefixes:
+            # parser guarantees prefixes only reach here in OR context
+            bare = [t for t in terms if not t.endswith("*")]
+            expanded = {t for p in prefixes for t in self.expand_prefix(p)}
+            terms = sorted(expanded.union(bare))
+            if not terms:
+                # every prefix expanded to nothing and no bare terms
+                return self._empty()
         if filters:
             return self.search_filtered(terms, mode, filters, k, prune)
         return self.search(terms, mode, k, prune)

@@ -14,6 +14,15 @@ Every bare word goes through the SAME analyzer as indexed text
 query-side and index-side analysis agree, the Lucene contract. Filter
 VALUES are not analyzed (they match stored docs-table columns exactly,
 the kuery keyword-field behavior).
+
+Trailing-`*` words (`mach*`) are PREFIX terms (kuery/ES prefix query):
+the parser emits the analyzed stem with the `*` kept (`mach*`); the
+engine expands it against the term dictionary (Lucene `top_terms_N`
+rewrite — see SearchEngine.expand_prefix). Prefixes are OR-context only:
+with `AND` or inside a phrase they are refused, not guessed. A bare `*`
+is kuery match-all — it contributes no scored term (so `lang:en *` is
+the filter-only constant-score path). A `*` anywhere else in a word
+(mid-word wildcard) is refused.
 """
 
 from __future__ import annotations
@@ -26,6 +35,35 @@ _OPS = ("AND", "OR")
 
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+
+
+def _analyze_words(words: list[str], mode: str) -> list[str]:
+    """Analyze scored words; trailing-`*` words become `stem*` prefix terms
+    (OR context only), a bare `*` is match-all (drops out), any other `*`
+    placement is refused."""
+    terms: list[str] = []
+    for w in words:
+        if w == "*":
+            continue  # kuery match-all: no scored term
+        if w.endswith("*") and "*" not in w[:-1]:
+            if mode != "disjunctive":
+                raise ValueError(
+                    "prefix terms are only supported in OR context"
+                )
+            stem = tokenize_py(w[:-1])
+            if len(stem) != 1:
+                raise ValueError(
+                    f"prefix {w!r} must analyze to exactly one term"
+                )
+            terms.append(stem[0] + "*")
+        elif "*" in w:
+            raise ValueError(
+                f"mid-word wildcard {w!r} is not supported (trailing-* "
+                "prefix only)"
+            )
+        else:
+            terms.extend(tokenize_py(w))
+    return terms
 
 
 def parse_query_string(q: str) -> tuple[list[str], str]:
@@ -47,6 +85,8 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
         # refuse rather than silently degrade a phrase to OR terms)
         if (stripped.startswith('"') and stripped.endswith('"')
                 and '"' not in stripped[1:-1] and len(stripped) >= 2):
+            if "*" in stripped:
+                raise ValueError("wildcards inside a phrase are not supported")
             return tokenize_py(stripped[1:-1]), "phrase"
         raise ValueError("quotes are only supported as one whole-query phrase")
     raw = q.split()
@@ -58,8 +98,7 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
     else:
         raise ValueError("mixed AND/OR is not supported by kuery-lite")
     words = [w for w in raw if w.upper() not in _OPS]
-    terms = [t for w in words for t in tokenize_py(w)]
-    return terms, mode
+    return _analyze_words(words, mode), mode
 
 
 def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
@@ -81,12 +120,22 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
     rest: list[str] = []
     for t in toks:
         m = None if t.startswith('"') else _FIELD_RE.match(t)
+        if m is None and ":" in t and not t.startswith('"'):
+            # `lang:` / `:foo` — a malformed qualifier would otherwise be
+            # ANALYZED into a scored term (the ':' strips silently); refuse
+            raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
             if v.startswith('"') and v.endswith('"') and len(v) >= 2:
                 v = v[1:-1]
             if '"' in v:
                 raise ValueError(f"unsupported filter value in {t!r}")
+            if "*" in v:
+                # keyword filters are exact-match; a wildcard value would
+                # silently match nothing — refuse rather than guess
+                raise ValueError(
+                    f"wildcards in filter values are not supported ({t!r})"
+                )
             filters.append((f, v))
         else:
             rest.append(t)
@@ -99,6 +148,8 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
             raise ValueError(
                 "quotes are only supported as one whole quoted phrase"
             )
+        if "*" in rest[0]:
+            raise ValueError("wildcards inside a phrase are not supported")
         return tokenize_py(rest[0][1:-1]), "phrase", filters
     ops = {w.upper() for w in rest if w.upper() in _OPS}
     if ops == {"AND"}:
@@ -108,5 +159,4 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
     else:
         raise ValueError("mixed AND/OR is not supported by kuery-lite")
     words = [w for w in rest if w.upper() not in _OPS]
-    terms = [t for w in words for t in tokenize_py(w)]
-    return terms, mode, filters
+    return _analyze_words(words, mode), mode, filters

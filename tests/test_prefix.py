@@ -1,0 +1,95 @@
+"""kuery trailing-`*` prefix queries (ES/kuery prefix construct over the
+analyzed text field — the discover box `mach*` syntax).
+
+- parser accept/refuse boundaries for `*` placement;
+- expand_prefix: top_terms_N rewrite pinned (df desc, term asc, cap), and
+  the driver-cache path == the distributed term-dictionary path;
+- end-to-end: search_query_string over a prefix is bit-identical to
+  search() over the manually expanded term set (scoring_boolean — each
+  expanded term keeps its own idf).
+"""
+
+import pytest
+
+from picdexer_spark.fixtures.pages import gen_pages
+from picdexer_spark.index.build import IndexConfig, build_index
+from picdexer_spark.query.bm25 import SearchEngine
+from picdexer_spark.query.parser import parse_kuery, parse_query_string
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = gen_pages(N, seed=31)
+    idx = str(tmp_path_factory.mktemp("prefidx"))
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=128))
+    return idx
+
+
+def test_parser_prefix_boundaries():
+    assert parse_query_string("mach*") == (["mach*"], "disjunctive")
+    assert parse_query_string("Mach* OR batch") == (
+        ["mach*", "batch"], "disjunctive")
+    terms, mode, filters = parse_kuery("lang:en w1* vector")
+    assert (terms, mode, filters) == (["w1*", "vector"], "disjunctive",
+                                      [("lang", "en")])
+    # bare * is kuery match-all: contributes no scored term
+    assert parse_query_string("*") == ([], "disjunctive")
+    assert parse_kuery("lang:en *") == ([], "disjunctive", [("lang", "en")])
+    for bad in ("ma*ch", "a AND b*", '"part filter*"', "**"):
+        with pytest.raises(ValueError):
+            parse_kuery(bad)
+    with pytest.raises(ValueError):
+        parse_kuery("lang:e* batch")  # wildcard filter value
+    with pytest.raises(ValueError):
+        parse_kuery("lang: batch")  # dangling qualifier must not become a term
+
+
+def test_expand_prefix_order_cap_and_distributed_parity(spark, built):
+    eng = SearchEngine(spark, built)
+    assert eng._df_cache is not None
+    want_full = [t for t, _ in sorted(
+        ((t, d) for t, d in eng._df_cache.items() if t.startswith("w1")),
+        key=lambda td: (-td[1], td[0]))]
+    assert len(want_full) > 5  # non-degenerate: w1, w1x, w1xx...
+    assert eng.expand_prefix("w1") == want_full[:50]
+    assert eng.expand_prefix("w1", max_expansions=3) == want_full[:3]
+    assert eng.expand_prefix("zzznope") == []
+    # distributed path (no df cache) must agree exactly
+    dist = SearchEngine(spark, built, preload_stats_max_terms=0)
+    assert dist._df_cache is None
+    assert dist.expand_prefix("w1") == want_full[:50]
+    assert dist.expand_prefix("w1", max_expansions=3) == want_full[:3]
+
+
+def test_prefix_search_matches_manual_expansion(spark, built):
+    eng = SearchEngine(spark, built)
+    expanded = eng.expand_prefix("w1")
+    want = eng.search(sorted(set(expanded + ["w2"])), "disjunctive", 10) \
+        .collect()
+    got = eng.search_query_string("w1* OR w2", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    # all-miss prefix alone -> empty; with a bare term -> just that term
+    assert eng.search_query_string("zzznope*", 10).count() == 0
+    got2 = eng.search_query_string("zzznope* OR w2", 10).collect()
+    want2 = eng.search(["w2"], "disjunctive", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] == \
+           [(r["doc_id"], r["score"]) for r in want2]
+
+
+def test_prefix_with_filter(spark, built):
+    """`lang:xx w1*` — expansion composes with the cogrouped filter path."""
+    eng = SearchEngine(spark, built)
+    expanded = eng.expand_prefix("w1")
+    langs = [r["lang"] for r in
+             eng.cat.read_live_docs(spark, eng.snapshot_id)
+             .select("lang").distinct().collect()]
+    lang = sorted(l for l in langs if l)[0]  # '' lang can't round-trip kuery
+    want = eng.search_filtered(expanded, "disjunctive",
+                               [("lang", lang)], 10).collect()
+    got = eng.search_query_string(f"lang:{lang} w1*", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
