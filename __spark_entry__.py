@@ -128,6 +128,13 @@ PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 PREFIX_QSTRING = "s* OR dup"
 PREFIX_STEM = "s"
 PREFIX_BARE = ["dup"]
+# discover time-picker + negated filter + query bar, all in one kuery
+# string; entry warc_ts = 2024-01-01 + doc_id seconds, so the cut below is
+# exactly doc_id >= 120 in the oracle
+RANGE_QSTRING = ('warc_ts >= "2024-01-01 00:02:00" NOT lang:de '
+                 "Batch, OR vector OR spark")
+RANGE_CUT_DOC_ID = 120
+RANGE_NOT_LANG = "de"
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
 
@@ -253,6 +260,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(PREFIX_QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_prefix_querystring"] = bm25_prefix_querystring
+
+    def bm25_range_querystring(s, d):
+        # KQL range + NOT: `warc_ts >= ts` (discover time-picker) and
+        # `NOT lang:de` (must_not — null-safe) compiled into the cogrouped
+        # filter whitelist; BM25 stats stay corpus-wide
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(RANGE_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_range_querystring"] = bm25_range_querystring
 
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
@@ -531,6 +547,18 @@ def oracle_sql() -> dict[str, str]:
         terms=sql_terms(QSTRING_TERMS),
         conj_filter=(
             f"JOIN documents USING (doc_id) WHERE lang = '{FILTERED_LANG}'"
+        ),
+        k=10,
+    )
+    # range + NOT ride the same post-scoring slot: warc_ts is
+    # 2024-01-01 + doc_id sec by construction, so the >= cut is a doc_id
+    # bound; IS DISTINCT FROM mirrors the engine's null-safe must_not
+    o["bm25_range_querystring"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS),
+        conj_filter=(
+            f"JOIN documents USING (doc_id) "
+            f"WHERE doc_id >= {RANGE_CUT_DOC_ID} "
+            f"AND lang IS DISTINCT FROM '{RANGE_NOT_LANG}'"
         ),
         k=10,
     )

@@ -289,6 +289,51 @@ class SearchEngine:
 
     #: docs-table fields a kuery `field:value` may filter on (exact match)
     FILTER_FIELDS = ("lang", "url")
+    #: typed docs-table fields usable with KQL range operators
+    RANGE_FILTER_FIELDS = ("warc_ts",)
+
+    def _filter_cond(self, filters) -> F.Column:
+        """Compile kuery filters — (field, value) 2-tuples (implied '=')
+        or (field, op, value) 3-tuples with op in = != >= <= > < — into
+        one AND condition over docs-table columns.
+
+        '!=' is NULL-SAFE (ES must_not: a doc missing the field matches);
+        range values parse driver-side via ISO-8601 so a bad timestamp is
+        a clean ValueError here, not an executor-side ANSI cast error."""
+        from datetime import datetime
+
+        cond = F.lit(True)
+        for flt in filters:
+            f, op, v = flt if len(flt) == 3 else (flt[0], "=", flt[1])
+            if op in (">=", "<=", ">", "<"):
+                if f not in self.RANGE_FILTER_FIELDS:
+                    raise ValueError(
+                        f"unsupported range filter field {f!r} "
+                        f"(supported: {self.RANGE_FILTER_FIELDS})"
+                    )
+                try:
+                    datetime.fromisoformat(v)
+                except ValueError:
+                    raise ValueError(
+                        f"unparsable ISO-8601 timestamp {v!r} for {f!r}"
+                    ) from None
+                ts = F.lit(v).cast("timestamp")
+                col = F.col(f)
+                cond = cond & {
+                    ">=": col >= ts, "<=": col <= ts,
+                    ">": col > ts, "<": col < ts,
+                }[op]
+            elif op in ("=", "!="):
+                if f not in self.FILTER_FIELDS:
+                    raise ValueError(
+                        f"unsupported filter field {f!r} "
+                        f"(supported: {self.FILTER_FIELDS})"
+                    )
+                eq = F.col(f).eqNullSafe(F.lit(v))
+                cond = cond & (eq if op == "=" else ~eq)
+            else:
+                raise ValueError(f"unsupported filter op {op!r}")
+        return cond
 
     def search_filtered(
         self,
@@ -298,11 +343,13 @@ class SearchEngine:
         k: int = 10,
         prune: bool = True,
     ) -> DataFrame:
-        """Top-k (doc_id, score) over docs matching ALL `filters`
-        ([(field, value)] exact matches on docs-table columns — the kuery
-        `lang:en` discover-panel construct). BM25 statistics stay
-        corpus-wide (the ES filter-context contract: filters restrict
-        candidates, never reweight scores).
+        """Top-k (doc_id, score) over docs matching ALL `filters` —
+        (field, value) exact matches, or (field, op, value) with op in
+        `= != >= <= > <` (the kuery `lang:en`, `NOT lang:de` and
+        `warc_ts >= "..."` discover-panel constructs; '!=' is ES must_not:
+        docs missing the field match). BM25 statistics stay corpus-wide
+        (the ES filter-context contract: filters restrict candidates,
+        never reweight scores).
 
         Plan: the candidate posting blocks and the filtered doc_ids are
         COGROUPED by shard — the whitelist never leaves the cluster and is
@@ -310,12 +357,7 @@ class SearchEngine:
         selection, so results are exact at any filter selectivity."""
         if not filters:
             return self.search(terms, mode, k, prune)
-        for f, _v in filters:
-            if f not in self.FILTER_FIELDS:
-                raise ValueError(
-                    f"unsupported filter field {f!r} "
-                    f"(supported: {self.FILTER_FIELDS})"
-                )
+        cond = self._filter_cond(filters)  # validates fields/ops/values
         if mode not in ("conjunctive", "disjunctive", "phrase"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "phrase" and not self.has_positions:
@@ -323,9 +365,6 @@ class SearchEngine:
                 "phrase search needs an index built with "
                 "store_positions=True (this snapshot has positions=False)"
             )
-        cond = F.lit(True)
-        for f, v in filters:
-            cond = cond & (F.col(f) == F.lit(v))
         live = self.cat.read_live_docs(self.spark, self.snapshot_id)
         uniq = sorted(set(terms))
         if not uniq:

@@ -15,6 +15,11 @@ query-side and index-side analysis agree, the Lucene contract. Filter
 VALUES are not analyzed (they match stored docs-table columns exactly,
 the kuery keyword-field behavior).
 
+`NOT field:value` negates a filter (ES must_not — docs missing the field
+match), and `field >= value` / `<=` / `>` / `<` (space-separated, KQL
+range syntax) become typed range filters (the discover time-picker
+construct over `warc_ts`). Both are filter-context only.
+
 Trailing-`*` words (`mach*`) are PREFIX terms (kuery/ES prefix query):
 the parser emits the analyzed stem with the `*` kept (`mach*`); the
 engine expands it against the term dictionary (Lucene `top_terms_N`
@@ -74,9 +79,15 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
     """
     if q is None or not q.strip():
         return [], "disjunctive"
-    if any(ch in q for ch in "():"):
+    if any(ch in q for ch in "():<>="):
         raise ValueError(
-            "unsupported query-string construct (parentheses/field qualifier)"
+            "unsupported query-string construct (parentheses/field "
+            "qualifier/range — use parse_kuery for qualifiers and ranges)"
+        )
+    if any(w.upper() == "NOT" for w in q.split()):
+        raise ValueError(
+            "NOT is only supported before a field:value qualifier "
+            "(parse_kuery)"
         )
     stripped = q.strip()
     if '"' in stripped:
@@ -101,44 +112,94 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
     return _analyze_words(words, mode), mode
 
 
-def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str]]]:
-    """Full kuery-lite: 'lang:en batch OR vector' ->
-    ([batch, vector], disjunctive, [(lang, en)]).
+_RANGE_OPS = (">=", "<=", ">", "<")
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-    `field:value` tokens become exact-match filters (ANDed with each other
-    and with the scored text part — the kuery top-level-AND convention);
-    the remaining bare words follow :func:`parse_query_string` rules, or
-    may be one quoted phrase. Values may be quoted (`lang:"en"`). Raises
-    ValueError on parentheses, nested/mixed quoting, or mixed AND/OR.
+
+def _unquote_value(v: str, tok: str) -> str:
+    if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+        v = v[1:-1]
+    if '"' in v:
+        raise ValueError(f"unsupported filter value in {tok!r}")
+    if "*" in v:
+        # keyword filters are exact-match; a wildcard value would
+        # silently match nothing — refuse rather than guess
+        raise ValueError(
+            f"wildcards in filter values are not supported ({tok!r})"
+        )
+    return v
+
+
+def _match_qualifier(tok: str):
+    return None if tok.startswith('"') else _FIELD_RE.match(tok)
+
+
+def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
+    """Full kuery-lite: 'lang:en batch OR vector' ->
+    ([batch, vector], disjunctive, [(lang, '=', en)]).
+
+    Filters are (field, op, value) 3-tuples ANDed with each other and with
+    the scored text part (the kuery top-level-AND convention):
+    - `field:value`            -> (field, '=',  value)   exact keyword match
+    - `NOT field:value`        -> (field, '!=', value)   ES must_not — docs
+      MISSING the field match too (null-safe inequality engine-side)
+    - `field >= value` (also <=, >, <; space-separated, the KQL range
+      syntax)                  -> (field, '>=', value)
+    The remaining bare words follow :func:`parse_query_string` rules, or
+    may be one quoted phrase. Values may be quoted (`lang:"en"`,
+    `warc_ts >= "2024-01-01 00:00:00"`). Raises ValueError on parentheses,
+    nested/mixed quoting, mixed AND/OR, `NOT` anywhere but before a
+    qualifier, glued range syntax (`f>=v`), or a dangling range operator —
+    each of these would otherwise silently analyze into scored terms.
     """
     if q is None or not q.strip():
         return [], "disjunctive", []
     if "(" in q or ")" in q:
         raise ValueError("parentheses are not supported by kuery-lite")
     toks = _TOKEN_RE.findall(q.strip())
-    filters: list[tuple[str, str]] = []
+    filters: list[tuple[str, str, str]] = []
     rest: list[str] = []
-    for t in toks:
-        m = None if t.startswith('"') else _FIELD_RE.match(t)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not t.startswith('"') and t.upper() == "NOT":
+            m2 = _match_qualifier(toks[i + 1]) if i + 1 < len(toks) else None
+            if not m2:
+                raise ValueError(
+                    "NOT is only supported before a field:value qualifier "
+                    '(to search the word "not", quote it as a phrase)'
+                )
+            f, v = m2.groups()
+            filters.append((f, "!=", _unquote_value(v, toks[i + 1])))
+            i += 2
+            continue
+        if i + 1 < len(toks) and toks[i + 1] in _RANGE_OPS:
+            # KQL range: `field >= value` (three space-separated tokens)
+            if i + 2 >= len(toks):
+                raise ValueError(f"dangling range operator after {t!r}")
+            if not _NAME_RE.match(t):
+                raise ValueError(f"bad range filter field {t!r}")
+            filters.append((t, toks[i + 1], _unquote_value(toks[i + 2],
+                                                           toks[i + 2])))
+            i += 3
+            continue
+        m = _match_qualifier(t)
         if m is None and ":" in t and not t.startswith('"'):
             # `lang:` / `:foo` — a malformed qualifier would otherwise be
             # ANALYZED into a scored term (the ':' strips silently); refuse
             raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
-            if v.startswith('"') and v.endswith('"') and len(v) >= 2:
-                v = v[1:-1]
-            if '"' in v:
-                raise ValueError(f"unsupported filter value in {t!r}")
-            if "*" in v:
-                # keyword filters are exact-match; a wildcard value would
-                # silently match nothing — refuse rather than guess
-                raise ValueError(
-                    f"wildcards in filter values are not supported ({t!r})"
-                )
-            filters.append((f, v))
+            filters.append((f, "=", _unquote_value(v, t)))
         else:
+            if not t.startswith('"') and any(ch in t for ch in "<>="):
+                # `f>=v` glued — the analyzer would strip the operator and
+                # score `f`/`v` as terms; refuse (ranges must be spaced)
+                raise ValueError(
+                    f"range operators must be space-separated ({t!r})"
+                )
             rest.append(t)
+        i += 1
     if any('"' in t for t in rest):
         # the scored remainder may be exactly ONE whole quoted phrase
         if len(rest) != 1 or not (

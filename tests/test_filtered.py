@@ -70,15 +70,33 @@ def _oracle(pdf):
 
 def test_parse_kuery_boundaries():
     assert parse_kuery("lang:en batch OR vector") == (
-        ["batch", "vector"], "disjunctive", [("lang", "en")]
+        ["batch", "vector"], "disjunctive", [("lang", "=", "en")]
     )
     assert parse_kuery('lang:"en" url:doc://x "part filter"') == (
-        ["part", "filter"], "phrase", [("lang", "en"), ("url", "doc://x")]
+        ["part", "filter"], "phrase",
+        [("lang", "=", "en"), ("url", "=", "doc://x")]
     )
     assert parse_kuery("lang:en a AND b") == (
-        ["a", "b"], "conjunctive", [("lang", "en")]
+        ["a", "b"], "conjunctive", [("lang", "=", "en")]
     )
-    assert parse_kuery("lang:en") == ([], "disjunctive", [("lang", "en")])
+    assert parse_kuery("lang:en") == ([], "disjunctive",
+                                      [("lang", "=", "en")])
+    # NOT + KQL ranges (filter context only)
+    assert parse_kuery("NOT lang:de batch") == (
+        ["batch"], "disjunctive", [("lang", "!=", "de")]
+    )
+    assert parse_kuery('warc_ts >= "2024-01-01 00:02:00" batch') == (
+        ["batch"], "disjunctive",
+        [("warc_ts", ">=", "2024-01-01 00:02:00")]
+    )
+    assert parse_kuery("warc_ts < 2024-02-01 lang:en") == (
+        [], "disjunctive",
+        [("warc_ts", "<", "2024-02-01"), ("lang", "=", "en")]
+    )
+    for bad_new in ("NOT batch", "warc_ts >=", "warc_ts>=2024-01-01",
+                    "a NOT lang:en AND b OR c", "batch NOT"):
+        with pytest.raises(ValueError):
+            parse_kuery(bad_new)
     assert parse_kuery("plain words") == (
         ["plain", "words"], "disjunctive", []
     )
@@ -192,3 +210,48 @@ def test_filtered_excludes_tombstoned_docs(spark, tmp_path):
         ["zzzmarker"], "disjunctive", [("url", row["url"].iloc[0])], 10
     ).collect()
     assert [r["doc_id"] for r in url_filtered] == [got[0]["doc_id"]]
+
+
+def test_range_and_not_filters_exact(spark, built):
+    """KQL range (`warc_ts >= ts`) and negation (`NOT lang:x`) are exact:
+    the filtered top-k equals the unfiltered FULL ranking restricted to the
+    allowed doc set. '!='-negation must also match docs missing the field
+    (ES must_not)."""
+    idx, _ = built
+    eng = SearchEngine(spark, idx)
+    live = eng.cat.read_live_docs(spark, eng.snapshot_id) \
+        .select("doc_id", "warc_ts", "lang").collect()
+    full = [(int(r["doc_id"]), float(r["score"]))
+            for r in eng.search(["w1", "w4"], "disjunctive", N).collect()]
+
+    cut = sorted(r["warc_ts"] for r in live)[len(live) // 2]
+    iso = cut.isoformat(sep=" ")
+    allowed_ts = {r["doc_id"] for r in live if r["warc_ts"] >= cut}
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng.search_filtered(
+               ["w1", "w4"], "disjunctive",
+               [("warc_ts", ">=", iso)], 10).collect()]
+    assert got == [p for p in full if p[0] in allowed_ts][:10]
+    # query-string path compiles to the same thing
+    via_qs = [(int(r["doc_id"]), float(r["score"]))
+              for r in eng.search_query_string(
+                  f'warc_ts >= "{iso}" w1 OR w4', 10).collect()]
+    assert via_qs == got
+
+    allowed_not = {r["doc_id"] for r in live if r["lang"] != "de"}
+    got_not = [(int(r["doc_id"]), float(r["score"]))
+               for r in eng.search_query_string(
+                   "NOT lang:de w1 OR w4", 10).collect()]
+    assert got_not == [p for p in full if p[0] in allowed_not][:10]
+
+    # strict exclusive bound: `<` at an EXISTING timestamp excludes it
+    got_lt = {int(r["doc_id"]) for r in eng.search_filtered(
+        ["w1", "w4"], "disjunctive", [("warc_ts", "<", iso)], N).collect()}
+    assert got_lt == {p[0] for p in full} - allowed_ts
+
+    with pytest.raises(ValueError):
+        eng.search_filtered(["w1"], "disjunctive",
+                            [("warc_ts", ">=", "not-a-date")], 5)
+    with pytest.raises(ValueError):
+        eng.search_filtered(["w1"], "disjunctive",
+                            [("lang", ">=", "de")], 5)  # range on keyword

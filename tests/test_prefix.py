@@ -34,10 +34,11 @@ def test_parser_prefix_boundaries():
         ["mach*", "batch"], "disjunctive")
     terms, mode, filters = parse_kuery("lang:en w1* vector")
     assert (terms, mode, filters) == (["w1*", "vector"], "disjunctive",
-                                      [("lang", "en")])
+                                      [("lang", "=", "en")])
     # bare * is kuery match-all: contributes no scored term
     assert parse_query_string("*") == ([], "disjunctive")
-    assert parse_kuery("lang:en *") == ([], "disjunctive", [("lang", "en")])
+    assert parse_kuery("lang:en *") == ([], "disjunctive",
+                                        [("lang", "=", "en")])
     for bad in ("ma*ch", "a AND b*", '"part filter*"', "**"):
         with pytest.raises(ValueError):
             parse_kuery(bad)
