@@ -270,6 +270,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_range_querystring"] = bm25_range_querystring
 
+    def query_filtered_top_langs(s, d):
+        # the Kibana query-bar -> dashboard-panels contract: a panel
+        # aggregates over EVERY doc matching the query (match_ids = full
+        # match set via per-shard kernels at k_eff=shard_range), not a
+        # scored top-k; here the lang terms-agg (+Other) over `dup AND
+        # spark` matches
+        eng = SearchEngine(s, _get_index(s, d))
+        docs = eng.cat.read_live_docs(s, eng.snapshot_id)
+        m = eng.match_ids(CONJ_TERMS, "conjunctive")
+        return dash.top_terms_with_other(
+            docs.join(m, "doc_id", "semi"), "lang", k=2)
+    q["query_filtered_top_langs"] = query_filtered_top_langs
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -562,6 +575,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         k=10,
     )
+    # query-filtered panel agg: match set (conjunctive) via INTERSECT, then
+    # the same topk+Other shape as top_terms_other
+    conj_intersect = " INTERSECT ".join(
+        f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'"
+        for t in CONJ_TERMS
+    )
+    o["query_filtered_top_langs"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        m AS ({conj_intersect}),
+        vals AS (SELECT d.lang AS key
+                 FROM documents d JOIN m USING (doc_id)),
+        counts AS (SELECT key, count(*) AS n FROM vals GROUP BY key),
+        topk AS (SELECT * FROM counts ORDER BY n DESC, key ASC LIMIT 2),
+        oth AS (
+          SELECT '__other__' AS key,
+                 (SELECT count(*) FROM vals) - (SELECT sum(n) FROM topk) AS n)
+        SELECT key, n FROM topk
+        UNION ALL SELECT key, n::bigint FROM oth WHERE n > 0
+    """
+
     # prefix expansion computed IN SQL: the same top_terms_50 rewrite the
     # engine pins (df desc, term asc, LIMIT cap) — the oracle validates the
     # dictionary expansion, not just the scoring of a hardcoded term set

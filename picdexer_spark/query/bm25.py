@@ -406,6 +406,74 @@ class SearchEngine:
         )
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def match_ids(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        filters: list = (),
+    ) -> DataFrame:
+        """ALL live doc_ids matching the query — the Kibana query-bar →
+        dashboard-panels contract (a panel aggregates over every matching
+        doc, not a scored top-k). Returns DataFrame[doc_id].
+
+        Reuses the exact per-shard kernels with k_eff = shard_range: a
+        shard holds at most shard_range docs, so the shard "top-k" IS its
+        full match set (bit-tested kernels, no second matching code path),
+        and per-task work stays bounded by shard_range at any corpus size.
+        No global order/limit — the match set never funnels to one node.
+        Empty `terms` = match_all (within `filters` if given)."""
+        if mode not in ("conjunctive", "disjunctive", "phrase"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "phrase" and not self.has_positions:
+            raise ValueError(
+                "phrase search needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
+        cond = self._filter_cond(filters) if filters else None
+        live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        uniq = sorted(set(terms))
+        if not uniq:
+            base = live.filter(cond) if cond is not None else live
+            return base.select("doc_id")
+        dfs = self.term_dfs(uniq)
+        if mode in ("conjunctive", "phrase") and any(
+            t not in dfs for t in uniq
+        ):
+            return self.spark.createDataFrame([], "doc_id long")
+        present = [t for t in uniq if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], "doc_id long")
+        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        if mode == "phrase":
+            pay_cols.append("pos_enc")
+        cand = self.postings.filter(F.col("term").isin(present)) \
+            .select(*pay_cols)
+        scorer_terms = list(terms) if mode == "phrase" else present
+        if cond is not None:
+            allowed = live.filter(cond).select(
+                F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),
+                "doc_id",
+            )
+            scorer = _make_filtered_shard_scorer(
+                scorer_terms, idf_map, self.shard_range, mode, self.avgdl,
+                prune=False)
+            per_shard = (
+                cand.groupBy("shard_id")
+                .cogroup(allowed.groupBy("shard_id"))
+                .applyInPandas(scorer, RESULT_SCHEMA)
+            )
+            return per_shard.select("doc_id")  # whitelist is already live
+        scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
+                                    mode, self.avgdl, prune=False)
+        per_shard = cand.groupBy("shard_id").applyInPandas(
+            scorer, RESULT_SCHEMA)
+        out = per_shard.select("doc_id")
+        if self._tomb_counts:
+            out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
+        return out
+
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
         """Collected [(doc_id, score)], the oracle-comparable form."""
         return [

@@ -1,0 +1,102 @@
+"""SearchEngine.match_ids — the FULL match set behind query-filtered
+dashboard panels (Kibana query-bar contract: panels aggregate over every
+matching doc, never a scored top-k).
+
+Exactness vs a brute-force tokenizer oracle for every mode, with filters,
+and across tombstones (upserted-away docs must vanish from match sets).
+"""
+
+import pytest
+
+from picdexer_spark.fixtures.pages import gen_pages
+from picdexer_spark.functions.tokenize import tokenize_py
+from picdexer_spark.index.build import IndexConfig, build_index
+from picdexer_spark.query.bm25 import SearchEngine
+
+N = 500
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = gen_pages(N, seed=11)
+    idx = str(tmp_path_factory.mktemp("matchidx"))
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=128, store_positions=True))
+    return idx, pdf
+
+
+def _toks(pdf):
+    urls = sorted(pdf["url"])
+    by_url = pdf.set_index("url")
+    return ({i: tokenize_py(by_url.loc[u, "text"] or "")
+             for i, u in enumerate(urls)},
+            {i: by_url.loc[u, "lang"] for i, u in enumerate(urls)})
+
+
+def _ids(df):
+    return sorted(int(r["doc_id"]) for r in df.collect())
+
+
+def test_match_ids_modes_exact(spark, built):
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, _ = _toks(pdf)
+    terms = ["w1", "w4"]
+    assert _ids(eng.match_ids(terms, "disjunctive")) == sorted(
+        i for i, v in toks.items() if any(t in v for t in terms))
+    assert _ids(eng.match_ids(terms, "conjunctive")) == sorted(
+        i for i, v in toks.items() if all(t in v for t in terms))
+    # phrase: adjacent bigram taken from a real doc
+    ph = None
+    for v in toks.values():
+        if len(v) >= 2 and v[0] != v[1]:
+            ph = [v[0], v[1]]
+            break
+    want_ph = sorted(
+        i for i, v in toks.items()
+        if any(v[j] == ph[0] and v[j + 1] == ph[1]
+               for j in range(len(v) - 1)))
+    assert _ids(eng.match_ids(ph, "phrase")) == want_ph
+    # missing term: conjunctive empty, disjunctive falls back to the rest
+    assert _ids(eng.match_ids(["w1", "zzznope"], "conjunctive")) == []
+    assert _ids(eng.match_ids(["w1", "zzznope"], "disjunctive")) == sorted(
+        i for i, v in toks.items() if "w1" in v)
+
+
+def test_match_ids_filters_and_match_all(spark, built):
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, langs = _toks(pdf)
+    lang = sorted(l for l in set(langs.values()) if l)[0]
+    got = _ids(eng.match_ids(["w1", "w4"], "disjunctive",
+                             filters=[("lang", lang)]))
+    assert got == sorted(
+        i for i, v in toks.items()
+        if langs[i] == lang and ("w1" in v or "w4" in v))
+    # empty terms = match_all within the filter / the whole live corpus
+    assert _ids(eng.match_ids([], filters=[("lang", lang)])) == sorted(
+        i for i, lg in langs.items() if lg == lang)
+    assert _ids(eng.match_ids([])) == sorted(toks)
+
+
+def test_match_ids_excludes_tombstones(spark, tmp_path):
+    from picdexer_spark.streaming.incremental import build_incremental
+
+    idx = str(tmp_path / "matchups")
+    pdf = gen_pages(80, seed=13)
+    build_incremental(spark, spark.createDataFrame(pdf), idx,
+                      IndexConfig(shard_range=64), source_id="b0")
+    row = pdf.iloc[5:6].copy()
+    old_first = tokenize_py(row["text"].iloc[0])[0]
+    row["text"] = "zzzmarker only"
+    row["html"] = None
+    build_incremental(spark, spark.createDataFrame(row), idx,
+                      IndexConfig(shard_range=64), source_id="b1")
+    eng = SearchEngine(spark, idx)
+    marker = _ids(eng.match_ids(["zzzmarker"], "disjunctive"))
+    assert len(marker) == 1
+    # the OLD doc_id (tombstoned) must not appear for its old terms
+    old_ids = _ids(eng.match_ids([old_first], "disjunctive"))
+    live_ids = {int(r["doc_id"]) for r in eng.cat.read_live_docs(
+        spark, eng.snapshot_id).select("doc_id").collect()}
+    assert set(old_ids) <= live_ids
