@@ -283,6 +283,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.join(m, "doc_id", "semi"), "lang", k=2)
     q["query_filtered_top_langs"] = query_filtered_top_langs
 
+    def significant_terms_dup(s, d):
+        # ES significant_terms (JLH) over the `dup` match set: terms
+        # over-represented among matching docs vs the corpus background
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.significant_terms(["dup"], "disjunctive", k=10)
+        return res.select("term", "fg_df", "bg_df",
+                          F.round("score", 6).alias("score"))
+    q["significant_terms_dup"] = significant_terms_dup
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -596,6 +605,32 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT count(*) FROM vals) - (SELECT sum(n) FROM topk) AS n)
         SELECT key, n FROM topk
         UNION ALL SELECT key, n::bigint FROM oth WHERE n > 0
+    """
+
+    # significant_terms: JLH mirrored term-for-term (same expression shape
+    # -> identical IEEE doubles); bg_df = per-term distinct-doc count, the
+    # same df every bm25 oracle pins
+    o["significant_terms_dup"] = """
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+        fgn AS (SELECT count(*) AS n_fg FROM m),
+        nn AS (SELECT count(*) AS n FROM documents),
+        fg AS (SELECT term, count(DISTINCT doc_id) AS fg_df FROM tok
+               WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term),
+        bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok
+               GROUP BY term),
+        scored AS (
+          SELECT f.term, f.fg_df, b.bg_df,
+                 ((f.fg_df::double / x.n_fg) - (b.bg_df::double / y.n))
+                 * ((f.fg_df::double / x.n_fg)
+                    / (b.bg_df::double / y.n)) AS score
+          FROM fg f JOIN bg b USING (term) CROSS JOIN fgn x CROSS JOIN nn y
+          WHERE (f.fg_df::double / x.n_fg) > (b.bg_df::double / y.n))
+        SELECT term, fg_df, bg_df, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, term ASC LIMIT 10
     """
 
     # prefix expansion computed IN SQL: the same top_terms_50 rewrite the

@@ -173,3 +173,54 @@ def point_lookup(df: DataFrame, key_col: str, key) -> DataFrame:
     reference: elasticsearch.go:185-190); parquet/Iceberg point read with
     min/max pruning since docs are written sorted by doc_id."""
     return df.filter(F.col(key_col) == F.lit(key))
+
+
+def significant_terms(
+    docs: DataFrame,
+    match: DataFrame,
+    text_col: str,
+    term_stats: DataFrame,
+    n_docs: int,
+    n_fg: int,
+    k: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES significant_terms agg over a query match set (the Kibana
+    "significant terms" viz): terms over-represented in the FOREGROUND
+    (docs matching the query-bar query) vs the BACKGROUND (whole corpus).
+
+    Pinned scoring = ES JLH heuristic:
+        fgPct = fg_df / n_fg,  bgPct = bg_df / n_docs
+        score = (fgPct - bgPct) * (fgPct / bgPct)
+    positive-lift terms only (fgPct > bgPct — the ES contract), fg_df >=
+    `min_doc_count`, top-k by (score desc, term asc).
+
+    Plan shape: the matched docs re-analyze their text (explode ->
+    countDistinct per term — one shuffle keyed by term, partial aggs
+    map-side), then join the tiny per-term row against the term
+    dictionary for bg_df; no driver materialization beyond the k rows.
+    bg stats come from the index term_stats, which (like Lucene) counts
+    not-yet-compacted tombstoned docs until merge.
+
+    Returns (term, fg_df, bg_df, score).
+    """
+    from picdexer_spark.functions.tokenize import tokens_col
+
+    fg = (
+        docs.join(match, "doc_id", "semi")
+        .select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    joined = fg.join(
+        term_stats.select("term", F.col("df").alias("bg_df")), "term"
+    )
+    fgp = F.col("fg_df") / F.lit(float(n_fg))
+    bgp = F.col("bg_df") / F.lit(float(n_docs))
+    return (
+        joined.withColumn("score", (fgp - bgp) * (fgp / bgp))
+        .filter(fgp > bgp)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )

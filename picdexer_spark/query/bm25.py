@@ -474,6 +474,31 @@ class SearchEngine:
             out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
         return out
 
+    def significant_terms(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        filters: list = (),
+        k: int = 10,
+        min_doc_count: int = 1,
+    ) -> DataFrame:
+        """ES significant_terms over this query's match set (the Kibana
+        significant-terms viz fed by the query bar): terms over-represented
+        among matching docs vs the corpus, JLH-scored — see
+        operators/dashboards.py::significant_terms for the pinned math.
+        Returns (term, fg_df, bg_df, score)."""
+        from picdexer_spark.operators.dashboards import significant_terms
+
+        m = self.match_ids(terms, mode, filters)
+        docs = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        n_fg = m.count()  # ES knows the fg size too; one metadata-light job
+        if n_fg == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_df long, bg_df long, score double"
+            )
+        return significant_terms(docs, m, "text", self.term_stats,
+                                 self.n_docs, n_fg, k, min_doc_count)
+
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
         """Collected [(doc_id, score)], the oracle-comparable form."""
         return [

@@ -100,3 +100,41 @@ def test_match_ids_excludes_tombstones(spark, tmp_path):
     live_ids = {int(r["doc_id"]) for r in eng.cat.read_live_docs(
         spark, eng.snapshot_id).select("doc_id").collect()}
     assert set(old_ids) <= live_ids
+
+
+def test_significant_terms_jlh(spark, built):
+    """significant_terms pins the ES JLH heuristic exactly: score, counts,
+    and (score desc, term asc) order vs a python reference; empty match
+    set -> empty result."""
+    import collections
+
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, _ = _toks(pdf)
+    q = ["w7"]
+    m = {i for i, v in toks.items() if "w7" in v}
+    n_fg, n = len(m), len(toks)
+    assert 0 < n_fg < n
+    fg = collections.Counter()
+    bg = collections.Counter()
+    for i, v in toks.items():
+        for t in set(v):
+            bg[t] += 1
+            if i in m:
+                fg[t] += 1
+    want = []
+    for t, f in fg.items():
+        fgp, bgp = f / n_fg, bg[t] / n
+        if fgp > bgp:
+            want.append((t, f, bg[t], (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda x: (-x[3], x[0]))
+
+    got = eng.significant_terms(q, k=8).collect()
+    assert len(got) == min(8, len(want))
+    for r, (t, f, b, s) in zip(got, want[:8]):
+        assert (r["term"], int(r["fg_df"]), int(r["bg_df"])) == (t, f, b)
+        assert float(r["score"]) == pytest.approx(s, rel=1e-12)
+    # the query term itself is trivially significant (ES keeps it)
+    assert want[0][0] == "w7" and got[0]["term"] == "w7"
+
+    assert eng.significant_terms(["zzznope"]).count() == 0
