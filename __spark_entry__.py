@@ -292,6 +292,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("score", 6).alias("score"))
     q["significant_terms_dup"] = significant_terms_dup
 
+    def search_highlight_conj(s, d):
+        # ES highlight on discover hits: top-k conjunctive BM25, best term
+        # per hit = highest idf (rarest), snippet = +/-2 analyzed tokens
+        # around its first occurrence — offsets decoded from the
+        # POSITIONAL payload, snippet rendered from stored text
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_highlight(CONJ_TERMS, "conjunctive", 10, window=2)
+        return res.select("doc_id", F.round("score", 4).alias("score"),
+                          "best_term", "first_pos", "snippet")
+    q["search_highlight_conj"] = search_highlight_conj
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -605,6 +616,63 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT count(*) FROM vals) - (SELECT sum(n) FROM topk) AS n)
         SELECT key, n FROM topk
         UNION ALL SELECT key, n::bigint FROM oth WHERE n > 0
+    """
+
+    # highlight: BM25 conj top-10 (template math inline), then per-hit
+    # best-idf term, first occurrence from zipped unnest ordinals (1-based
+    # in SQL -> -1 to the engine's 0-based analyzer ordinals), snippet =
+    # inclusive 1-based list slice mirroring the engine's clamped window
+    hl_terms = sql_terms(CONJ_TERMS)
+    o["search_highlight_conj"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        flat AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos1
+          FROM tok),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM flat
+               WHERE term IN ({hl_terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+               WHERE term IN ({hl_terms}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s,
+                 count(*) AS nt
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id),
+        topk AS (SELECT doc_id, s FROM scored WHERE nt = {len(CONJ_TERMS)}
+                 ORDER BY s DESC, doc_id ASC LIMIT 10),
+        idf AS (SELECT term,
+                       ln(1 + ((SELECT n_docs FROM st) - df + 0.5)
+                              / (df + 0.5)) AS idf
+                FROM df),
+        offs AS (SELECT f.doc_id, f.term, min(f.pos1) - 1 AS first_pos
+                 FROM flat f JOIN topk USING (doc_id)
+                 WHERE f.term IN ({hl_terms})
+                 GROUP BY f.doc_id, f.term),
+        best AS (SELECT doc_id, term AS best_term, first_pos FROM (
+                   SELECT o.*, row_number() OVER (PARTITION BY o.doc_id
+                            ORDER BY i.idf DESC, o.term ASC) AS rn
+                   FROM offs o JOIN idf i USING (term))
+                 WHERE rn = 1),
+        snip AS (SELECT t.doc_id, b.best_term, b.first_pos,
+                        array_to_string(
+                          t.toks[greatest(b.first_pos - 2, 0) + 1
+                                 : b.first_pos + 3], ' ') AS snippet
+                 FROM tok t JOIN best b USING (doc_id))
+        SELECT k.doc_id, round(k.s, 4) AS score,
+               p.best_term, p.first_pos, p.snippet
+        FROM topk k JOIN snip p USING (doc_id)
+        ORDER BY k.s DESC, k.doc_id ASC
     """
 
     # significant_terms: JLH mirrored term-for-term (same expression shape

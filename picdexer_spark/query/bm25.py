@@ -474,6 +474,146 @@ class SearchEngine:
             out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
         return out
 
+    def term_offsets(self, terms: list[str], match: DataFrame) -> DataFrame:
+        """(doc_id, term, pos) for EVERY occurrence of `terms` within the
+        docs of `match` (a DataFrame[doc_id]) — the Lucene term-vector read
+        behind highlighting, served from the positional payload (pos are
+        0-based analyzer ordinals; needs an index with
+        store_positions=True).
+
+        Plan: candidate posting blocks and the target doc_ids cogroup by
+        shard (the whitelist pattern of filtered search); each task decodes
+        positions ONLY for blocks containing requested docs
+        (TermBlocks.positions_flat), so cost scales with the highlight set,
+        not the posting lists."""
+        if not self.has_positions:
+            raise ValueError(
+                "term_offsets needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
+        out_schema = "doc_id long, term string, pos long"
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs(uniq)
+        present = [t for t in uniq if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], out_schema)
+        cand = self.postings.filter(F.col("term").isin(present)).select(
+            "term", "shard_id", "first_doc", "last_doc", "max_tf",
+            "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc", "pos_enc",
+        )
+        allowed = match.select(
+            F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),
+            "doc_id",
+        )
+
+        def offsets_shard(left: pd.DataFrame,
+                          right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({
+                    "doc_id": np.zeros(0, np.int64),
+                    "term": np.zeros(0, object),
+                    "pos": np.zeros(0, np.int64),
+                })
+            want = np.sort(right["doc_id"].to_numpy(np.uint64))
+            blocks = _blocks_from_pdf(left)
+            d_out, t_out, p_out = [], [], []
+            for t in sorted(blocks):
+                d, p = blocks[t].positions_flat(want)
+                if d.size:
+                    d_out.append(d.astype(np.int64))
+                    t_out.append(np.full(d.size, t, object))
+                    p_out.append(p.astype(np.int64))
+            if not d_out:
+                return pd.DataFrame({
+                    "doc_id": np.zeros(0, np.int64),
+                    "term": np.zeros(0, object),
+                    "pos": np.zeros(0, np.int64),
+                })
+            return pd.DataFrame({
+                "doc_id": np.concatenate(d_out),
+                "term": np.concatenate(t_out),
+                "pos": np.concatenate(p_out),
+            })
+
+        return (
+            cand.groupBy("shard_id")
+            .cogroup(allowed.groupBy("shard_id"))
+            .applyInPandas(offsets_shard, out_schema)
+        )
+
+    def search_highlight(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        k: int = 10,
+        window: int = 2,
+    ) -> DataFrame:
+        """Top-k search with a highlight snippet per hit (the ES
+        `highlight` block on discover hits). Pinned semantics:
+
+        - best term per hit = the matching query term with the highest
+          idf (rarest), ties -> term asc;
+        - first_pos = its first occurrence (0-based token ordinal, from
+          the positional payload via :meth:`term_offsets`);
+        - snippet = analyzed tokens [max(0, first_pos-window) ..
+          first_pos+window] of the stored text, space-joined (clamped at
+          doc edges, never re-centered).
+
+        Returns (doc_id, score, best_term, first_pos, snippet) ordered
+        (score desc, doc_id asc). The top-k hit list is collected ONCE
+        (k rows — the ES coordinator hop; bounded by k, never by corpus)
+        and re-broadcast to both the offsets decode and the snippet join:
+        re-executing the lazy search plan in two branches would score the
+        query twice and risk the branches disagreeing at a tie boundary."""
+        from pyspark.sql import Window
+
+        hit_rows = self.search(terms, mode, k).collect()
+        if not hit_rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, best_term string, "
+                    "first_pos long, snippet string"
+            )
+        hits = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hit_rows],
+            RESULT_SCHEMA,
+        )
+        offs = self.term_offsets(terms, hits.select("doc_id"))
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs(uniq)
+        idf_df = self.spark.createDataFrame(
+            [(t, idf(self.n_docs, dfs[t])) for t in uniq if t in dfs],
+            "term string, idf double",
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("idf"), F.asc("term")
+        )
+        best = (
+            offs.groupBy("doc_id", "term")
+            .agg(F.min("pos").alias("first_pos"))
+            .join(F.broadcast(idf_df), "term")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("term").alias("best_term"), "first_pos")
+        )
+        docs = self.cat.read_live_docs(self.spark, self.snapshot_id) \
+            .select("doc_id", "text")
+        from picdexer_spark.functions.tokenize import tokens_col
+
+        start0 = F.greatest(F.col("first_pos") - window, F.lit(0))
+        length = F.col("first_pos") + window - start0 + 1
+        hit_best = hits.join(F.broadcast(best), "doc_id")  # k rows
+        return (
+            docs.join(F.broadcast(hit_best), "doc_id")
+            .withColumn("toks", tokens_col("text"))
+            .select(
+                "doc_id", "score", "best_term", "first_pos",
+                F.array_join(
+                    F.slice(F.col("toks"), start0 + 1, length), " "
+                ).alias("snippet"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def significant_terms(
         self,
         terms: list[str],
