@@ -303,6 +303,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "best_term", "first_pos", "snippet")
     q["search_highlight_conj"] = search_highlight_conj
 
+    def bm25_search_after_page2(s, d):
+        # ES search_after deep pagination: page 2 = the 10 results
+        # strictly after page 1's last (score, doc_id) sort key; the
+        # cursor filters inside the shard kernels (O(k) per page, never
+        # O(offset+k))
+        eng = SearchEngine(s, _get_index(s, d))
+        p1 = eng.search_topk(DISJ_TERMS, "disjunctive", 10)
+        after = (p1[-1][1], p1[-1][0])  # sort-key order (score, doc_id)
+        res = eng.search(DISJ_TERMS, "disjunctive", 10, after=after)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_search_after_page2"] = bm25_search_after_page2
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -569,6 +581,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_conjunctive"] = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(CONJ_TERMS),
         conj_filter=f"WHERE nt = {len(CONJ_TERMS)}", k=10
+    )
+    # search_after page 2 == ranks 11-20 of the same total order (the
+    # engine gets there via the cursor, the oracle via OFFSET)
+    o["bm25_search_after_page2"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(DISJ_TERMS), conj_filter="", k="10 OFFSET 10"
     )
     o["bm25_querystring"] = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(QSTRING_TERMS), conj_filter="", k=10

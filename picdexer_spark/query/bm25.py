@@ -62,19 +62,19 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
 
 
 def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
-                  allowed=None):
+                  allowed=None, after=None):
     if mode == "conjunctive":
         return score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
-                                 prune=prune, allowed=allowed)
+                                 prune=prune, allowed=allowed, after=after)
     if mode == "phrase":
         return score_phrase(ordered, blocks, idf_map, K1, B, avgdl, k_eff,
-                            allowed=allowed)
+                            allowed=allowed, after=after)
     return score_disjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
-                             prune=prune, allowed=allowed)
+                             prune=prune, allowed=allowed, after=after)
 
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                       tomb_counts=None):
+                       tomb_counts=None, after=None):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
     tombstone COUNT (metadata-sized): each shard over-fetches
     k + |its tombstones|, and the caller anti-joins the chained `deletes`
@@ -89,13 +89,14 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         blocks = _blocks_from_pdf(pdf)
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
-                                    avgdl, k_eff, prune)
+                                    avgdl, k_eff, prune, after=after)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
 
 
-def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
+def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
+                                after=None):
     """Cogrouped scorer: (candidate blocks of one shard, allowed doc_ids of
     the same shard) -> exact top-k over the allowed set only. The whitelist
     is applied INSIDE the kernels before top-k selection (a post-filter
@@ -114,7 +115,8 @@ def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune):
         allowed = np.sort(right["doc_id"].to_numpy(np.uint64))
         blocks = _blocks_from_pdf(left)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
-                                    avgdl, k, prune, allowed=allowed)
+                                    avgdl, k, prune, allowed=allowed,
+                                    after=after)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -185,12 +187,21 @@ class SearchEngine:
         mode: str = "disjunctive",
         k: int = 10,
         prune: bool = True,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
 
         mode "phrase": `terms` is the phrase IN ORDER; docs must contain
         the exact adjacent sequence (Lucene match_phrase, slop 0 — needs an
-        index built with store_positions=True)."""
+        index built with store_positions=True).
+
+        `after`: optional (score, doc_id) search_after cursor — the last
+        row of the previous page; returns the next k strictly after it in
+        rank order (the ES deep-pagination contract: every page costs
+        O(k) per shard, never O(offset+k) — the cursor filters INSIDE the
+        shard kernels before top-k selection, pruning stays exact)."""
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         if mode not in ("conjunctive", "disjunctive", "phrase"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "phrase" and not self.has_positions:
@@ -219,7 +230,8 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
-                                    self.avgdl, prune, self._tomb_counts)
+                                    self.avgdl, prune, self._tomb_counts,
+                                    after=after)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         if self._tomb_counts:
             # drop tombstoned docs distributed-side (deletes stays a DF;
@@ -342,6 +354,7 @@ class SearchEngine:
         filters: list[tuple[str, str]] = (),
         k: int = 10,
         prune: bool = True,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -356,7 +369,9 @@ class SearchEngine:
         bounded per task by shard_range; the kernels apply it before top-k
         selection, so results are exact at any filter selectivity."""
         if not filters:
-            return self.search(terms, mode, k, prune)
+            return self.search(terms, mode, k, prune, after=after)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
         if mode not in ("conjunctive", "disjunctive", "phrase"):
             raise ValueError(f"unknown mode {mode!r}")
@@ -369,10 +384,13 @@ class SearchEngine:
         uniq = sorted(set(terms))
         if not uniq:
             # filter-only discover query: match_all within the filter
-            # (the Lucene constant-score contract, _score = 1.0)
+            # (the Lucene constant-score contract, _score = 1.0); all
+            # scores tie so the search_after cursor reduces to doc_id
+            base = live.filter(cond)
+            if after is not None:
+                base = base.filter(F.col("doc_id") > F.lit(int(after[1])))
             return (
-                live.filter(cond)
-                .select("doc_id", F.lit(1.0).alias("score"))
+                base.select("doc_id", F.lit(1.0).alias("score"))
                 .orderBy(F.asc("doc_id"))
                 .limit(k)
             )
@@ -398,7 +416,7 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
-                                             self.avgdl, prune)
+                                             self.avgdl, prune, after=after)
         per_shard = (
             cand.groupBy("shard_id")
             .cogroup(allowed.groupBy("shard_id"))
@@ -639,11 +657,13 @@ class SearchEngine:
         return significant_terms(docs, m, "text", self.term_stats,
                                  self.n_docs, n_fg, k, min_doc_count)
 
-    def search_topk(self, terms, mode="disjunctive", k=10, prune=True):
-        """Collected [(doc_id, score)], the oracle-comparable form."""
+    def search_topk(self, terms, mode="disjunctive", k=10, prune=True,
+                    after=None):
+        """Collected [(doc_id, score)], the oracle-comparable form.
+        `after`: search_after cursor, see :meth:`search`."""
         return [
             (int(r["doc_id"]), float(r["score"]))
-            for r in self.search(terms, mode, k, prune).collect()
+            for r in self.search(terms, mode, k, prune, after=after).collect()
         ]
 
     def search_batch(

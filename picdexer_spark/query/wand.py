@@ -68,6 +68,18 @@ def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[order].astype(np.int64), scores[order]
 
 
+def _after_mask(ids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
+    """search_after cursor: keep docs STRICTLY after (score, doc_id) in
+    (score desc, doc_id asc) rank order. The cursor score is a float the
+    engine itself produced on the previous page, so equality is exact
+    (identical summation order), the ES search_after contract. Masking
+    happens BEFORE top-k selection, so every pruning threshold (θ) is
+    computed over post-cursor docs — pruning stays exact: a skipped
+    block's ub bounds its masked docs too."""
+    cs, cd = after
+    return (scores < cs) | ((scores == cs) & (ids.astype(np.int64) > cd))
+
+
 class TermBlocks:
     """All posting blocks of one term within the scoring group, decoded lazily."""
 
@@ -195,8 +207,11 @@ def score_conjunctive(
     k: int,
     prune: bool = True,
     allowed: np.ndarray | None = None,
+    after: tuple | None = None,
 ):
     """Exact conjunctive (AND) top-k within one scoring group.
+    `after`: optional (score, doc_id) search_after cursor — only docs
+    strictly after it in rank order enter the top-k (see _after_mask).
 
     `allowed`: optional SORTED uint64 doc_id whitelist (a pushed docs-table
     filter, e.g. kuery `lang:en`) — only whitelisted docs enter the top-k.
@@ -289,6 +304,11 @@ def score_conjunctive(
         for t in asc:  # pinned summation order
             tfs, dls = per_term_tf[t]
             scores += _score_part(tfs[mask], dls[mask], idf[t], k1, b, avgdl)
+        if after is not None:
+            am = _after_mask(cand, scores, after)
+            cand, scores = cand[am], scores[am]
+            if cand.size == 0:
+                continue
         top_ids = np.concatenate([top_ids, cand.astype(np.int64)])
         top_scores = np.concatenate([top_scores, scores])
         top_ids, top_scores = _topk(top_ids, top_scores, k)
@@ -307,9 +327,11 @@ def score_disjunctive(
     k: int,
     prune: bool = True,
     allowed: np.ndarray | None = None,
+    after: tuple | None = None,
 ):
     """Exact disjunctive (OR) top-k. `allowed`: optional sorted doc_id
-    whitelist, see score_conjunctive.
+    whitelist, see score_conjunctive; `after`: optional search_after
+    cursor, see _after_mask.
 
     prune=True: block-max segment pruning (doc-range segments whose summed
     ub cannot beat the running kth score are skipped — wins whenever term
@@ -341,6 +363,9 @@ def score_disjunctive(
         if allowed is not None:
             keep = _in_sorted(all_ids, allowed)
             all_ids, scores = all_ids[keep], scores[keep]
+        if after is not None:
+            am = _after_mask(all_ids, scores, after)
+            all_ids, scores = all_ids[am], scores[am]
         return _topk(all_ids.astype(np.int64), scores, k)
 
     # segment sweep: doc-id space cut at every block boundary; per segment,
@@ -401,6 +426,9 @@ def score_disjunctive(
         if allowed is not None:
             keep = _in_sorted(all_ids, allowed)
             all_ids, scores = all_ids[keep], scores[keep]
+        if after is not None:
+            am = _after_mask(all_ids, scores, after)
+            all_ids, scores = all_ids[am], scores[am]
         top_ids = np.concatenate([top_ids, all_ids.astype(np.int64)])
         top_scores = np.concatenate([top_scores, scores])
         if top_ids.size > max(4 * k, 256):
@@ -420,9 +448,11 @@ def score_phrase(
     avgdl: float,
     k: int,
     allowed: np.ndarray | None = None,
+    after: tuple | None = None,
 ):
     """Exact phrase (match_phrase) top-k within one scoring group.
-    `allowed`: optional sorted doc_id whitelist, see score_conjunctive.
+    `allowed`: optional sorted doc_id whitelist, see score_conjunctive;
+    `after`: optional search_after cursor, see _after_mask.
 
     Lucene PhraseQuery semantics, pinned for the oracle:
     - candidates = docs containing ALL phrase terms (conjunction);
@@ -504,4 +534,8 @@ def score_phrase(
     scores = idf_sum * (ptf * (k1 + 1.0)) / (
         ptf + k1 * (1.0 - b + b * dl / avgdl)
     )
-    return _topk(match_docs.astype(np.int64), scores, k)
+    ids = match_docs.astype(np.int64)
+    if after is not None:
+        am = _after_mask(ids, scores, after)
+        ids, scores = ids[am], scores[am]
+    return _topk(ids, scores, k)
