@@ -135,6 +135,12 @@ RANGE_QSTRING = ('warc_ts >= "2024-01-01 00:02:00" NOT lang:de '
                  "Batch, OR vector OR spark")
 RANGE_CUT_DOC_ID = 120
 RANGE_NOT_LANG = "de"
+# fuzzy query: part~2 expands (levenshtein <= 2 over the dictionary) to
+# {part, fast, sort}, OR'd with rare term dup
+FUZZY_QSTRING = "part~2 OR dup"
+FUZZY_STEM = "part"
+FUZZY_EDITS = 2
+FUZZY_BARE = ["dup"]
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
 
@@ -314,6 +320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search(DISJ_TERMS, "disjunctive", 10, after=after)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_search_after_page2"] = bm25_search_after_page2
+
+    def bm25_fuzzy_querystring(s, d):
+        # ES fuzziness: `part~2` expands against the term dictionary by
+        # Levenshtein distance (length-banded scan, distance asc / df
+        # desc / term asc, top_terms_50 cap), scored scoring_boolean
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(FUZZY_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_fuzzy_querystring"] = bm25_fuzzy_querystring
 
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
@@ -690,6 +705,43 @@ def oracle_sql() -> dict[str, str]:
                p.best_term, p.first_pos, p.snippet
         FROM topk k JOIN snip p USING (doc_id)
         ORDER BY k.s DESC, k.doc_id ASC
+    """
+
+    # fuzzy expansion computed IN SQL (DuckDB levenshtein == the engine's
+    # capped DP for distances within the cap), same rewrite pins as the
+    # engine: distance asc, df desc, term asc, LIMIT 50
+    o["bm25_fuzzy_querystring"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        dfall AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        expand AS (SELECT term FROM dfall
+                   WHERE levenshtein(term, '{FUZZY_STEM}') <= {FUZZY_EDITS}
+                   ORDER BY levenshtein(term, '{FUZZY_STEM}') ASC,
+                            df DESC, term ASC LIMIT 50),
+        qterms AS (SELECT term FROM expand
+                   UNION SELECT unnest([{sql_terms(FUZZY_BARE)}])),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN (SELECT term FROM qterms)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, df FROM dfall
+               WHERE term IN (SELECT term FROM qterms)),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     # significant_terms: JLH mirrored term-for-term (same expression shape

@@ -47,6 +47,30 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def levenshtein_capped(a: str, b: str, maxd: int) -> int:
+    """Exact edit distance, or maxd+1 as soon as the row minimum exceeds
+    `maxd` (the banded early abandon — callers only rank distances <=
+    maxd, so the overflow value never needs to be exact)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return maxd + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]))
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= maxd else maxd + 1
+
+
 def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
     blocks: dict[str, TermBlocks] = {}
     for t, g in pdf.groupby("term", sort=False):
@@ -272,6 +296,47 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
+    def expand_fuzzy(self, term: str, max_edits: int = 2,
+                     max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms within `max_edits` Levenshtein edits of
+        `term` — the ES fuzzy query (Lucene FuzzyQuery re-expressed as a
+        length-banded dictionary scan instead of an FST automaton
+        intersection). Pinned rewrite: order by (distance asc, df desc,
+        term asc), capped at `max_expansions` (default top_terms_50) —
+        a deliberate, documented simplification of Lucene's
+        blended-freqs rewrite (each expanded term keeps its own idf).
+
+        Scale shape (no df cache): `length(term) BETWEEN l-d AND l+d`
+        prunes the dictionary scan before an Arrow-batched distance UDF;
+        only the <= max_expansions winners reach the driver."""
+        n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
+            else max_expansions
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2")
+        if self._df_cache is not None:
+            hits = []
+            for t, df_ in self._df_cache.items():
+                d = levenshtein_capped(term, t, max_edits)
+                if d <= max_edits:
+                    hits.append((d, -df_, t))
+            hits.sort()
+            return [t for _d, _df, t in hits[:n]]
+        lo, hi = len(term) - max_edits, len(term) + max_edits
+
+        @F.pandas_udf("int")
+        def dist(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: levenshtein_capped(term, t, max_edits))
+
+        rows = (
+            self.term_stats.filter(F.length("term").between(lo, hi))
+            .select("term", "df", dist(F.col("term")).alias("d"))
+            .filter(F.col("d") <= max_edits)
+            .orderBy(F.asc("d"), F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def search_query_string(self, q: str, k: int = 10,
                             prune: bool = True) -> DataFrame:
         """Search from a kuery-lite query string (the discover search box,
@@ -281,19 +346,27 @@ class SearchEngine:
         scored text query, and trailing-`*` words are prefix terms
         (dictionary-expanded per :meth:`expand_prefix`, scored
         disjunctively with each matched term's own idf — the Lucene
-        `scoring_boolean` contract over a `top_terms_N` expansion); words
+        `scoring_boolean` contract over a `top_terms_N` expansion);
+        trailing `~`/`~1`/`~2` words are FUZZY terms (edit-distance
+        expansion per :meth:`expand_fuzzy`, same scoring contract). Words
         run through the index analyzer (query/parser.py)."""
         from picdexer_spark.query.parser import parse_kuery
 
         terms, mode, filters = parse_kuery(q)
-        prefixes = [t[:-1] for t in terms if t.endswith("*")]
-        if prefixes:
-            # parser guarantees prefixes only reach here in OR context
-            bare = [t for t in terms if not t.endswith("*")]
-            expanded = {t for p in prefixes for t in self.expand_prefix(p)}
-            terms = sorted(expanded.union(bare))
+        if any(t.endswith("*") or "~" in t for t in terms):
+            # parser guarantees prefix/fuzzy only reach here in OR context
+            exp: set[str] = set()
+            for t in terms:
+                if t.endswith("*"):
+                    exp.update(self.expand_prefix(t[:-1]))
+                elif "~" in t:
+                    stem, d = t.rsplit("~", 1)
+                    exp.update(self.expand_fuzzy(stem, int(d)))
+                else:
+                    exp.add(t)
+            terms = sorted(exp)
             if not terms:
-                # every prefix expanded to nothing and no bare terms
+                # every expansion came back empty and no bare terms
                 return self._empty()
         if filters:
             return self.search_filtered(terms, mode, filters, k, prune)

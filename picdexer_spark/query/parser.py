@@ -42,10 +42,16 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 
 
+_FUZZY_RE = re.compile(r"^(.*?)~([12]?)$", re.DOTALL)
+
+
 def _analyze_words(words: list[str], mode: str) -> list[str]:
-    """Analyze scored words; trailing-`*` words become `stem*` prefix terms
-    (OR context only), a bare `*` is match-all (drops out), any other `*`
-    placement is refused."""
+    """Analyze scored words; trailing-`*` words become `stem*` prefix
+    terms, trailing `~`/`~1`/`~2` words become `stem~d` fuzzy terms (ES
+    query_string fuzziness; bare `~` means distance 2, the Lucene
+    default). Both are OR-context only. A bare `*` is match-all (drops
+    out); any other `*`/`~` placement is refused — the analyzer would
+    strip the marker and silently search the stem exactly."""
     terms: list[str] = []
     for w in words:
         if w == "*":
@@ -66,6 +72,23 @@ def _analyze_words(words: list[str], mode: str) -> list[str]:
                 f"mid-word wildcard {w!r} is not supported (trailing-* "
                 "prefix only)"
             )
+        elif "~" in w:
+            m = _FUZZY_RE.match(w)
+            if not m or "~" in m.group(1) or not m.group(1):
+                raise ValueError(
+                    f"unsupported fuzzy syntax {w!r} (use word~, word~1 "
+                    "or word~2)"
+                )
+            if mode != "disjunctive":
+                raise ValueError(
+                    "fuzzy terms are only supported in OR context"
+                )
+            stem = tokenize_py(m.group(1))
+            if len(stem) != 1:
+                raise ValueError(
+                    f"fuzzy {w!r} must analyze to exactly one term"
+                )
+            terms.append(f"{stem[0]}~{m.group(2) or '2'}")
         else:
             terms.extend(tokenize_py(w))
     return terms
@@ -96,8 +119,10 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
         # refuse rather than silently degrade a phrase to OR terms)
         if (stripped.startswith('"') and stripped.endswith('"')
                 and '"' not in stripped[1:-1] and len(stripped) >= 2):
-            if "*" in stripped:
-                raise ValueError("wildcards inside a phrase are not supported")
+            if "*" in stripped or "~" in stripped:
+                raise ValueError(
+                    "wildcards/fuzzy inside a phrase are not supported"
+                )
             return tokenize_py(stripped[1:-1]), "phrase"
         raise ValueError("quotes are only supported as one whole-query phrase")
     raw = q.split()
@@ -209,8 +234,10 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             raise ValueError(
                 "quotes are only supported as one whole quoted phrase"
             )
-        if "*" in rest[0]:
-            raise ValueError("wildcards inside a phrase are not supported")
+        if "*" in rest[0] or "~" in rest[0]:
+            raise ValueError(
+                "wildcards/fuzzy inside a phrase are not supported"
+            )
         return tokenize_py(rest[0][1:-1]), "phrase", filters
     ops = {w.upper() for w in rest if w.upper() in _OPS}
     if ops == {"AND"}:

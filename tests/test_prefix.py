@@ -94,3 +94,53 @@ def test_prefix_with_filter(spark, built):
     got = eng.search_query_string(f"lang:{lang} w1*", 10).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == \
            [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_parser_fuzzy_boundaries():
+    assert parse_query_string("mach~") == (["mach~2"], "disjunctive")
+    assert parse_query_string("Mach~1 OR batch") == (
+        ["mach~1", "batch"], "disjunctive")
+    assert parse_kuery("lang:en w1~2") == (
+        ["w1~2"], "disjunctive", [("lang", "=", "en")])
+    for bad in ("a~b", "~x", "mach~3", "a AND b~1", '"part filter~"',
+                "mach~~1"):
+        with pytest.raises(ValueError):
+            parse_kuery(bad)
+
+
+def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
+    from picdexer_spark.query.bm25 import levenshtein_capped
+
+    eng = SearchEngine(spark, built)
+    assert eng._df_cache is not None
+
+    def brute(term, d):
+        hits = []
+        for t, df_ in eng._df_cache.items():
+            dist = levenshtein_capped(term, t, d)
+            if dist <= d:
+                hits.append((dist, -df_, t))
+        hits.sort()
+        return [t for _a, _b, t in hits]
+
+    for term, d in (("w1", 1), ("w1", 2), ("w123", 1)):
+        want = brute(term, d)
+        assert len(want) > 3, (term, d)  # non-degenerate expansion
+        assert eng.expand_fuzzy(term, d) == want[:50]
+        assert eng.expand_fuzzy(term, d, max_expansions=4) == want[:4]
+    dist_eng = SearchEngine(spark, built, preload_stats_max_terms=0)
+    assert dist_eng.expand_fuzzy("w1", 1) == brute("w1", 1)[:50]
+    assert dist_eng.expand_fuzzy("w123", 1, max_expansions=4) == \
+        brute("w123", 1)[:4]
+    with pytest.raises(ValueError):
+        eng.expand_fuzzy("w1", 3)
+
+
+def test_fuzzy_search_matches_manual_expansion(spark, built):
+    eng = SearchEngine(spark, built)
+    expanded = eng.expand_fuzzy("w1", 1)
+    want = eng.search(sorted(set(expanded + ["w2"])), "disjunctive", 10) \
+        .collect()
+    got = eng.search_query_string("w1~1 OR w2", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
