@@ -141,6 +141,9 @@ FUZZY_QSTRING = "part~2 OR dup"
 FUZZY_STEM = "part"
 FUZZY_EDITS = 2
 FUZZY_BARE = ["dup"]
+# more_like_this source doc (72 tokens at sf0.01) + the ES defaults
+MLT_DOC = 7
+MLT_DEFAULTS = dict(max_query_terms=25, min_term_freq=2, min_doc_freq=5)
 # training-free IVF coarse quantizer: centroid = every 7th vector
 IVF_CENTROIDS = [i * 7 for i in range(16)]
 
@@ -329,6 +332,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(FUZZY_QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_fuzzy_querystring"] = bm25_fuzzy_querystring
+
+    def more_like_this_doc7(s, d):
+        # ES more_like_this: the source doc's interesting terms (tf>=2,
+        # df>=5, top-25 by tf*idf) run as a disjunctive query, source
+        # excluded
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.more_like_this(MLT_DOC, k=10, **MLT_DEFAULTS)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["more_like_this_doc7"] = more_like_this_doc7
 
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
@@ -742,6 +754,47 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY tf.doc_id)
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+
+    # more_like_this: the interesting-term selection (tf>=2, df>=5,
+    # tf*idf desc / term asc, LIMIT 25) is computed IN SQL, then the
+    # standard BM25 disjunction excluding the source doc
+    o["more_like_this_doc7"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        dfall AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        src AS (SELECT term, count(*) AS tf FROM tok
+                WHERE doc_id = {MLT_DOC} GROUP BY term),
+        qsel AS (
+          SELECT s.term FROM src s JOIN dfall d USING (term) CROSS JOIN st
+          WHERE s.tf >= 2 AND d.df >= 5
+          ORDER BY s.tf * ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     DESC,
+                   s.term ASC
+          LIMIT 25),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN (SELECT term FROM qsel)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, df FROM dfall
+               WHERE term IN (SELECT term FROM qsel)),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored WHERE doc_id != {MLT_DOC}
+        ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     # significant_terms: JLH mirrored term-for-term (same expression shape

@@ -705,6 +705,57 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> DataFrame:
+        """ES more_like_this for one stored doc (the "similar documents"
+        panel): pick the doc's most INTERESTING terms — tf >=
+        `min_term_freq`, df >= `min_doc_freq`, ranked by tf*idf desc
+        (ties term asc), top `max_query_terms` (ES defaults 2/5/25) —
+        then run a disjunctive BM25 search with them, excluding the
+        source doc. Returns (doc_id, score).
+
+        The source doc fetch is a point lookup (docs are written sorted
+        by doc_id, parquet min/max pruned) and its term vector is one
+        row — the same coordinator hop ES pays; the search itself is the
+        standard distributed path. Exact exclusion via k+1 over-fetch."""
+        from picdexer_spark.functions.tokenize import tokenize_py
+
+        row = (
+            self.cat.read_live_docs(self.spark, self.snapshot_id)
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .first()
+        )
+        if row is None:
+            raise ValueError(f"doc_id {doc_id} not found among live docs")
+        toks = tokenize_py(row["text"] or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = [t for t, c in tf.items() if c >= min_term_freq]
+        dfs = self.term_dfs(sorted(cand))
+        scored = [
+            (-(tf[t] * idf(self.n_docs, dfs[t])), t)
+            for t in cand
+            if t in dfs and dfs[t] >= min_doc_freq
+        ]
+        scored.sort()
+        terms = [t for _s, t in scored[:max_query_terms]]
+        if not terms:
+            return self._empty()
+        hits = self.search(terms, "disjunctive", k + 1)
+        return (
+            hits.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def significant_terms(
         self,
         terms: list[str],

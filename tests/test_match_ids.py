@@ -138,3 +138,38 @@ def test_significant_terms_jlh(spark, built):
     assert want[0][0] == "w7" and got[0]["term"] == "w7"
 
     assert eng.significant_terms(["zzznope"]).count() == 0
+
+
+def test_more_like_this_matches_python_reference(spark, built):
+    """MLT pins the ES defaults: interesting terms = tf>=min_term_freq,
+    df>=min_doc_freq, top max_query_terms by tf*idf (ties term asc);
+    result = disjunctive search over them minus the source doc."""
+    import collections
+
+    from picdexer_spark.query.bm25 import idf
+
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, _ = _toks(pdf)
+    src = next(i for i in sorted(toks) if len(toks[i]) >= 30)
+    dfc = collections.Counter()
+    for v in toks.values():
+        dfc.update(set(v))
+    tf = collections.Counter(toks[src])
+    scored = sorted(
+        (-(c * idf(len(toks), dfc[t])), t)
+        for t, c in tf.items() if c >= 2 and dfc[t] >= 5
+    )
+    want_terms = [t for _s, t in scored[:25]]
+    assert len(want_terms) >= 5
+    want = [(d, s) for d, s in
+            eng.search_topk(want_terms, "disjunctive", 11) if d != src][:10]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng.more_like_this(src, k=10).collect()]
+    assert got == want
+    assert src not in {d for d, _ in got}
+
+    # restrictive thresholds can empty the query -> empty result, not error
+    assert eng.more_like_this(src, k=5, min_term_freq=10**6).count() == 0
+    with pytest.raises(ValueError, match="not found"):
+        eng.more_like_this(10**9)
