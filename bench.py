@@ -157,6 +157,27 @@ def main() -> None:
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = args.docs or corpus_docs(sf_dir)
 
+    # Host-health probe BEFORE any Spark work: this VM's hypervisor
+    # throttles sustained multi-core load (observed 2x build-time swings
+    # minutes apart with identical code — BASELINE.md). Recording the
+    # instantaneous multicore scale makes a throttled bench run
+    # self-documenting instead of silently misattributing host state to
+    # the engine. healthy ~0.85-0.95; <0.7 means absolute numbers in this
+    # run are depressed by the host, not the code.
+    def _host_health() -> float:
+        import multiprocessing as mp
+
+        def meas(procs, work=4_000_000, reps=4):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [work] * (procs * reps))
+            return procs * reps * work / (time.time() - t0)
+
+        one, eight = meas(1), meas(8)
+        return round(eight / one / 8.0, 3)
+
+    host_multicore_scale = _host_health()
+
     if args.build_only:
         d = tempfile.mkdtemp(prefix="bench_scale_idx_")
         dt = run_build(cpus, n_docs, d, args.shard_range,
@@ -209,6 +230,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
         "p50_query_sec": round(p50, 3),
+        "host_multicore_scale": host_multicore_scale,
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
@@ -216,27 +238,39 @@ def main() -> None:
         # fixed job overhead is <2% of the 2-core build
         scale_docs = int(os.environ.get("BENCH_SCALE_DOCS", "500000"))
         lo, hi = 2, 8  # N and 4N inside the host's linear CPU region
-        ts = {}
-        for c in (lo, hi):
+        # ALTERNATING lo,hi,hi,lo with min per level: the host's throttle
+        # deepens over a sustained run, so sequential lo-then-hi charges
+        # all of the drift to the hi level (observed: identical code, eff
+        # 0.83 on a cool host vs 0.48 when hi ran last on a hot one). The
+        # Latin-square order gives each level one early and one late slot;
+        # min per level is the drift-robust statistic.
+        ts = {lo: [], hi: []}
+        for c in (lo, hi, hi, lo):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-only",
                  "--cpus", str(c), "--docs", str(scale_docs),
                  "--shard-range", str(args.shard_range),
-                 "--warmup-docs", "150000"],
-                # min-of-2 measured builds per level: the host's sustained-
-                # load throughput swings ~10% run to run; min is the
-                # noise-robust wall-clock statistic
-                env={**os.environ, "BENCH_BUILD_REPS": "2"},
+                 # 100k warmup: plenty to warm 2-8 workers + JIT; the
+                 # 150k size predates the 4-slot probe (2 slots per level
+                 # now -> warmup cost is paid twice per level)
+                 "--warmup-docs", "100000"],
+                env={**os.environ, "BENCH_BUILD_REPS": "1"},
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = out.stdout.strip().splitlines()[-1]
-            ts[c] = json.loads(line)["t"]
+            ts[c].append(json.loads(line)["t"])
+        slot_times = {str(c): [round(t, 1) for t in v]
+                      for c, v in ts.items()}
+        ts = {c: min(v) for c, v in ts.items()}
         speedup = ts[lo] / ts[hi]
         control = cpu_burn_control(lo, hi)
         eff = speedup / 4.0
         result["scaling"] = {
             "cpus_lo": lo, "cpus_hi": hi, "n_docs": scale_docs,
+            # raw per-slot wall times in run order (lo,hi,hi,lo): if the
+            # host throttled mid-probe the asymmetry is visible here
+            "slot_times": slot_times,
             "t_lo": round(ts[lo], 3), "t_hi": round(ts[hi], 3),
             "throughput_lo": round(scale_docs / ts[lo], 1),
             "throughput_hi": round(scale_docs / ts[hi], 1),
