@@ -89,6 +89,25 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     return _unescape_series(inner)
 
 
+def extract_text_col(html):
+    """JVM twin of :func:`extract_text_series` — the same extraction as a
+    Column expression (whole-stage codegen, no Python worker round-trip):
+    UTF-8 decode (malformed bytes -> U+FFFD, matching errors='replace'),
+    one greedy `(?s)` article regex (NULL when no article element, the
+    same match-vs-empty-article distinction the pandas path makes), then
+    the 5-entity unescape chain in the pinned order. Parity with the
+    pandas twin is test-pinned row-for-row (tests/test_tokenizer_oracle).
+    """
+    from pyspark.sql import functions as F
+
+    decoded = F.decode(html, "UTF-8")
+    pat = rf"(?s){_ARTICLE_OPEN}(.*){_ARTICLE_CLOSE}"
+    out = F.when(decoded.rlike(pat), F.regexp_extract(decoded, pat, 1))
+    for raw, ent in reversed(_ESCAPES):
+        out = F.replace(out, F.lit(ent), F.lit(raw))
+    return out
+
+
 def extract_pages_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

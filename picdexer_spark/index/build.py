@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from picdexer_spark.functions.extract import extract_pages_batches
+from picdexer_spark.functions.extract import extract_text_col
 from picdexer_spark.functions.tokenize import tokens_col
 from picdexer_spark.index.codec import (
     BLOCK_SIZE,
@@ -536,13 +536,20 @@ def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
 # the build
 # ---------------------------------------------------------------------------
 def extract_text(pages: DataFrame) -> DataFrame:
-    """Stage A: fill `text` from `html` (vectorized Arrow pass)."""
-    out_schema = (
-        "url string, warc_ts timestamp, html binary, text string,"
-        " lang string, extract_ok boolean"
+    """Stage A: fill `text` from `html` — ALL-JVM since round 3
+    (functions/extract.py::extract_text_col, whole-stage codegen; the
+    round-1/2 mapInPandas pass was the build's largest Python cost and
+    this expression is its test-pinned byte-identical twin). Rows with
+    html==null keep their incoming text (skip path); failed extraction
+    -> text NULL, extract_ok false."""
+    text = F.when(
+        F.col("html").isNotNull(), extract_text_col(F.col("html"))
+    ).otherwise(F.col("text"))
+    return (
+        pages.select("url", "warc_ts", "html", "text", "lang")
+        .withColumn("text", text)
+        .withColumn("extract_ok", F.col("text").isNotNull())
     )
-    cols = ["url", "warc_ts", "html", "text", "lang"]
-    return pages.select(*cols).mapInPandas(extract_pages_batches, out_schema)
 
 
 def tf_stream(docs: DataFrame, shard_range: int | None = None,

@@ -71,3 +71,57 @@ def test_extract_inverse():
     assert html[0].startswith(b"<html><head><title>") and b"<nav>" in html[0]
     assert texts[0].encode() in html[0]
     assert b"&amp;" in html[1] and b"&lt;" in html[1]
+
+
+def test_extract_jvm_column_twin_parity(spark):
+    """The all-JVM extract_text_col must match the pandas
+    extract_text_series/extract_pages_batches semantics ROW-FOR-ROW,
+    including the edges: multiline bodies, all five entities, empty
+    article, no-article html, null html with/without incoming text."""
+    import pandas as pd
+
+    from picdexer_spark.functions.extract import (
+        extract_pages_batches,
+        wrap_html_series,
+    )
+    from picdexer_spark.index.build import extract_text
+
+    texts = [
+        "plain words",
+        "line one\nline two\n\ttabbed",
+        "all entities: & < > \" ' and again &amp; (literal)",
+        "",  # empty article body
+        "unicode: café — emoji \U0001f600",
+    ]
+    urls = [f"https://s{i}.example/p" for i in range(len(texts))]
+    pdf = pd.DataFrame({
+        "url": urls,
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": wrap_html_series(pd.Series(texts), pd.Series(urls)),
+        "text": [None] * len(texts),
+        "lang": "en",
+    })
+    edge = pd.DataFrame({
+        "url": ["https://e0.example/p", "https://e1.example/p",
+                "https://e2.example/p"],
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": [b"<html><body>no article here</body></html>", None, None],
+        "text": [None, "kept incoming text", None],
+        "lang": "en",
+    })
+    pdf = pd.concat([pdf, edge], ignore_index=True)
+
+    want = pd.concat(list(extract_pages_batches(iter([pdf]))),
+                     ignore_index=True)
+    sdf = spark.createDataFrame(
+        pdf, "url string, warc_ts timestamp, html binary, text string,"
+             " lang string")
+    got = {r["url"]: (r["text"], r["extract_ok"])
+           for r in extract_text(sdf).collect()}
+    for i, u in enumerate(pdf["url"]):
+        wt = want.loc[i, "text"]
+        wt = None if pd.isna(wt) else wt
+        assert got[u] == (wt, bool(want.loc[i, "extract_ok"])), u
+    # round-trip byte identity through the JVM path
+    for i, t in enumerate(texts):
+        assert got[urls[i]][0] == t, repr(t)
