@@ -342,6 +342,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["more_like_this_doc7"] = more_like_this_doc7
 
+    def suggest_terms_s(s, d):
+        # search-bar autocomplete: highest-df dictionary terms under a
+        # prefix (the DF the engine's suggest() collects — pushed
+        # StringStartsWith scan, df desc / term asc)
+        eng = SearchEngine(s, _get_index(s, d))
+        return (
+            eng.term_stats.filter(F.col("term").startswith(PREFIX_STEM))
+            .orderBy(F.desc("df"), F.asc("term")).limit(10)
+            .select("term", "df")
+        )
+    q["suggest_terms_s"] = suggest_terms_s
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -754,6 +766,16 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY tf.doc_id)
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+
+    o["suggest_terms_s"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents)
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        WHERE term LIKE '{PREFIX_STEM}%'
+        GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
     """
 
     # more_like_this: the interesting-term selection (tf>=2, df>=5,

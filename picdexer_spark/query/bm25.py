@@ -182,6 +182,27 @@ class SearchEngine:
                 F.expr(f"doc_id div {shard_range}").alias("s")
             ).agg(F.count("*").alias("c")).collect()
         }
+        # SCORING statistics pair with the AS-BUILT per-term df (which
+        # counts tombstoned docs until compact), so N and avgdl must also
+        # include tombstoned docs — Lucene's maxDoc/sumTotalTermFreq
+        # contract. Pairing live N with as-built df goes NEGATIVE-idf
+        # after a mass delete (df > N), inverting every block-max upper
+        # bound and breaking pruning exactness. Live stats (self.n_docs /
+        # self.avgdl) remain what dashboards and aggs report.
+        self.n_docs_scoring = self.n_docs
+        self.avgdl_scoring = self.avgdl
+        n_tomb_total = sum(self._tomb_counts.values())
+        if n_tomb_total:
+            tomb_len = int(
+                self.cat.read(spark, "docs", self.snapshot_id)
+                .join(self.deletes, "doc_id", "semi")
+                .agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"))
+                .first()["s"]
+            )
+            self.n_docs_scoring = self.n_docs + n_tomb_total
+            self.avgdl_scoring = (
+                (int(st_d["total_len"]) + tomb_len) / self.n_docs_scoring
+            )
         # small vocabularies: pull df stats to the driver once, saving one
         # Spark job per query; a web-scale vocab (hundreds of millions of
         # terms) stays a distributed filtered lookup
@@ -244,7 +265,7 @@ class SearchEngine:
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
-        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
@@ -254,7 +275,7 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
-                                    self.avgdl, prune, self._tomb_counts,
+                                    self.avgdl_scoring, prune, self._tomb_counts,
                                     after=after)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         if self._tomb_counts:
@@ -336,6 +357,17 @@ class SearchEngine:
             .collect()
         )
         return [r["term"] for r in rows]
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Search-bar autocomplete (the ES term suggester / Kibana
+        query-bar completion): the `n` highest-df dictionary terms
+        starting with `prefix`, as [(term, df)] — the same pushed
+        StringStartsWith dictionary scan as :meth:`expand_prefix`, but
+        returning the weights the completion UI ranks by."""
+        analyzed = prefix.strip().lower()
+        terms = self.expand_prefix(analyzed, max_expansions=n)
+        dfs = self.term_dfs(terms)
+        return [(t, dfs[t]) for t in terms]
 
     def search_query_string(self, q: str, k: int = 10,
                             prune: bool = True) -> DataFrame:
@@ -475,7 +507,7 @@ class SearchEngine:
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
-        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
 
         allowed = live.filter(cond).select(
             F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),
@@ -489,7 +521,7 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
-                                             self.avgdl, prune, after=after)
+                                             self.avgdl_scoring, prune, after=after)
         per_shard = (
             cand.groupBy("shard_id")
             .cogroup(allowed.groupBy("shard_id"))
@@ -534,7 +566,7 @@ class SearchEngine:
         present = [t for t in uniq if t in dfs]
         if not present:
             return self.spark.createDataFrame([], "doc_id long")
-        idf_map = {t: idf(self.n_docs, dfs[t]) for t in present}
+        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
@@ -548,7 +580,7 @@ class SearchEngine:
                 "doc_id",
             )
             scorer = _make_filtered_shard_scorer(
-                scorer_terms, idf_map, self.shard_range, mode, self.avgdl,
+                scorer_terms, idf_map, self.shard_range, mode, self.avgdl_scoring,
                 prune=False)
             per_shard = (
                 cand.groupBy("shard_id")
@@ -557,7 +589,7 @@ class SearchEngine:
             )
             return per_shard.select("doc_id")  # whitelist is already live
         scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
-                                    mode, self.avgdl, prune=False)
+                                    mode, self.avgdl_scoring, prune=False)
         per_shard = cand.groupBy("shard_id").applyInPandas(
             scorer, RESULT_SCHEMA)
         out = per_shard.select("doc_id")
@@ -672,7 +704,7 @@ class SearchEngine:
         uniq = sorted(set(terms))
         dfs = self.term_dfs(uniq)
         idf_df = self.spark.createDataFrame(
-            [(t, idf(self.n_docs, dfs[t])) for t in uniq if t in dfs],
+            [(t, idf(self.n_docs_scoring, dfs[t])) for t in uniq if t in dfs],
             "term string, idf double",
         )
         w = Window.partitionBy("doc_id").orderBy(
@@ -741,7 +773,7 @@ class SearchEngine:
         cand = [t for t, c in tf.items() if c >= min_term_freq]
         dfs = self.term_dfs(sorted(cand))
         scored = [
-            (-(tf[t] * idf(self.n_docs, dfs[t])), t)
+            (-(tf[t] * idf(self.n_docs_scoring, dfs[t])), t)
             for t in cand
             if t in dfs and dfs[t] >= min_doc_freq
         ]
@@ -779,7 +811,8 @@ class SearchEngine:
                 [], "term string, fg_df long, bg_df long, score double"
             )
         return significant_terms(docs, m, "text", self.term_stats,
-                                 self.n_docs, n_fg, k, min_doc_count)
+                                 self.n_docs_scoring, n_fg, k,
+                                 min_doc_count)
 
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True,
                     after=None):
@@ -831,7 +864,7 @@ class SearchEngine:
                 [], "query_id long, rank int, doc_id long, score double"
             )
         dfs = self.term_dfs(all_terms)
-        idf_map = {t: idf(self.n_docs, d) for t, d in dfs.items()}
+        idf_map = {t: idf(self.n_docs_scoring, d) for t, d in dfs.items()}
         qspecs = []
         for q in queries:
             uniq = sorted(set(q["terms"]))
@@ -851,7 +884,7 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
-        avgdl = self.avgdl
+        avgdl = self.avgdl_scoring
         spec_by_qid = {qid: (sterms, mode, k)
                        for qid, _present, sterms, mode, k in qspecs}
         tomb_counts = self._tomb_counts

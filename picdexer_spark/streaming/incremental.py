@@ -310,3 +310,88 @@ def run_dropzone_stream(
     else:
         q = writer.trigger(processingTime=processing_time).start()
     return q
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "disjunctive",
+    filters: list = (),
+) -> int:
+    """ES `_delete_by_query`: tombstone every LIVE doc matching the query
+    (any mode, with kuery filters) as a new delete-only snapshot. Returns
+    the number of docs deleted (0 commits nothing).
+
+    Composition of existing invariants — no new machinery:
+    - the match set comes from SearchEngine.match_ids (exact per-shard
+      kernels; never collected — the tombstone table is written by Spark);
+    - the snapshot carries ONLY `deletes` + patched `stats` (docs/postings
+      dirs absent — the chained reader skips missing dirs) + the parent's
+      `term_stats` copied forward (per-term df stays as-built until
+      compact(), the Lucene deleted-docs-in-stats contract; the stats
+      table's n_docs/avgdl ARE live for dashboards, while the engine
+      SCORES with the as-built pair — SearchEngine reconstructs
+      maxDoc/avgdl including tombstones so idf never goes negative);
+    - delete-aware scoring (over-fetch + anti-join) and read_live_docs
+      hide the docs immediately; compact() reclaims them.
+    """
+    import pyarrow as pa
+
+    from picdexer_spark.query.bm25 import SearchEngine
+    from picdexer_spark.sources.catalog import IndexCatalog
+
+    cat = IndexCatalog(index_dir)
+    parent = cat.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot in {index_dir}")
+    eng = SearchEngine(spark, index_dir, snapshot_id=parent)
+    matched = eng.match_ids(terms, mode, list(filters))
+    live = cat.read_live_docs(spark, parent)
+    tomb = live.join(matched, "doc_id", "semi").select("doc_id", "doc_len")
+    row = tomb.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("len_sum"),
+    ).first()
+    n_del, len_sum = int(row["n"]), int(row["len_sum"])
+    if n_del == 0:
+        return 0
+
+    snapshot_id = cat.new_snapshot_id()
+    snap_dir = os.path.join(index_dir, "snapshots", snapshot_id)
+    os.makedirs(snap_dir, exist_ok=True)
+    tomb.select(
+        "doc_id",
+        F.lit("delete_by_query").alias("reason"),
+        F.lit(snapshot_id).alias("snapshot_id"),
+    ).write.mode("overwrite").parquet(os.path.join(snap_dir, "deletes"))
+    # term_stats stays the parent's full table (exact again at compact)
+    shutil.copytree(cat.table_path("term_stats", parent),
+                    os.path.join(snap_dir, "term_stats"))
+
+    committed = cat.committed_stats(spark)
+    n_docs = int(committed["n_docs"]) - n_del
+    total_len = int(committed["total_len"]) - len_sum
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    _write_small_table(
+        os.path.join(snap_dir, "stats"),
+        {
+            "n_docs": [n_docs],
+            "total_len": [total_len],
+            "avgdl": [float(avgdl)],
+            "docs_dropped": [int(committed["docs_dropped"])],
+            "import_id": ["delete_by_query"],
+            "next_doc_id": [int(committed.get("next_doc_id")
+                                or committed["n_docs"])],
+            "shard_range": [int(committed.get("shard_range") or 0)],
+            "positions": [bool(committed.get("positions") or False)],
+        },
+        schema=pa.schema(
+            [("n_docs", pa.int64()), ("total_len", pa.int64()),
+             ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
+             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
+             ("shard_range", pa.int64()), ("positions", pa.bool_())]
+        ),
+    )
+    cat.commit(snapshot_id, [], parent=parent)
+    return n_del

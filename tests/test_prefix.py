@@ -144,3 +144,18 @@ def test_fuzzy_search_matches_manual_expansion(spark, built):
     got = eng.search_query_string("w1~1 OR w2", 10).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == \
            [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_suggest_matches_distributed_scan(spark, built):
+    """suggest() == the pushed dictionary scan (df desc, term asc, top-n),
+    analyzed input ('W1 ' -> 'w1'), [(term, df)] shape."""
+    from pyspark.sql import functions as F
+
+    eng = SearchEngine(spark, built)
+    want = [(r["term"], r["df"]) for r in
+            eng.term_stats.filter(F.col("term").startswith("w1"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(5)
+            .select("term", "df").collect()]
+    assert eng.suggest("w1", 5) == want
+    assert eng.suggest(" W1 ", 5) == want  # analyzer applied to the input
+    assert eng.suggest("zzznope") == []
