@@ -354,6 +354,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["suggest_terms_s"] = suggest_terms_s
 
+    def doc_len_percentiles(s, d):
+        # ES percentiles agg (Kibana metric viz): exact interpolated
+        # p50/p90/p99 of doc token length — one scan for all percentiles
+        docs = _tbl(s, d, "documents")
+        dl = docs.select(F.size(tokens_col("text")).alias("dl"))
+        return dash.percentiles(dl, "dl").select(
+            "pct", F.round("value", 6).alias("value"))
+    q["doc_len_percentiles"] = doc_len_percentiles
+
+    q["lang_cardinality"] = lambda s, d: dash.cardinality(
+        _tbl(s, d, "documents"), "lang", exact=True)
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -767,6 +779,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     """
+
+    # ES percentiles: Spark `percentile` and DuckDB quantile_cont share
+    # the exact linear-interpolation definition
+    o["doc_len_percentiles"] = """
+        WITH dl AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          FROM documents),
+        q AS (SELECT quantile_cont(dl, 0.5) AS p50,
+                     quantile_cont(dl, 0.9) AS p90,
+                     quantile_cont(dl, 0.99) AS p99 FROM dl)
+        SELECT 0.5::DOUBLE AS pct, round(p50, 6) AS value FROM q
+        UNION ALL SELECT 0.9::DOUBLE, round(p90, 6) FROM q
+        UNION ALL SELECT 0.99::DOUBLE, round(p99, 6) FROM q
+    """
+    o["lang_cardinality"] = \
+        "SELECT count(DISTINCT lang) AS n_distinct FROM documents"
 
     o["suggest_terms_s"] = f"""
         WITH tok AS (

@@ -224,3 +224,31 @@ def significant_terms(
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(k)
     )
+
+
+def percentiles(df: DataFrame, col: str,
+                pcts: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """ES percentiles agg (the Kibana metric-viz percentile ranks) with
+    EXACT linear-interpolation semantics (Spark `percentile`; at 100 TB
+    swap to `percentile_approx` — same plan shape, documented recall
+    trade, the ES t-digest analogue). Returns one row per requested
+    percentile: (pct, value)."""
+    arr = F.expr(
+        f"percentile({col}, array({', '.join(repr(float(p)) for p in pcts)}))"
+    )
+    pcts_lit = F.array(*[F.lit(float(p)) for p in pcts])
+    return (
+        df.agg(arr.alias("vals"))  # ONE scan for all percentiles
+        .select(F.posexplode("vals").alias("i", "value"))
+        .select(F.element_at(pcts_lit, F.col("i") + 1).alias("pct"), "value")
+    )
+
+
+def cardinality(df: DataFrame, col: str, exact: bool = True) -> DataFrame:
+    """ES cardinality agg. exact=True -> COUNT(DISTINCT) (the oracle-
+    comparable small-scale form); exact=False -> HLL++
+    (approx_count_distinct), the 100 TB path ES itself takes (its
+    cardinality agg IS HyperLogLog) — same output shape either way."""
+    agg = (F.count_distinct(F.col(col)) if exact
+           else F.approx_count_distinct(F.col(col)))
+    return df.agg(agg.alias("n_distinct"))

@@ -274,3 +274,26 @@ def test_kmeans_centroids_matches_numpy_reference(spark):
     exact = sim.cosine_topk(df, "vec_id", "embedding", [5], k=5).collect()
     assert [(r["neighbor_id"], r["cos_sim"]) for r in res] == \
            [(r["neighbor_id"], r["cos_sim"]) for r in exact]
+
+
+def test_percentiles_and_cardinality(spark):
+    """percentiles pins exact linear interpolation (numpy 'linear'
+    definition); cardinality exact==distinct, approx within HLL bounds."""
+    import numpy as np
+
+    from picdexer_spark.operators import dashboards as dash
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["pct"]: r["value"]
+           for r in dash.percentiles(df, "x", (0.5, 0.9, 0.99)).collect()}
+    for p in (0.5, 0.9, 0.99):
+        want = float(np.percentile(np.array(vals, float), p * 100,
+                                   method="linear"))
+        assert got[p] == pytest.approx(want, rel=1e-12), p
+
+    df2 = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "a", None, "c", "b"]], "x string")
+    assert dash.cardinality(df2, "x", exact=True).first()["n_distinct"] == 3
+    approx = dash.cardinality(df2, "x", exact=False).first()["n_distinct"]
+    assert 2 <= approx <= 4  # HLL++ on 3 values is near-exact
