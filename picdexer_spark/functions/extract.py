@@ -97,10 +97,20 @@ def extract_text_col(html):
     same match-vs-empty-article distinction the pandas path makes), then
     the 5-entity unescape chain in the pinned order. Parity with the
     pandas twin is test-pinned row-for-row (tests/test_tokenizer_oracle).
+
+    Decode is `cast(binary as string)`, NOT `F.decode(html, 'UTF-8')`:
+    on Spark 4 `decode` raises MALFORMED_CHARACTER_CODING on any invalid
+    byte (fatal to the whole build job), while the cast substitutes
+    U+FFFD — preserving the module's pinned error semantics (a bad row
+    degrades, never aborts) and matching pandas errors='replace'
+    byte-for-byte on every malformed class except CESU-8 surrogate
+    encodings, where Java emits one U+FFFD for the 3-byte ill-formed
+    sequence and Python emits three (maximal-subpart rule). That single
+    divergence is pinned in tests/test_tokenizer_oracle.py.
     """
     from pyspark.sql import functions as F
 
-    decoded = F.decode(html, "UTF-8")
+    decoded = html.cast("string")
     pat = rf"(?s){_ARTICLE_OPEN}(.*){_ARTICLE_CLOSE}"
     out = F.when(decoded.rlike(pat), F.regexp_extract(decoded, pat, 1))
     for raw, ent in reversed(_ESCAPES):

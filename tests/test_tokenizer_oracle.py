@@ -109,7 +109,22 @@ def test_extract_jvm_column_twin_parity(spark):
         "text": [None, "kept incoming text", None],
         "lang": "en",
     })
-    pdf = pd.concat([pdf, edge], ignore_index=True)
+    # malformed UTF-8 inside an intact article: real crawl input routinely
+    # carries invalid bytes — the row must DEGRADE (U+FFFD), never abort
+    # the job (Spark 4's F.decode raises MALFORMED_CHARACTER_CODING; the
+    # cast-based path must not). Both twins agree byte-for-byte on these
+    # classes: lone continuation, truncated 3-/4-byte seqs, overlong, 0xFF.
+    bad_bodies = [b"a\x80b", b"a\xe2\x82b", b"a\xf0\x9f\x92b",
+                  b"a\xc0\xafb", b"a\xffb", b"trail\xe2\x82"]
+    malformed = pd.DataFrame({
+        "url": [f"https://m{i}.example/p" for i in range(len(bad_bodies))],
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": [b"<html><body><article>" + b + b"</article></body></html>"
+                 for b in bad_bodies],
+        "text": [None] * len(bad_bodies),
+        "lang": "en",
+    })
+    pdf = pd.concat([pdf, edge, malformed], ignore_index=True)
 
     want = pd.concat(list(extract_pages_batches(iter([pdf]))),
                      ignore_index=True)
@@ -125,3 +140,29 @@ def test_extract_jvm_column_twin_parity(spark):
     # round-trip byte identity through the JVM path
     for i, t in enumerate(texts):
         assert got[urls[i]][0] == t, repr(t)
+    # malformed bytes degraded to U+FFFD, not fatal, and matched pandas
+    for i, b in enumerate(bad_bodies):
+        assert got[f"https://m{i}.example/p"][0] == b.decode(
+            "utf-8", errors="replace")
+
+
+def test_extract_jvm_surrogate_divergence(spark):
+    """Pin the ONE known decode divergence between the twins: CESU-8
+    lone-surrogate bytes (ED A0 80). Java's UTF-8 decoder substitutes one
+    U+FFFD for the 3-byte ill-formed sequence; Python's maximal-subpart
+    rule emits three. Neither aborts; real crawl text is unaffected
+    (surrogate encodings are not produced by any UTF-8 encoder)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from picdexer_spark.functions.extract import (
+        extract_text_col,
+        extract_text_series,
+    )
+
+    html = b"<html><body><article>a\xed\xa0\x80b</article></body></html>"
+    sdf = spark.createDataFrame([(html,)], "html binary")
+    jvm = sdf.select(extract_text_col(F.col("html")).alias("t")).first().t
+    pandas_side = extract_text_series(pd.Series([html]))[0]
+    assert jvm == "a�b"
+    assert pandas_side == "a���b"
