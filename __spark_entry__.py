@@ -135,6 +135,20 @@ RANGE_QSTRING = ('warc_ts >= "2024-01-01 00:02:00" NOT lang:de '
                  "Batch, OR vector OR spark")
 RANGE_CUT_DOC_ID = 120
 RANGE_NOT_LANG = "de"
+# boolean kuery (round 4): filter-OR group + scored OR-group + required
+# term, all through the parenthesized tree path — groups [[batch, vector],
+# [spark]] within lang IN (en, de)
+BOOL_QSTRING = "(lang:en OR lang:de) AND (Batch, OR vector) AND spark"
+BOOL_GROUP1 = ["batch", "vector"]
+BOOL_GROUP2 = ["spark"]
+BOOL_LANGS = ["en", "de"]
+# schema-driven typed filters (round 4): numeric range on doc_len + negated
+# exact match on url (a non-lang string field) — no allowlist, the docs
+# schema decides; doc_len here equals the oracle's analyzed token count
+TYPED_QSTRING = ('doc_len >= 60 NOT url:"doc://000000000007" '
+                 "Batch, OR vector OR spark")
+TYPED_MIN_DL = 60
+TYPED_NOT_DOC = 7
 # fuzzy query: part~2 expands (levenshtein <= 2 over the dictionary) to
 # {part, fast, sort}, OR'd with rare term dup
 FUZZY_QSTRING = "part~2 OR dup"
@@ -323,6 +337,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search(DISJ_TERMS, "disjunctive", 10, after=after)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_search_after_page2"] = bm25_search_after_page2
+
+    def bm25_boolean_querystring(s, d):
+        # parenthesized boolean kuery: `(lang:en OR lang:de) AND
+        # (Batch, OR vector) AND spark` — the filter-OR compiles into ONE
+        # docs-table condition, the scored tree becomes CNF groups
+        # (MUST-of-SHOULD-groups, coord-less Lucene): match = every group
+        # has >=1 matching term, score = BM25 sum over all matched terms
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(BOOL_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_boolean_querystring"] = bm25_boolean_querystring
+
+    def bm25_typed_filter_querystring(s, d):
+        # schema-driven filters: `doc_len >= 60` (numeric range) and
+        # `NOT url:"..."` (negated exact match on a non-lang string
+        # field) — field typing comes from the docs-table schema, the ES
+        # everything-filterable mapping contract (picdexer.json:7-96)
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(TYPED_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_typed_filter_querystring"] = bm25_typed_filter_querystring
 
     def bm25_fuzzy_querystring(s, d):
         # ES fuzziness: `part~2` expands against the term dictionary by
@@ -773,6 +808,54 @@ def oracle_sql() -> dict[str, str]:
     # fuzzy expansion computed IN SQL (DuckDB levenshtein == the engine's
     # capped DP for distances within the cap), same rewrite pins as the
     # engine: distance asc, df desc, term asc, LIMIT 50
+    # boolean kuery: CNF groups — match needs >=1 term from EACH group,
+    # score sums ALL matched terms; the lang filter-OR restricts candidates
+    # without touching the corpus-wide statistics (ES filter context)
+    bool_terms = sql_terms(BOOL_GROUP1 + BOOL_GROUP2)
+    bool_langs = ",".join(f"'{x}'" for x in BOOL_LANGS)
+    o["bm25_boolean_querystring"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({bool_terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term IN ({bool_terms}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double
+                                           / st.n_docs))) ) AS s,
+                 max(CASE WHEN tf.term IN ({sql_terms(BOOL_GROUP1)})
+                     THEN 1 ELSE 0 END) AS grp1,
+                 max(CASE WHEN tf.term IN ({sql_terms(BOOL_GROUP2)})
+                     THEN 1 ELSE 0 END) AS grp2
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT sc.doc_id, round(sc.s, 4) AS score
+        FROM scored sc JOIN documents d USING (doc_id)
+        WHERE sc.grp1 = 1 AND sc.grp2 = 1 AND d.lang IN ({bool_langs})
+        ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
+    """
+    # typed filters: doc_len range (the oracle's analyzed token count) +
+    # negated url exact match (url reconstructed exactly as
+    # _documents_as_pages synthesizes it)
+    o["bm25_typed_filter_querystring"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS),
+        conj_filter=(
+            f"JOIN dl USING (doc_id) "
+            f"WHERE dl.dl >= {TYPED_MIN_DL} "
+            f"AND NOT ('doc://' || lpad(doc_id::VARCHAR, 12, '0') = "
+            f"'doc://{TYPED_NOT_DOC:012d}')"
+        ),
+        k=10,
+    )
     o["bm25_fuzzy_querystring"] = f"""
         WITH tok AS MATERIALIZED (
           SELECT doc_id,

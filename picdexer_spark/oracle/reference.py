@@ -94,6 +94,32 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def search_groups(self, groups: list[list[str]], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """CNF boolean oracle (Lucene MUST-of-SHOULD-groups, coord-less):
+        a doc matches iff every group contributes >=1 present term; score
+        = BM25 sum over ALL its matching terms, ascending term order."""
+        gs = [sorted(set(g)) for g in groups if g]
+        if not gs:
+            return []
+        cand: set[int] | None = None
+        for g in gs:
+            docs: set[int] = set()
+            for t in g:
+                docs |= set(self.postings.get(t, {}))
+            cand = docs if cand is None else cand & docs
+            if not cand:
+                return []
+        allt = sorted({t for g in gs for t in g})
+        scored = []
+        for d in cand:
+            s = 0.0
+            for t in allt:  # pinned ascending summation order
+                s += self.score_one(t, d)
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:
         """Lucene match_phrase (slop 0) oracle, spec pinned for the engine:

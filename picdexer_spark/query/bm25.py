@@ -36,6 +36,7 @@ from picdexer_spark.query.wand import (
     TermBlocks,
     score_conjunctive,
     score_disjunctive,
+    score_groups,
     score_phrase,
 )
 from picdexer_spark.sources.catalog import IndexCatalog
@@ -86,7 +87,10 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
 
 
 def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
-                  allowed=None, after=None):
+                  allowed=None, after=None, groups=None):
+    if mode == "groups":
+        return score_groups(groups, blocks, idf_map, K1, B, avgdl, k_eff,
+                            prune=prune, allowed=allowed, after=after)
     if mode == "conjunctive":
         return score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
                                  prune=prune, allowed=allowed, after=after)
@@ -98,7 +102,7 @@ def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
 
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                       tomb_counts=None, after=None):
+                       tomb_counts=None, after=None, groups=None):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
     tombstone COUNT (metadata-sized): each shard over-fetches
     k + |its tombstones|, and the caller anti-joins the chained `deletes`
@@ -113,14 +117,15 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         blocks = _blocks_from_pdf(pdf)
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
-                                    avgdl, k_eff, prune, after=after)
+                                    avgdl, k_eff, prune, after=after,
+                                    groups=groups)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
 
 
 def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                                after=None):
+                                after=None, groups=None):
     """Cogrouped scorer: (candidate blocks of one shard, allowed doc_ids of
     the same shard) -> exact top-k over the allowed set only. The whitelist
     is applied INSIDE the kernels before top-k selection (a post-filter
@@ -140,7 +145,7 @@ def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         blocks = _blocks_from_pdf(left)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k, prune, allowed=allowed,
-                                    after=after)
+                                    after=after, groups=groups)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -233,6 +238,7 @@ class SearchEngine:
         k: int = 10,
         prune: bool = True,
         after: tuple | None = None,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
 
@@ -244,10 +250,30 @@ class SearchEngine:
         row of the previous page; returns the next k strictly after it in
         rank order (the ES deep-pagination contract: every page costs
         O(k) per shard, never O(offset+k) — the cursor filters INSIDE the
-        shard kernels before top-k selection, pruning stays exact)."""
+        shard kernels before top-k selection, pruning stays exact).
+
+        mode "groups": `groups` is a CNF list of disjunction-groups —
+        a doc matches iff every group has >=1 matching term; score = BM25
+        sum over all matched terms (the Lucene MUST-of-SHOULD-groups
+        semantics, see wand.score_groups). A term may appear in only ONE
+        group (a duplicated clause would double-count in ES but not
+        here — refused, not guessed). Degenerate shapes reduce to the
+        flat modes so their plans and latencies are identical."""
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        if mode not in ("conjunctive", "disjunctive", "phrase"):
+        if (groups is not None) != (mode == "groups"):
+            raise ValueError("`groups` is required for (exactly) mode='groups'")
+        if mode == "groups":
+            groups = [sorted(set(g)) for g in groups if g]
+            if not groups:
+                return self._empty()
+            flat = [t for g in groups for t in g]
+            if len(flat) != len(set(flat)):
+                raise ValueError(
+                    "a term may appear in only one boolean group"
+                )
+            terms = flat
+        if mode not in ("conjunctive", "disjunctive", "phrase", "groups"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "phrase" and not self.has_positions:
             raise ValueError(
@@ -262,6 +288,18 @@ class SearchEngine:
             t not in dfs for t in uniq
         ):
             return self._empty()  # a required term matches nothing
+        if mode == "groups":
+            gpres = [[t for t in g if t in dfs] for g in groups]
+            if any(not g for g in gpres):
+                return self._empty()  # a required group matches nothing
+            # degenerate shapes -> the flat kernels (identical plans)
+            if len(gpres) == 1:
+                mode, groups = "disjunctive", None
+            elif all(len(g) == 1 for g in gpres):
+                mode, groups = "conjunctive", None
+                uniq = sorted(g[0] for g in gpres)
+            else:
+                groups = gpres
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
@@ -276,7 +314,7 @@ class SearchEngine:
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
                                     self.avgdl_scoring, prune, self._tomb_counts,
-                                    after=after)
+                                    after=after, groups=groups)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         if self._tomb_counts:
             # drop tombstoned docs distributed-side (deletes stays a DF;
@@ -328,8 +366,12 @@ class SearchEngine:
         blended-freqs rewrite (each expanded term keeps its own idf).
 
         Scale shape (no df cache): `length(term) BETWEEN l-d AND l+d`
-        prunes the dictionary scan before an Arrow-batched distance UDF;
-        only the <= max_expansions winners reach the driver."""
+        prunes the dictionary scan before the JVM `levenshtein(a, b, d)`
+        built-in (whole-stage codegen, early-abandon at the threshold —
+        returns -1 past it; classic Levenshtein, exactly what
+        levenshtein_capped computes, tie-order parity pytest-pinned);
+        only the <= max_expansions winners reach the driver. No per-row
+        Python anywhere in the query path."""
         n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
             else max_expansions
         if max_edits not in (1, 2):
@@ -343,15 +385,14 @@ class SearchEngine:
             hits.sort()
             return [t for _d, _df, t in hits[:n]]
         lo, hi = len(term) - max_edits, len(term) + max_edits
-
-        @F.pandas_udf("int")
-        def dist(s: pd.Series) -> pd.Series:
-            return s.map(lambda t: levenshtein_capped(term, t, max_edits))
-
         rows = (
             self.term_stats.filter(F.length("term").between(lo, hi))
-            .select("term", "df", dist(F.col("term")).alias("d"))
-            .filter(F.col("d") <= max_edits)
+            .select(
+                "term", "df",
+                F.levenshtein(F.lit(term), F.col("term"),
+                              max_edits).alias("d"),
+            )
+            .filter(F.col("d") >= 0)  # -1 = distance beyond the threshold
             .orderBy(F.asc("d"), F.desc("df"), F.asc("term"))
             .limit(n)
             .collect()
@@ -363,9 +404,21 @@ class SearchEngine:
         query-bar completion): the `n` highest-df dictionary terms
         starting with `prefix`, as [(term, df)] — the same pushed
         StringStartsWith dictionary scan as :meth:`expand_prefix`, but
-        returning the weights the completion UI ranks by."""
-        analyzed = prefix.strip().lower()
-        terms = self.expand_prefix(analyzed, max_expansions=n)
+        returning the weights the completion UI ranks by.
+
+        The prefix is analyzed with the INDEX analyzer (tokenize_py), the
+        ES completion contract — `Don'` suggests under `don`, not under a
+        punctuation-bearing string no dictionary term starts with. A
+        prefix that analyzes to several tokens (or none) is refused."""
+        from picdexer_spark.functions.tokenize import tokenize_py
+
+        toks = tokenize_py(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest prefix {prefix!r} must analyze to exactly one "
+                f"term (got {toks})"
+            )
+        terms = self.expand_prefix(toks[0], max_expansions=n)
         dfs = self.term_dfs(terms)
         return [(t, dfs[t]) for t in terms]
 
@@ -381,8 +434,48 @@ class SearchEngine:
         `scoring_boolean` contract over a `top_terms_N` expansion);
         trailing `~`/`~1`/`~2` words are FUZZY terms (edit-distance
         expansion per :meth:`expand_fuzzy`, same scoring contract). Words
-        run through the index analyzer (query/parser.py)."""
-        from picdexer_spark.query.parser import parse_kuery
+        run through the index analyzer (query/parser.py).
+
+        Parenthesized queries take the boolean-tree path
+        (parser.parse_kuery_tree): `(lang:en OR lang:de) AND spark`,
+        `(a OR b) AND c`, `NOT (x:1 OR y:2)` — filter-OR compiles into
+        the single docs-table condition, scored OR-groups become CNF
+        clauses (mode='groups'); prefix/fuzzy markers expand WITHIN their
+        group. Without parens, `lang:en OR lang:de` alternates the two
+        filters (parse_kuery folds the chain into one or-entry)."""
+        from picdexer_spark.query.parser import parse_kuery, parse_kuery_tree
+
+        if "(" in q or ")" in q:
+            groups, fast = parse_kuery_tree(q)
+            expanded: list[list[str]] = []
+            for g in groups:
+                exp: set[str] = set()
+                for t in g:
+                    if t.endswith("*"):
+                        exp.update(self.expand_prefix(t[:-1]))
+                    elif "~" in t:
+                        stem, d = t.rsplit("~", 1)
+                        exp.update(self.expand_fuzzy(stem, int(d)))
+                    else:
+                        exp.add(t)
+                if not exp:
+                    return self._empty()  # a required group matches nothing
+                expanded.append(sorted(exp))
+            flat = [t for g in expanded for t in g]
+            if len(flat) != len(set(flat)):
+                raise ValueError(
+                    "expanded boolean groups overlap (a term may appear "
+                    "in only one group — narrow the prefix/fuzzy clause)"
+                )
+            if not expanded:
+                if fast is None:
+                    return self._empty()
+                return self.search_filtered([], "disjunctive", fast, k,
+                                            prune)
+            if fast is not None:
+                return self.search_filtered(flat, "groups", fast, k, prune,
+                                            groups=expanded)
+            return self.search(flat, "groups", k, prune, groups=expanded)
 
         terms, mode, filters = parse_kuery(q)
         if any(t.endswith("*") or "~" in t for t in terms):
@@ -404,53 +497,126 @@ class SearchEngine:
             return self.search_filtered(terms, mode, filters, k, prune)
         return self.search(terms, mode, k, prune)
 
-    #: docs-table fields a kuery `field:value` may filter on (exact match)
-    FILTER_FIELDS = ("lang", "url")
-    #: typed docs-table fields usable with KQL range operators
-    RANGE_FILTER_FIELDS = ("warc_ts",)
+    #: docs-table column types a kuery filter may target, by capability.
+    #: Mirrors the ES mapping contract (reference
+    #: internal/setup/assets/picdexer.json:7-96 — every mapped field is
+    #: filterable: keyword/text fields exact-match, date/numeric fields
+    #: also range). Which FIELDS exist comes from the snapshot's docs-table
+    #: schema, not a hardcoded allowlist.
+    _EXACT_TYPES = ("string", "boolean")
+    _ORDERED_TYPES = ("timestamp", "timestamp_ntz", "date",
+                      "bigint", "int", "smallint", "tinyint",
+                      "double", "float", "decimal")
+
+    @property
+    def _docs_fields(self) -> dict[str, str]:
+        """name -> Spark simpleString type for the live docs view (lazy,
+        metadata-only — parquet footer read, no job)."""
+        f = getattr(self, "_docs_fields_cache", None)
+        if f is None:
+            f = {
+                fld.name: fld.dataType.simpleString()
+                for fld in self.cat.read_live_docs(
+                    self.spark, self.snapshot_id
+                ).schema.fields
+            }
+            self._docs_fields_cache = f
+        return f
+
+    def _typed_lit(self, field: str, v: str, need_range: bool) -> F.Column:
+        """Validate (field, value) against the docs schema and return the
+        value as a literal of the COLUMN's type. Driver-side parse errors
+        become clean ValueErrors here, never executor-side ANSI cast
+        failures. Range ops need an ordered type; '=' works on any atomic
+        column (the keyword-field exact-match contract)."""
+        from datetime import date, datetime
+
+        dtype = self._docs_fields.get(field)
+        if dtype is None:
+            raise ValueError(
+                f"unknown filter field {field!r} "
+                f"(docs-table fields: {sorted(self._docs_fields)})"
+            )
+        base = dtype.split("(")[0]
+        if base not in self._EXACT_TYPES + self._ORDERED_TYPES:
+            raise ValueError(
+                f"field {field!r} of type {dtype} is not filterable"
+            )
+        if need_range and base not in self._ORDERED_TYPES:
+            raise ValueError(
+                f"range filter needs an ordered field; {field!r} is {dtype}"
+            )
+        try:
+            if base in ("timestamp", "timestamp_ntz", "date"):
+                parsed = datetime.fromisoformat(v)
+                if base == "date":
+                    parsed = date.fromisoformat(v)
+                return F.lit(parsed).cast(dtype)
+            if base in ("bigint", "int", "smallint", "tinyint"):
+                return F.lit(int(v)).cast(dtype)
+            if base in ("double", "float", "decimal"):
+                return F.lit(float(v)).cast(dtype)
+            if base == "boolean":
+                if v.lower() not in ("true", "false"):
+                    raise ValueError(v)
+                return F.lit(v.lower() == "true")
+        except ValueError:
+            raise ValueError(
+                f"unparsable {dtype} value {v!r} for field {field!r}"
+            ) from None
+        return F.lit(v)  # string
+
+    def _leaf_cond(self, flt) -> F.Column:
+        """One kuery filter leaf -> Column. (field, value) 2-tuples imply
+        '='; 3-tuples carry op in = != >= <= > <. '!=' is NULL-SAFE (ES
+        must_not: a doc missing the field matches)."""
+        f, op, v = flt if len(flt) == 3 else (flt[0], "=", flt[1])
+        if op in (">=", "<=", ">", "<"):
+            lit = self._typed_lit(f, v, need_range=True)
+            col = F.col(f)
+            return {
+                ">=": col >= lit, "<=": col <= lit,
+                ">": col > lit, "<": col < lit,
+            }[op]
+        if op in ("=", "!="):
+            eq = F.col(f).eqNullSafe(self._typed_lit(f, v, need_range=False))
+            return eq if op == "=" else ~eq
+        raise ValueError(f"unsupported filter op {op!r}")
 
     def _filter_cond(self, filters) -> F.Column:
-        """Compile kuery filters — (field, value) 2-tuples (implied '=')
-        or (field, op, value) 3-tuples with op in = != >= <= > < — into
-        one AND condition over docs-table columns.
-
-        '!=' is NULL-SAFE (ES must_not: a doc missing the field matches);
-        range values parse driver-side via ISO-8601 so a bad timestamp is
-        a clean ValueError here, not an executor-side ANSI cast error."""
-        from datetime import datetime
-
+        """Compile kuery filters into ONE docs-table condition. `filters`
+        is either a flat list of leaves (ANDed — the kuery top-level-AND
+        convention; an entry may also be ('or', [leaf, ...]) from a
+        `lang:en OR lang:de` qualifier alternation) or a boolean AST from
+        parse_kuery_tree: ('and', [...]), ('or', [...]), ('not', node),
+        ('leaf', (field, op, value))."""
+        if isinstance(filters, tuple) and filters and filters[0] in (
+            "and", "or", "not", "leaf"
+        ):
+            return self._compile_filter_ast(filters)
         cond = F.lit(True)
         for flt in filters:
-            f, op, v = flt if len(flt) == 3 else (flt[0], "=", flt[1])
-            if op in (">=", "<=", ">", "<"):
-                if f not in self.RANGE_FILTER_FIELDS:
-                    raise ValueError(
-                        f"unsupported range filter field {f!r} "
-                        f"(supported: {self.RANGE_FILTER_FIELDS})"
-                    )
-                try:
-                    datetime.fromisoformat(v)
-                except ValueError:
-                    raise ValueError(
-                        f"unparsable ISO-8601 timestamp {v!r} for {f!r}"
-                    ) from None
-                ts = F.lit(v).cast("timestamp")
-                col = F.col(f)
-                cond = cond & {
-                    ">=": col >= ts, "<=": col <= ts,
-                    ">": col > ts, "<": col < ts,
-                }[op]
-            elif op in ("=", "!="):
-                if f not in self.FILTER_FIELDS:
-                    raise ValueError(
-                        f"unsupported filter field {f!r} "
-                        f"(supported: {self.FILTER_FIELDS})"
-                    )
-                eq = F.col(f).eqNullSafe(F.lit(v))
-                cond = cond & (eq if op == "=" else ~eq)
+            if len(flt) == 2 and isinstance(flt[1], list):
+                ors = [self._leaf_cond(leaf) for leaf in flt[1]]
+                c = ors[0]
+                for p in ors[1:]:
+                    c = c | p
+                cond = cond & c
             else:
-                raise ValueError(f"unsupported filter op {op!r}")
+                cond = cond & self._leaf_cond(flt)
         return cond
+
+    def _compile_filter_ast(self, node) -> F.Column:
+        head = node[0]
+        if head == "leaf":
+            return self._leaf_cond(node[1])
+        if head == "not":
+            return ~self._compile_filter_ast(node[1])
+        parts = [self._compile_filter_ast(c) for c in node[1]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if head == "and" else (out | p)
+        return out
 
     def search_filtered(
         self,
@@ -460,6 +626,7 @@ class SearchEngine:
         k: int = 10,
         prune: bool = True,
         after: tuple | None = None,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -474,11 +641,24 @@ class SearchEngine:
         bounded per task by shard_range; the kernels apply it before top-k
         selection, so results are exact at any filter selectivity."""
         if not filters:
-            return self.search(terms, mode, k, prune, after=after)
+            return self.search(terms, mode, k, prune, after=after,
+                               groups=groups)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
-        if mode not in ("conjunctive", "disjunctive", "phrase"):
+        if (groups is not None) != (mode == "groups"):
+            raise ValueError("`groups` is required for (exactly) mode='groups'")
+        if mode == "groups":
+            groups = [sorted(set(g)) for g in groups if g]
+            if not groups:
+                return self._empty()
+            flat = [t for g in groups for t in g]
+            if len(flat) != len(set(flat)):
+                raise ValueError(
+                    "a term may appear in only one boolean group"
+                )
+            terms = flat
+        if mode not in ("conjunctive", "disjunctive", "phrase", "groups"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "phrase" and not self.has_positions:
             raise ValueError(
@@ -504,6 +684,17 @@ class SearchEngine:
             t not in dfs for t in uniq
         ):
             return self._empty()
+        if mode == "groups":
+            gpres = [[t for t in g if t in dfs] for g in groups]
+            if any(not g for g in gpres):
+                return self._empty()  # a required group matches nothing
+            if len(gpres) == 1:
+                mode, groups = "disjunctive", None
+            elif all(len(g) == 1 for g in gpres):
+                mode, groups = "conjunctive", None
+                uniq = sorted(g[0] for g in gpres)
+            else:
+                groups = gpres
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
@@ -521,7 +712,8 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
-                                             self.avgdl_scoring, prune, after=after)
+                                             self.avgdl_scoring, prune,
+                                             after=after, groups=groups)
         per_shard = (
             cand.groupBy("shard_id")
             .cogroup(allowed.groupBy("shard_id"))
@@ -805,14 +997,25 @@ class SearchEngine:
 
         m = self.match_ids(terms, mode, filters)
         docs = self.cat.read_live_docs(self.spark, self.snapshot_id)
-        n_fg = m.count()  # ES knows the fg size too; one metadata-light job
-        if n_fg == 0:
-            return self.spark.createDataFrame(
-                [], "term string, fg_df long, bg_df long, score double"
-            )
-        return significant_terms(docs, m, "text", self.term_stats,
-                                 self.n_docs_scoring, n_fg, k,
-                                 min_doc_count)
+        # the match set is consumed twice (fg-size count + the semi-join
+        # below) and match_ids is the heaviest job in the query — persist
+        # so the shard kernels run once, not twice
+        m = m.persist()
+        try:
+            n_fg = m.count()  # ES knows the fg size too
+            if n_fg == 0:
+                return self.spark.createDataFrame(
+                    [], "term string, fg_df long, bg_df long, score double"
+                )
+            out = significant_terms(docs, m, "text", self.term_stats,
+                                    self.n_docs_scoring, n_fg, k,
+                                    min_doc_count)
+            # materialize before unpersist: the plan references m
+            rows = out.collect()
+            return self.spark.createDataFrame(rows, out.schema) if rows \
+                else self.spark.createDataFrame([], out.schema)
+        finally:
+            m.unpersist()
 
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True,
                     after=None):

@@ -180,13 +180,43 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
     if q is None or not q.strip():
         return [], "disjunctive", []
     if "(" in q or ")" in q:
-        raise ValueError("parentheses are not supported by kuery-lite")
+        raise ValueError(
+            "parentheses are not supported by kuery-lite "
+            "(use parse_kuery_tree for boolean grouping)"
+        )
     toks = _TOKEN_RE.findall(q.strip())
-    filters: list[tuple[str, str, str]] = []
+    filters: list = []
     rest: list[str] = []
     i = 0
+    _last_filter_end = -1  # token index just past the latest plain qualifier
     while i < len(toks):
         t = toks[i]
+        if (not t.startswith('"') and t.upper() == "OR"
+                and filters and i == _last_filter_end):
+            # `lang:en OR lang:de` — an OR IMMEDIATELY after a qualifier
+            # alternates FILTERS, not scored terms (without this the OR
+            # token would fall into the scored remainder and the two
+            # qualifiers would silently AND — matching nothing). The next
+            # construct must be another qualifier; chains fold into one
+            # ('or', [leaf, ...]) filter entry. `word OR qualifier` stays
+            # the pinned flat convention (filter ANDed, words OR'd).
+            m2 = _match_qualifier(toks[i + 1]) if i + 1 < len(toks) else None
+            if not m2:
+                raise ValueError(
+                    "OR after a field qualifier must be followed by "
+                    "another field:value qualifier (use parentheses to "
+                    "group scored terms with filters)"
+                )
+            f, v = m2.groups()
+            leaf = (f, "=", _unquote_value(v, toks[i + 1]))
+            prev = filters[-1]
+            if len(prev) == 2 and isinstance(prev[1], list):
+                prev[1].append(leaf)
+            else:
+                filters[-1] = ("or", [prev, leaf])
+            i += 2
+            _last_filter_end = i
+            continue
         if not t.startswith('"') and t.upper() == "NOT":
             m2 = _match_qualifier(toks[i + 1]) if i + 1 < len(toks) else None
             if not m2:
@@ -216,6 +246,7 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
         if m:
             f, v = m.groups()
             filters.append((f, "=", _unquote_value(v, t)))
+            _last_filter_end = i + 1
         else:
             if not t.startswith('"') and any(ch in t for ch in "<>="):
                 # `f>=v` glued — the analyzer would strip the operator and
@@ -245,6 +276,242 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
     elif ops <= {"OR"}:
         mode = "disjunctive"
     else:
-        raise ValueError("mixed AND/OR is not supported by kuery-lite")
+        raise ValueError(
+            "mixed AND/OR is not supported without parentheses "
+            "(group clauses explicitly: `(a OR b) AND c`)"
+        )
     words = [w for w in rest if w.upper() not in _OPS]
     return _analyze_words(words, mode), mode, filters
+
+
+# --------------------------------------------------------------------------
+# boolean kuery: parentheses + explicit AND/OR over terms and filters
+# --------------------------------------------------------------------------
+
+_TREE_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+
+
+def parse_kuery_tree(q: str):
+    """Boolean kuery with parentheses: `(lang:en OR lang:de) AND spark`,
+    `(a OR b) AND c AND (d OR e)`, `NOT (lang:en OR lang:de)`, nested
+    parens. Returns ``(groups, filter_ast)``:
+
+    - ``groups``: CNF scored clauses — list of disjunction-groups of
+      analyzed terms (prefix `stem*` / fuzzy `stem~d` markers preserved;
+      the engine expands them within their group, the Lucene rewrite
+      contract). A doc must match every group; score = BM25 sum over all
+      matched terms (Lucene MUST-of-SHOULD-groups, coord-less).
+    - ``filter_ast``: boolean tree over filter leaves — ('and', [...]),
+      ('or', [...]), ('not', node), ('leaf', (field, op, value)) — or
+      None. Compiles to ONE docs-table condition engine-side.
+
+    Grammar: OR (and bare adjacency, the Lucene query_string
+    default_operator=OR) binds loosest, AND tighter, NOT tightest; parens
+    override. Shapes whose ES scoring the CNF sum cannot reproduce are
+    REFUSED, never guessed: AND inside an OR group of scored terms (DNF
+    re-association changes Lucene's per-clause sums), an OR mixing a
+    filter with scored terms (constant-score SHOULD), NOT over scored
+    terms, quoted phrases inside groups, duplicate terms across groups.
+    """
+    if q is None or not q.strip():
+        return [], None
+    toks = _TREE_TOKEN_RE.findall(q.strip())
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def is_op(t, *names):
+        return t is not None and not t.startswith('"') and t.upper() in names
+
+    def parse_expr():
+        children = [parse_and()]
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            if is_op(t, "OR"):
+                take()
+            children.append(parse_and())
+        return children[0] if len(children) == 1 else ("or", children)
+
+    def parse_and():
+        children = [parse_atom()]
+        while is_op(peek(), "AND"):
+            take()
+            children.append(parse_atom())
+        return children[0] if len(children) == 1 else ("and", children)
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            raise ValueError("dangling operator at end of query")
+        if t == "(":
+            take()
+            node = parse_expr()
+            if peek() != ")":
+                raise ValueError("unbalanced parentheses")
+            take()
+            return node
+        if t == ")":
+            raise ValueError("unbalanced parentheses")
+        if is_op(t, "NOT"):
+            take()
+            return ("not", parse_atom())
+        if is_op(t, "AND", "OR"):
+            raise ValueError(f"dangling operator {t!r}")
+        return parse_leaf()
+
+    def parse_leaf():
+        t = take()
+        if t.startswith('"'):
+            raise ValueError(
+                "quoted phrases are not supported inside boolean groups "
+                "(a phrase must be the whole query)"
+            )
+        if peek() in _RANGE_OPS:
+            op = take()
+            v = peek()
+            if v is None or v in ("(", ")"):
+                raise ValueError(f"dangling range operator after {t!r}")
+            if not _NAME_RE.match(t):
+                raise ValueError(f"bad range filter field {t!r}")
+            take()
+            return ("filter", (t, op, _unquote_value(v, v)))
+        m = _match_qualifier(t)
+        if m is None and ":" in t:
+            raise ValueError(f"malformed field qualifier {t!r}")
+        if m:
+            f, v = m.groups()
+            return ("filter", (f, "=", _unquote_value(v, t)))
+        if any(ch in t for ch in "<>="):
+            raise ValueError(
+                f"range operators must be space-separated ({t!r})"
+            )
+        return ("word", t)
+
+    root = parse_expr()
+    if pos != len(toks):
+        raise ValueError("unbalanced parentheses")
+    return _compile_tree(root)
+
+
+def _flatten_node(node):
+    h = node[0]
+    if h in ("and", "or"):
+        out = []
+        for c in node[1]:
+            c = _flatten_node(c)
+            if c[0] == h:
+                out.extend(c[1])
+            else:
+                out.append(c)
+        return (h, out)
+    if h == "not":
+        return ("not", _flatten_node(node[1]))
+    return node
+
+
+def _is_filter_pure(node):
+    h = node[0]
+    if h == "filter":
+        return True
+    if h == "word":
+        return False
+    if h == "not":
+        return _is_filter_pure(node[1])
+    return all(_is_filter_pure(c) for c in node[1])
+
+
+def _is_scored_pure(node):
+    h = node[0]
+    if h == "word":
+        return True
+    if h in ("filter", "not"):
+        return False
+    return all(_is_scored_pure(c) for c in node[1])
+
+
+def _to_filter_ast(node):
+    h = node[0]
+    if h == "filter":
+        return ("leaf", node[1])
+    if h == "not":
+        return ("not", _to_filter_ast(node[1]))
+    return (h, [_to_filter_ast(c) for c in node[1]])
+
+
+def _group_of(node):
+    """A scored-pure node that must be a flat disjunction -> term list."""
+    if node[0] == "word":
+        if node[1] == "*":
+            raise ValueError(
+                "match-all `*` inside an OR group is not supported"
+            )
+        return _analyze_words([node[1]], "disjunctive")
+    if node[0] == "or":
+        terms: list[str] = []
+        for c in node[1]:
+            if c[0] != "word":
+                raise ValueError(
+                    "AND inside an OR group is not supported (the "
+                    "sum-of-matched-clauses score would diverge from a "
+                    "CNF rewrite — split the query instead)"
+                )
+            terms.extend(_group_of(c))
+        return terms
+    raise ValueError("NOT over scored terms is not supported")
+
+
+def _compile_tree(root):
+    root = _flatten_node(root)
+    if _is_filter_pure(root):
+        return [], _to_filter_ast(root)
+    clauses = root[1] if root[0] == "and" else [root]
+    groups: list[list[str]] = []
+    fparts = []
+    for c in clauses:
+        if _is_filter_pure(c):
+            fparts.append(_to_filter_ast(c))
+        elif _is_scored_pure(c):
+            if c[0] == "word":
+                # one word may analyze to several tokens ('don't' -> don,
+                # t): each is its own required clause, the flat-AND rule
+                for t in _analyze_words([c[1]], "disjunctive"):
+                    groups.append([t])
+            else:
+                # dedupe within the group (`a OR a` — flat disjunctive
+                # dedupes too); duplicates ACROSS groups stay refused
+                g = list(dict.fromkeys(_group_of(c)))
+                if g:
+                    groups.append(g)
+        elif c[0] == "or":
+            raise ValueError(
+                "OR between a filter and scored terms is not supported "
+                "(a filter SHOULD-clause is constant-score in ES — split "
+                "the query instead)"
+            )
+        else:
+            raise ValueError("NOT over scored terms is not supported")
+    seen: set[str] = set()
+    for g in groups:
+        for t in g:
+            if t in seen:
+                raise ValueError(
+                    f"term {t!r} appears in more than one boolean group "
+                    "(duplicate scored clauses are refused, not guessed)"
+                )
+            seen.add(t)
+    if len(fparts) == 1:
+        fast = fparts[0]
+    elif fparts:
+        fast = ("and", fparts)
+    else:
+        fast = None
+    return groups, fast

@@ -439,6 +439,117 @@ def score_disjunctive(
     return _topk(top_ids, top_scores, k)
 
 
+def score_groups(
+    groups: list[list[str]],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    prune: bool = True,
+    allowed: np.ndarray | None = None,
+    after: tuple | None = None,
+):
+    """Exact CNF top-k: `groups` is a conjunction of disjunction-groups —
+    a doc matches iff EVERY group has at least one of its terms present,
+    and its score is the BM25 sum over ALL its matching terms (ascending
+    term order, the pinned summation). This is the Lucene BooleanQuery
+    semantics for a MUST-of-SHOULD-groups tree ((a OR b) AND c): with
+    coord gone (Lucene 7+), the score of a matching doc is the plain sum
+    of its matched term clauses. Each term must appear in exactly ONE
+    group (the engine refuses duplicates — a duplicated clause would
+    double-count in ES but not here).
+
+    Degenerate shapes delegate: one group = score_disjunctive, all
+    singleton groups = score_conjunctive (bit-identical kernels, so plans
+    and rank-identity tests carry over).
+
+    Pruning (prune=True) is block-range only, and exact: a candidate
+    block of the driver group (the group with the fewest total postings —
+    the Lucene lead-iterator choice) survives only if every OTHER group
+    has at least one term with an overlapping block; a doc in a pruned
+    block cannot satisfy that group's disjunction, so it cannot match.
+    Candidate volume is bounded by the smallest group's posting count,
+    the right asymptotic at web scale. `allowed`/`after`: see
+    score_conjunctive.
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    gs: list[list[str]] = []
+    for g in groups:
+        pres = sorted({t for t in g if t in blocks and blocks[t].n_blocks() > 0})
+        if not pres:
+            return empty  # a required group with no present term
+        gs.append(pres)
+    if not gs:
+        return empty
+    if len(gs) == 1:
+        return score_disjunctive(gs[0], blocks, idf, k1, b, avgdl, k,
+                                 prune=prune, allowed=allowed, after=after)
+    if all(len(g) == 1 for g in gs):
+        return score_conjunctive([g[0] for g in gs], blocks, idf, k1, b,
+                                 avgdl, k, prune=prune, allowed=allowed,
+                                 after=after)
+
+    sizes = [sum(int(blocks[t].last.size) for t in g) for g in gs]
+    di = min(range(len(gs)), key=lambda i: (sizes[i], i))
+    others = [g for i, g in enumerate(gs) if i != di]
+
+    # candidates: union of the driver group's postings, block-range pruned
+    cand_parts = []
+    for t in gs[di]:
+        tb = blocks[t]
+        keep = np.ones(tb.n_blocks(), bool)
+        if prune:
+            for g in others:
+                any_overlap = np.zeros(tb.n_blocks(), bool)
+                for u in g:
+                    ob = blocks[u]
+                    i0 = np.searchsorted(ob.last, tb.first, side="left")
+                    any_overlap |= (i0 < ob.n_blocks()) & (
+                        ob.first[np.clip(i0, 0, ob.n_blocks() - 1)] <= tb.last
+                    )
+                keep &= any_overlap
+        if keep.any():
+            ids, _tfs, _dls = tb.decode_many(np.flatnonzero(keep))
+            cand_parts.append(ids)
+    if not cand_parts:
+        return empty
+    cand = np.unique(np.concatenate(cand_parts))
+
+    # per-group disjunction masks (lookup decodes only blocks holding cand)
+    all_terms = sorted({t for g in gs for t in g})
+    lookups: dict[str, tuple] = {}
+    mask = np.ones(cand.size, bool)
+    for g in gs:
+        gmask = np.zeros(cand.size, bool)
+        for t in g:
+            got = blocks[t].lookup(cand)
+            lookups[t] = got
+            gmask |= got[2]
+        mask &= gmask
+        if not mask.any():
+            return empty
+    if allowed is not None:
+        mask &= _in_sorted(cand, allowed)
+        if not mask.any():
+            return empty
+
+    cand = cand[mask]
+    scores = np.zeros(cand.size, np.float64)
+    for t in all_terms:  # pinned ascending summation order
+        tfs, dls, hit = lookups[t]
+        tfs, dls, hit = tfs[mask], dls[mask], hit[mask]
+        if hit.any():
+            scores[hit] += _score_part(tfs[hit], dls[hit], idf[t], k1, b,
+                                       avgdl)
+    ids = cand.astype(np.int64)
+    if after is not None:
+        am = _after_mask(ids, scores, after)
+        ids, scores = ids[am], scores[am]
+    return _topk(ids, scores, k)
+
+
 def score_phrase(
     terms: list[str],
     blocks: dict[str, TermBlocks],
@@ -511,7 +622,21 @@ def score_phrase(
     # key(doc, p) = (doc - base) << 32 | p; a phrase start p in doc d
     # survives slot j iff key(d, p + j) occurs in term_j's position stream
     base = np.uint64(cand.min())
+    if int(cand.max() - base) >= (1 << 32):
+        # a shard_range above 2^32 would silently collide packed keys and
+        # return WRONG phrase matches — fail loudly instead (config error;
+        # the default shard_range is 2^20)
+        raise ValueError(
+            "phrase kernel: candidate doc-id span exceeds 2^32 "
+            "(shard_range too large for packed (doc, pos) keys)"
+        )
     flats = {t: blocks[t].positions_flat(cand) for t in uniq}
+    for t, (_fd, fp) in flats.items():
+        if fp.size and int(fp.max()) + len(terms) >= (1 << 32):
+            raise ValueError(
+                "phrase kernel: token position exceeds 2^32 in packed "
+                "(doc, pos) keys"
+            )
 
     def keys(docs: np.ndarray, pos: np.ndarray) -> np.ndarray:
         return ((docs - base) << np.uint64(32)) | pos

@@ -178,7 +178,21 @@ class IndexCatalog:
                 # tombstones are optional: a chain with no upserts has none
                 return spark.createDataFrame([], DELETES_SCHEMA)
             return spark.read.schema(CHAINED_SCHEMAS[table]).parquet(*paths)
-        return spark.read.parquet(self.table_path(table, snapshot_id))
+        # non-chained tables (term_stats, stats) resolve to the NEAREST
+        # ancestor holding the table: a delete-only snapshot records a
+        # parent POINTER (its manifest `parent` entry) instead of copying a
+        # vocabulary-sized term_stats forward — at web scale that copy is
+        # GBs of duplicated storage plus a single-threaded driver file walk
+        # per delete. Snapshots that DO rewrite the table (builds, compact)
+        # shadow the ancestor naturally.
+        for sid in self.parent_chain(snapshot_id):
+            p = self.table_path(table, sid)
+            if os.path.isdir(p):
+                return spark.read.parquet(p)
+        raise FileNotFoundError(
+            f"table {table!r} absent in snapshot chain of "
+            f"{snapshot_id or self.current_snapshot()}"
+        )
 
     def read_live_docs(self, spark: SparkSession,
                        snapshot_id: str | None = None) -> DataFrame:

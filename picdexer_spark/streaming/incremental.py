@@ -40,6 +40,20 @@ from picdexer_spark.index.build import (
 from picdexer_spark.sources.catalog import IndexCatalog
 
 
+def _next_doc_id(spark: SparkSession, cat: IndexCatalog,
+                 committed: dict) -> int:
+    """doc_id allocation floor for the next snapshot. Prefer the recorded
+    high-water mark; on a legacy snapshot without one, derive it from
+    max(doc_id)+1 over the RAW docs chain (tombstoned rows included) —
+    the LIVE n_docs undercounts after deletions, and reusing a doc_id
+    would corrupt the tombstone/shard invariants."""
+    nxt = committed.get("next_doc_id")
+    if nxt is not None:
+        return int(nxt)
+    top = cat.read(spark, "docs").agg(F.max("doc_id").alias("m")).first()["m"]
+    return int(top) + 1 if top is not None else 0
+
+
 def build_incremental(
     spark: SparkSession,
     pages: DataFrame,
@@ -104,7 +118,7 @@ def build_incremental(
 
     committed = cat.committed_stats(spark)
     n_committed = int(committed["n_docs"])
-    next_id = int(committed.get("next_doc_id") or n_committed)
+    next_id = _next_doc_id(spark, cat, committed)
     # the shard layout is a property of the INDEX, not of this batch's cfg:
     # tombstone-to-shard mapping and delta blocks must agree with the
     # committed chain or deleted docs would silently resurface
@@ -365,9 +379,11 @@ def delete_by_query(
         F.lit("delete_by_query").alias("reason"),
         F.lit(snapshot_id).alias("snapshot_id"),
     ).write.mode("overwrite").parquet(os.path.join(snap_dir, "deletes"))
-    # term_stats stays the parent's full table (exact again at compact)
-    shutil.copytree(cat.table_path("term_stats", parent),
-                    os.path.join(snap_dir, "term_stats"))
+    # term_stats is NOT copied: the snapshot's manifest parent entry is the
+    # pointer, and catalog.read resolves non-chained tables to the nearest
+    # ancestor that has them (per-term df stays as-built until compact(),
+    # the Lucene deleted-docs-in-stats contract; a vocabulary-sized copy
+    # per delete would be GBs of duplicate storage at web scale)
 
     committed = cat.committed_stats(spark)
     n_docs = int(committed["n_docs"]) - n_del
@@ -381,8 +397,7 @@ def delete_by_query(
             "avgdl": [float(avgdl)],
             "docs_dropped": [int(committed["docs_dropped"])],
             "import_id": ["delete_by_query"],
-            "next_doc_id": [int(committed.get("next_doc_id")
-                                or committed["n_docs"])],
+            "next_doc_id": [_next_doc_id(spark, cat, committed)],
             "shard_range": [int(committed.get("shard_range") or 0)],
             "positions": [bool(committed.get("positions") or False)],
         },

@@ -104,6 +104,34 @@ def test_delete_by_query_with_filter_and_compact(spark, built):
         assert eng3.search_topk(q, m, 20) == feng.search_topk(q, m, 20), q
 
 
+def test_delete_snapshot_carries_no_term_stats_bytes(spark, built):
+    """A delete-only snapshot records a parent POINTER for term_stats
+    (catalog.read resolves non-chained tables up the chain) — at web
+    scale the old copytree duplicated a vocabulary-sized table per
+    delete. The resolved stats must still be the parent's, exactly."""
+    import os
+
+    idx, _ = built
+    cat = IndexCatalog(idx)
+    parent = cat.current_snapshot()
+    before = {(r["term"], r["df"]) for r in
+              cat.read(spark, "term_stats").collect()}
+    n = delete_by_query(spark, idx, ["w1"], "disjunctive")
+    assert n > 0
+    snap = cat.current_snapshot()
+    assert snap != parent
+    snap_dir = cat.snapshot_dir(snap)
+    assert not os.path.exists(os.path.join(snap_dir, "term_stats"))
+    # chained resolution serves the parent's table (as-built df, the
+    # Lucene deleted-docs-in-stats contract until compact)
+    after = {(r["term"], r["df"]) for r in
+             cat.read(spark, "term_stats", snap).collect()}
+    assert after == before
+    # and the engine still scores from it
+    eng = SearchEngine(spark, idx)
+    assert eng.search_topk(["w2"], "disjunctive", 5)
+
+
 def test_mass_delete_scoring_stays_sound(spark, built):
     """After deleting MOST docs, per-term df (as-built) exceeds the live
     doc count — scoring must use the as-built maxDoc/avgdl pair (Lucene
