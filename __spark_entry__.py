@@ -123,6 +123,7 @@ QSTRING_TERMS = ["batch", "vector", "spark"]
 FILTERED_QSTRING = "lang:de Batch, OR vector OR spark"
 FILTERED_LANG = "de"
 PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
+PHRASE_SLOP = 1  # '"part filter"~1': one extra gap allowed, in order
 # prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
 # stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
 PREFIX_QSTRING = "s* OR dup"
@@ -408,6 +409,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search(PHRASE, "phrase", 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_phrase"] = bm25_phrase
+
+    def bm25_phrase_slop(s, d):
+        # ES match_phrase with slop: '"part filter"~1' — ordered sloppy
+        # match, pinned contract in wand.score_phrase (chain of in-order
+        # positions with at most `slop` total extra gaps; every match
+        # counts 1 toward phrase_tf). Strict superset of the slop-0 gate.
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search(PHRASE, "phrase", 10, slop=PHRASE_SLOP)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_phrase_slop"] = bm25_phrase_slop
 
     def tf_pairs(s, d):
         docs = _tbl(s, d, "documents")
@@ -1040,6 +1051,44 @@ def oracle_sql() -> dict[str, str]:
                     FOR i IN range(1, len(toks) - {len(PHRASE) - 2})],
                    g -> g = '{phrase_str}')) AS ptf
           FROM tok),
+        scored AS (
+          SELECT pf.doc_id,
+                 idfs.idf_sum * (pf.ptf * 2.2)
+                 / (pf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                    / (st.total_len::double / st.n_docs))) AS s
+          FROM pf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs
+          WHERE pf.ptf > 0)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    '''
+    # sloppy phrase by position join: ptf = count of t0-positions p with a
+    # t1-partner in (p, p+1+slop] — the pinned ordered-slop contract for a
+    # bigram (general m-term chains only matter for m > 2)
+    o["bm25_phrase_slop"] = f'''
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tdf AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(toks) AS term FROM tok)
+          WHERE term IN ({sql_terms(PHRASE)}) GROUP BY term),
+        idfs AS (
+          SELECT sum(ln(1 + (st.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))) AS idf_sum
+          FROM tdf CROSS JOIN st),
+        pos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS p
+          FROM tok),
+        p0 AS (SELECT doc_id, p FROM pos WHERE term = '{PHRASE[0]}'),
+        p1 AS (SELECT doc_id, p FROM pos WHERE term = '{PHRASE[1]}'),
+        pf AS (
+          SELECT p0.doc_id, count(DISTINCT p0.p) AS ptf
+          FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+               AND p1.p > p0.p AND p1.p <= p0.p + 1 + {PHRASE_SLOP}
+          GROUP BY p0.doc_id),
         scored AS (
           SELECT pf.doc_id,
                  idfs.idf_sum * (pf.ptf * 2.2)

@@ -120,22 +120,48 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def search_phrase(self, terms: list[str], k: int = 10
+    def search_phrase(self, terms: list[str], k: int = 10, slop: int = 0
                       ) -> list[tuple[int, float]]:
-        """Lucene match_phrase (slop 0) oracle, spec pinned for the engine:
-        phrase_tf = exact-adjacency occurrence count; score =
+        """Lucene match_phrase oracle, spec pinned for the engine:
+        phrase_tf = exact-adjacency occurrence count (slop=0); score =
         (sum of idf over phrase term OCCURRENCES, duplicates counted) *
-        ptf*(k1+1) / (ptf + k1*(1-b+b*dl/avgdl)); docs with ptf >= 1."""
+        ptf*(k1+1) / (ptf + k1*(1-b+b*dl/avgdl)); docs with ptf >= 1.
+
+        slop > 0: ORDERED sloppy match (the pinned engine contract, see
+        wand.score_phrase) — a start p matches iff an increasing chain
+        p < q_1 < ... < q_{m-1} exists with toks[q_j] == terms[j] and
+        q_{m-1} <= p + (m-1) + slop; phrase_tf counts matching starts.
+        Brute force here (try every chain greedily), numpy-free."""
         if not terms:
             return []
         m = len(terms)
         idf_sum = sum(self.idf(t) for t in terms)
+
+        def start_matches(toks: list[str], p: int) -> bool:
+            prev = p
+            for j in range(1, m):
+                nxt = None
+                for q in range(prev + 1, min(p + j + slop, len(toks) - 1) + 1):
+                    if toks[q] == terms[j]:
+                        nxt = q
+                        break
+                if nxt is None:
+                    return False
+                prev = nxt
+            return True
+
         scored = []
         for d, toks in self.tokens.items():
-            ptf = sum(
-                1 for i in range(len(toks) - m + 1)
-                if toks[i:i + m] == terms
-            )
+            if slop == 0:
+                ptf = sum(
+                    1 for i in range(len(toks) - m + 1)
+                    if toks[i:i + m] == terms
+                )
+            else:
+                ptf = sum(
+                    1 for i in range(len(toks))
+                    if toks[i] == terms[0] and start_matches(toks, i)
+                )
             if ptf:
                 dl = self.doc_len[d]
                 s = (idf_sum * (ptf * (K1 + 1.0))

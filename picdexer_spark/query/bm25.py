@@ -87,7 +87,7 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
 
 
 def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
-                  allowed=None, after=None, groups=None):
+                  allowed=None, after=None, groups=None, slop=0):
     if mode == "groups":
         return score_groups(groups, blocks, idf_map, K1, B, avgdl, k_eff,
                             prune=prune, allowed=allowed, after=after)
@@ -96,13 +96,13 @@ def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
                                  prune=prune, allowed=allowed, after=after)
     if mode == "phrase":
         return score_phrase(ordered, blocks, idf_map, K1, B, avgdl, k_eff,
-                            allowed=allowed, after=after)
+                            allowed=allowed, after=after, slop=slop)
     return score_disjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
                              prune=prune, allowed=allowed, after=after)
 
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                       tomb_counts=None, after=None, groups=None):
+                       tomb_counts=None, after=None, groups=None, slop=0):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
     tombstone COUNT (metadata-sized): each shard over-fetches
     k + |its tombstones|, and the caller anti-joins the chained `deletes`
@@ -118,14 +118,14 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k_eff, prune, after=after,
-                                    groups=groups)
+                                    groups=groups, slop=slop)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
 
 
 def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                                after=None, groups=None):
+                                after=None, groups=None, slop=0):
     """Cogrouped scorer: (candidate blocks of one shard, allowed doc_ids of
     the same shard) -> exact top-k over the allowed set only. The whitelist
     is applied INSIDE the kernels before top-k selection (a post-filter
@@ -145,7 +145,7 @@ def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         blocks = _blocks_from_pdf(left)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k, prune, allowed=allowed,
-                                    after=after, groups=groups)
+                                    after=after, groups=groups, slop=slop)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -239,6 +239,7 @@ class SearchEngine:
         prune: bool = True,
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
 
@@ -261,6 +262,8 @@ class SearchEngine:
         flat modes so their plans and latencies are identical."""
         if after is not None:
             after = (float(after[0]), int(after[1]))
+        if slop < 0 or (slop and mode != "phrase"):
+            raise ValueError("slop is only valid (>= 0) for phrase queries")
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -314,7 +317,7 @@ class SearchEngine:
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
                                     self.avgdl_scoring, prune, self._tomb_counts,
-                                    after=after, groups=groups)
+                                    after=after, groups=groups, slop=slop)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         if self._tomb_counts:
             # drop tombstoned docs distributed-side (deletes stays a DF;
@@ -478,6 +481,12 @@ class SearchEngine:
             return self.search(flat, "groups", k, prune, groups=expanded)
 
         terms, mode, filters = parse_kuery(q)
+        slop = 0
+        if mode.startswith("phrase~"):
+            # `"a b"~N` — the query_string sloppy-phrase syntax; the
+            # parser carries the slop in the mode string
+            slop = int(mode.split("~", 1)[1])
+            mode = "phrase"
         if any(t.endswith("*") or "~" in t for t in terms):
             # parser guarantees prefix/fuzzy only reach here in OR context
             exp: set[str] = set()
@@ -494,8 +503,9 @@ class SearchEngine:
                 # every expansion came back empty and no bare terms
                 return self._empty()
         if filters:
-            return self.search_filtered(terms, mode, filters, k, prune)
-        return self.search(terms, mode, k, prune)
+            return self.search_filtered(terms, mode, filters, k, prune,
+                                        slop=slop)
+        return self.search(terms, mode, k, prune, slop=slop)
 
     #: docs-table column types a kuery filter may target, by capability.
     #: Mirrors the ES mapping contract (reference
@@ -627,6 +637,7 @@ class SearchEngine:
         prune: bool = True,
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -642,10 +653,12 @@ class SearchEngine:
         selection, so results are exact at any filter selectivity."""
         if not filters:
             return self.search(terms, mode, k, prune, after=after,
-                               groups=groups)
+                               groups=groups, slop=slop)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
+        if slop < 0 or (slop and mode != "phrase"):
+            raise ValueError("slop is only valid (>= 0) for phrase queries")
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -713,7 +726,8 @@ class SearchEngine:
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
                                              self.avgdl_scoring, prune,
-                                             after=after, groups=groups)
+                                             after=after, groups=groups,
+                                             slop=slop)
         per_shard = (
             cand.groupBy("shard_id")
             .cogroup(allowed.groupBy("shard_id"))
@@ -1034,9 +1048,10 @@ class SearchEngine:
         """Run a whole query SET as one Spark job (the query-throughput
         path: at cluster scale you don't schedule a job per query).
 
-        `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n}],
-        mode one of conjunctive/disjunctive/phrase (phrase terms in order;
-        needs a positional index — validated driver-side). One postings scan
+        `queries`: [{"query_id": int, "terms": [...], "mode": ..., "k": n,
+        "slop": s?}], mode one of conjunctive/disjunctive/phrase (phrase
+        terms in order; needs a positional index — validated driver-side;
+        optional "slop" relaxes adjacency per wand.score_phrase). One postings scan
         filtered to the union of all query terms; a broadcast join against
         the tiny (query_id, term) table replicates each candidate block to
         the queries that need it; ONE shuffle to (shard_id, query_id) so
@@ -1070,6 +1085,8 @@ class SearchEngine:
         idf_map = {t: idf(self.n_docs_scoring, d) for t, d in dfs.items()}
         qspecs = []
         for q in queries:
+            if int(q.get("slop") or 0) and q["mode"] != "phrase":
+                raise ValueError("slop is only valid for phrase queries")
             uniq = sorted(set(q["terms"]))
             present = [t for t in uniq if t in dfs]
             if q["mode"] in ("conjunctive", "phrase") and \
@@ -1079,34 +1096,35 @@ class SearchEngine:
                 # phrase scoring needs the original term ORDER; conj/disj
                 # score over the deduped ascending set
                 sterms = list(q["terms"]) if q["mode"] == "phrase" else present
+                slop = int(q.get("slop") or 0)
                 qspecs.append(
                     (int(q["query_id"]), present, sterms, q["mode"],
-                     int(q["k"]))
+                     int(q["k"]), slop)
                 )
         if not qspecs:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
         avgdl = self.avgdl_scoring
-        spec_by_qid = {qid: (sterms, mode, k)
-                       for qid, _present, sterms, mode, k in qspecs}
+        spec_by_qid = {qid: (sterms, mode, k, slop)
+                       for qid, _present, sterms, mode, k, slop in qspecs}
         tomb_counts = self._tomb_counts
 
         def score_query_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(pdf["query_id"].iat[0])
-            terms, mode, k = spec_by_qid[qid]
+            terms, mode, k, slop = spec_by_qid[qid]
             blocks = _blocks_from_pdf(pdf)
             k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
             ids, scores = _score_blocks(
                 mode, sorted(set(terms)), list(terms), blocks, idf_map,
-                avgdl, k_eff, prune,
+                avgdl, k_eff, prune, slop=slop,
             )
             return pd.DataFrame(
                 {"query_id": qid, "doc_id": ids, "score": scores}
             )
 
         qterms = self.spark.createDataFrame(
-            [(qid, t) for qid, present, _s, _m, _k in qspecs
+            [(qid, t) for qid, present, _s, _m, _k, _sl in qspecs
              for t in present],
             "query_id long, term string",
         )
@@ -1131,7 +1149,8 @@ class SearchEngine:
             F.desc("score"), F.asc("doc_id")
         )
         kdf = self.spark.createDataFrame(
-            [(qid, k) for qid, _p, _s, _m, k in qspecs], "query_id long, k int"
+            [(qid, k) for qid, _p, _s, _m, k, _sl in qspecs],
+            "query_id long, k int"
         )
         return (
             per_shard.withColumn("rank", F.row_number().over(w))

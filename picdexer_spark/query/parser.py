@@ -257,7 +257,15 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             rest.append(t)
         i += 1
     if any('"' in t for t in rest):
-        # the scored remainder may be exactly ONE whole quoted phrase
+        # the scored remainder may be exactly ONE whole quoted phrase,
+        # optionally followed by `~N` — the Lucene query_string sloppy
+        # phrase syntax ("a b"~2). The mode string carries the slop
+        # ("phrase~2") so the 3-tuple return stays stable.
+        slop = 0
+        if (len(rest) == 2 and rest[0].startswith('"')
+                and re.fullmatch(r"~\d+", rest[1])):
+            slop = int(rest[1][1:])
+            rest = rest[:1]
         if len(rest) != 1 or not (
             rest[0].startswith('"') and rest[0].endswith('"')
             and '"' not in rest[0][1:-1] and len(rest[0]) >= 2
@@ -269,7 +277,8 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             raise ValueError(
                 "wildcards/fuzzy inside a phrase are not supported"
             )
-        return tokenize_py(rest[0][1:-1]), "phrase", filters
+        mode = "phrase" if slop == 0 else f"phrase~{slop}"
+        return tokenize_py(rest[0][1:-1]), mode, filters
     ops = {w.upper() for w in rest if w.upper() in _OPS}
     if ops == {"AND"}:
         mode = "conjunctive"

@@ -560,6 +560,7 @@ def score_phrase(
     k: int,
     allowed: np.ndarray | None = None,
     after: tuple | None = None,
+    slop: int = 0,
 ):
     """Exact phrase (match_phrase) top-k within one scoring group.
     `allowed`: optional sorted doc_id whitelist, see score_conjunctive;
@@ -572,6 +573,20 @@ def score_phrase(
     - score = (sum of idf over the phrase's term OCCURRENCES, duplicates
       counted) * (ptf*(k1+1)) / (ptf + k1*(1-b+b*dl/avgdl)), docs with
       ptf >= 1 only. Requires an index built with store_positions=True.
+
+    `slop > 0` (the ES match_phrase `slop` / query_string `"a b"~N`
+    parameter) relaxes adjacency to an ORDERED sloppy match, pinned as:
+    a start position p (an occurrence of term_0) matches iff there is an
+    increasing chain p < q_1 < ... < q_{m-1} with q_j an occurrence of
+    term_j and q_{m-1} <= p + (m-1) + slop (at most `slop` total extra
+    gaps, terms in order); phrase_tf = number of matching starts. The
+    chain test uses greedy-minimal q_j (optimal by exchange), one
+    searchsorted per slot — no per-candidate Python. This diverges
+    DELIBERATELY from Lucene's SloppyPhraseScorer in two documented ways:
+    no out-of-order matches (Lucene's edit-distance slop permits
+    transposed terms at cost 2) and no 1/(1+moves) weighting of each
+    match (every match counts 1 toward phrase_tf, the slop=0 rule).
+    slop=0 runs the original adjacency kernel bit-for-bit.
 
     `terms` is the phrase IN ORDER (not deduped, not sorted).
 
@@ -642,13 +657,37 @@ def score_phrase(
         return ((docs - base) << np.uint64(32)) | pos
 
     alive_doc, alive_pos = flats[terms[0]]
-    for j, t in enumerate(terms[1:], 1):
-        if alive_doc.size == 0:
-            return empty
-        hit = np.isin(
-            keys(alive_doc, alive_pos + np.uint64(j)), keys(*flats[t])
-        )
-        alive_doc, alive_pos = alive_doc[hit], alive_pos[hit]
+    if slop == 0:
+        for j, t in enumerate(terms[1:], 1):
+            if alive_doc.size == 0:
+                return empty
+            hit = np.isin(
+                keys(alive_doc, alive_pos + np.uint64(j)), keys(*flats[t])
+            )
+            alive_doc, alive_pos = alive_doc[hit], alive_pos[hit]
+    else:
+        # ordered sloppy chain, greedy-minimal next position per slot:
+        # prev tracks q_{j-1}; the next q_j is the FIRST occurrence of
+        # term_j after prev in the same doc (one searchsorted against the
+        # sorted key stream), feasible iff q_j <= start + j + slop
+        start_pos = alive_pos
+        prev = alive_pos
+        for j, t in enumerate(terms[1:], 1):
+            if alive_doc.size == 0:
+                return empty
+            tkeys = keys(*flats[t])  # sorted: docs asc, pos asc
+            idx = np.searchsorted(tkeys, keys(alive_doc, prev) + np.uint64(1))
+            ic = np.clip(idx, 0, max(tkeys.size - 1, 0))
+            q = tkeys[ic] if tkeys.size else np.zeros(alive_doc.size, np.uint64)
+            same_doc = (idx < tkeys.size) & (
+                (q >> np.uint64(32)) == (alive_doc - base)
+            )
+            qpos = q & np.uint64(0xFFFFFFFF)
+            ok = same_doc & (qpos <= start_pos + np.uint64(j + slop))
+            alive_doc = alive_doc[ok]
+            start_pos = start_pos[ok]
+            prev = qpos[ok]
+        alive_pos = start_pos
     if alive_doc.size == 0:
         return empty
     match_docs, ptf = np.unique(alive_doc, return_counts=True)

@@ -60,6 +60,83 @@ def test_phrase_rank_identical_to_oracle(spark, built_pos):
     assert checked_nonempty >= 8  # the phrase set wasn't vacuous
 
 
+def test_phrase_slop_rank_identical_to_oracle(spark, built_pos):
+    """Ordered sloppy phrases (the ES match_phrase `slop`) match the
+    brute-force oracle rank-identically at slop 1 and 2, for bigrams and
+    trigrams; slop widens (never shrinks) the match set."""
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrases = _phrases_from(docs, n=8, length=2) + \
+        _phrases_from(docs, n=4, length=3)
+    widened = 0
+    for phrase in phrases:
+        base_ids = {d for d, _ in oracle.search_phrase(phrase,
+                                                       oracle.n_docs)}
+        for slop in (1, 2):
+            got = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in eng.search(phrase, "phrase", 10,
+                                    slop=slop).collect()
+            ]
+            exp = oracle.search_phrase(phrase, 10, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in exp], (phrase, slop)
+            for (gd, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-12), (phrase, gd, slop)
+            sl_ids = {d for d, _ in oracle.search_phrase(phrase,
+                                                         oracle.n_docs,
+                                                         slop=slop)}
+            assert base_ids <= sl_ids
+            widened += len(sl_ids) > len(base_ids)
+    assert widened >= 3  # slop actually relaxed something in this corpus
+
+
+def test_phrase_slop_zero_bit_identical(spark, built_pos):
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrase = _phrases_from(docs, n=1, length=2)[0]
+    a = eng.search_topk(phrase, "phrase", 10)
+    b = [(int(r["doc_id"]), float(r["score"]))
+         for r in eng.search(phrase, "phrase", 10, slop=0).collect()]
+    assert a == b
+
+
+def test_phrase_slop_query_string_and_validation(spark, built_pos):
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrase = _phrases_from(docs, n=1, length=2)[0]
+    qs = f'"{phrase[0]} {phrase[1]}"~2'
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng.search_query_string(qs, 10).collect()]
+    exp = oracle.search_phrase(phrase, 10, slop=2)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    with pytest.raises(ValueError, match="slop"):
+        eng.search(phrase, "conjunctive", 10, slop=1)
+    with pytest.raises(ValueError):
+        eng.search_query_string('"a b"~x', 10)
+
+
+def test_batch_phrase_slop_matches_single_path(spark, built_pos):
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrases = _phrases_from(docs, n=3, length=2)
+    queries = [
+        {"query_id": i, "terms": p, "mode": "phrase", "k": 10, "slop": 1}
+        for i, p in enumerate(phrases)
+    ]
+    res = eng.search_batch(queries).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_qid.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"])))
+    for i, p in enumerate(phrases):
+        single = [(int(r["doc_id"]), float(r["score"]))
+                  for r in eng.search(p, "phrase", 10, slop=1).collect()]
+        assert by_qid.get(i, []) == single, p
+    with pytest.raises(ValueError, match="slop"):
+        eng.search_batch([{"query_id": 0, "terms": ["a"],
+                           "mode": "disjunctive", "k": 5, "slop": 1}])
+
+
 def test_phrase_requires_adjacency_and_order(spark, built_pos):
     idx, oracle, docs = built_pos
     eng = SearchEngine(spark, idx)
