@@ -327,6 +327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "best_term", "first_pos", "snippet")
     q["search_highlight_conj"] = search_highlight_conj
 
+    def search_highlight_frags(s, d):
+        # ES unified-highlighter number_of_fragments: one fragment per
+        # matched term (first occurrence), ranked idf desc / term asc,
+        # capped at 2, every query term in the span <em>-wrapped
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_highlight_fragments(
+            QSTRING_TERMS, "disjunctive", 10, window=2,
+            number_of_fragments=2)
+        return res.select("doc_id", F.round("score", 4).alias("score"),
+                          "frag_rank", "term", "first_pos", "fragment")
+    q["search_highlight_frags"] = search_highlight_frags
+
     def bm25_search_after_page2(s, d):
         # ES search_after deep pagination: page 2 = the 10 results
         # strictly after page 1's last (score, doc_id) sort key; the
@@ -814,6 +826,64 @@ def oracle_sql() -> dict[str, str]:
                p.best_term, p.first_pos, p.snippet
         FROM topk k JOIN snip p USING (doc_id)
         ORDER BY k.s DESC, k.doc_id ASC
+    """
+
+    # multi-fragment highlight: same shape as above but disjunctive top-10
+    # over QSTRING_TERMS, anchors rn <= 2 (number_of_fragments), fragment
+    # tokens <em>-wrapped wherever they equal a query term
+    hf_terms = sql_terms(QSTRING_TERMS)
+    o["search_highlight_frags"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        flat AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos1
+          FROM tok),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM flat
+               WHERE term IN ({hf_terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+               WHERE term IN ({hf_terms}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id),
+        topk AS (SELECT doc_id, s FROM scored
+                 ORDER BY s DESC, doc_id ASC LIMIT 10),
+        idf AS (SELECT term,
+                       ln(1 + ((SELECT n_docs FROM st) - df + 0.5)
+                              / (df + 0.5)) AS idf
+                FROM df),
+        offs AS (SELECT f.doc_id, f.term, min(f.pos1) - 1 AS first_pos
+                 FROM flat f JOIN topk USING (doc_id)
+                 WHERE f.term IN ({hf_terms})
+                 GROUP BY f.doc_id, f.term),
+        anchors AS (SELECT doc_id, frag_rank, term, first_pos FROM (
+                      SELECT o.*, row_number() OVER (PARTITION BY o.doc_id
+                               ORDER BY i.idf DESC, o.term ASC) AS frag_rank
+                      FROM offs o JOIN idf i USING (term))
+                    WHERE frag_rank <= 2),
+        frag AS (SELECT t.doc_id, a.frag_rank, a.term, a.first_pos,
+                        array_to_string(list_transform(
+                          t.toks[greatest(a.first_pos - 2, 0) + 1
+                                 : a.first_pos + 3],
+                          x -> CASE WHEN x IN ({hf_terms})
+                               THEN '<em>' || x || '</em>' ELSE x END),
+                          ' ') AS fragment
+                 FROM tok t JOIN anchors a USING (doc_id))
+        SELECT k.doc_id, round(k.s, 4) AS score,
+               f.frag_rank, f.term, f.first_pos, f.fragment
+        FROM topk k JOIN frag f USING (doc_id)
+        ORDER BY k.s DESC, k.doc_id ASC, f.frag_rank ASC
     """
 
     # fuzzy expansion computed IN SQL (DuckDB levenshtein == the engine's

@@ -368,6 +368,13 @@ class SearchEngine:
         a deliberate, documented simplification of Lucene's
         blended-freqs rewrite (each expanded term keeps its own idf).
 
+        Distance is CLASSIC Levenshtein (insert/delete/substitute), NOT
+        Damerau: Lucene counts a transposition as ONE edit by default
+        (`baord~1` finds `board` there; here it needs `~2`). Pinned —
+        test_fuzzy_no_transpositions — because the JVM early-abandon
+        built-in `levenshtein(a, b, threshold)` the distributed scan
+        runs on is classic, and the cached path must rank identically.
+
         Scale shape (no df cache): `length(term) BETWEEN l-d AND l+d`
         prunes the dictionary scan before the JVM `levenshtein(a, b, d)`
         built-in (whole-stage codegen, early-abandon at the threshold —
@@ -941,6 +948,86 @@ class SearchEngine:
                 ).alias("snippet"),
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def search_highlight_fragments(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        k: int = 10,
+        window: int = 2,
+        number_of_fragments: int = 3,
+    ) -> DataFrame:
+        """Top-k search with MULTI-fragment highlighting (the ES unified
+        highlighter's `number_of_fragments`, one step past
+        :meth:`search_highlight`'s single best-term snippet). Pinned:
+
+        - one candidate fragment per MATCHED query term per hit, anchored
+          at that term's first occurrence (0-based analyzer ordinal);
+        - fragments ranked (term idf desc, term asc) — rarest term's
+          context first, the unified highlighter's passage-scoring
+          spirit — capped at `number_of_fragments`;
+        - fragment text = analyzed tokens [max(0, pos-window) ..
+          pos+window], space-joined, with EVERY query term occurrence
+          inside the span wrapped in <em>..</em> (the ES default tags);
+        - overlapping fragments are NOT merged (documented simplification
+          of ES's passage merging — each anchor keeps its own span).
+
+        Returns (doc_id, score, frag_rank, term, first_pos, fragment)
+        ordered (score desc, doc_id asc, frag_rank asc)."""
+        from pyspark.sql import Window
+
+        out_schema = ("doc_id long, score double, frag_rank int, "
+                      "term string, first_pos long, fragment string")
+        hit_rows = self.search(terms, mode, k).collect()
+        if not hit_rows:
+            return self.spark.createDataFrame([], out_schema)
+        hits = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in hit_rows],
+            RESULT_SCHEMA,
+        )
+        offs = self.term_offsets(terms, hits.select("doc_id"))
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs(uniq)
+        present = [t for t in uniq if t in dfs]
+        idf_df = self.spark.createDataFrame(
+            [(t, idf(self.n_docs_scoring, dfs[t])) for t in present],
+            "term string, idf double",
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("idf"),
+                                                 F.asc("term"))
+        anchors = (
+            offs.groupBy("doc_id", "term")
+            .agg(F.min("pos").alias("first_pos"))
+            .join(F.broadcast(idf_df), "term")
+            .withColumn("frag_rank", F.row_number().over(w))
+            .filter(F.col("frag_rank") <= number_of_fragments)
+            .select("doc_id", "frag_rank", "term", "first_pos")
+        )
+        docs = self.cat.read_live_docs(self.spark, self.snapshot_id) \
+            .select("doc_id", "text")
+        from picdexer_spark.functions.tokenize import tokens_col
+
+        start0 = F.greatest(F.col("first_pos") - window, F.lit(0))
+        length = F.col("first_pos") + window - start0 + 1
+        qterms = F.array(*[F.lit(t) for t in present])
+        span = F.slice(F.col("toks"), start0 + 1, length)
+        marked = F.transform(
+            span,
+            lambda t: F.when(
+                F.array_contains(qterms, t),
+                F.concat(F.lit("<em>"), t, F.lit("</em>")),
+            ).otherwise(t),
+        )
+        hit_anchor = hits.join(F.broadcast(anchors), "doc_id")
+        return (
+            docs.join(F.broadcast(hit_anchor), "doc_id")
+            .withColumn("toks", tokens_col("text"))
+            .select(
+                "doc_id", "score", "frag_rank", "term", "first_pos",
+                F.array_join(marked, " ").alias("fragment"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("frag_rank"))
         )
 
     def more_like_this(

@@ -111,6 +111,65 @@ def test_highlight_phrase_mode(spark, built):
     assert [(int(r["doc_id"]), float(r["score"])) for r in rows] == phits
 
 
+def _py_fragments(texts, dfs, n_docs, hits, terms, window, nf):
+    """Python reference for search_highlight_fragments: one fragment per
+    matched term (first occurrence), ranked idf desc / term asc, capped
+    at nf, every query-term occurrence in the span <em>-wrapped."""
+    present = sorted(t for t in set(terms) if t in dfs)
+    out = []
+    for doc_id, score in hits:
+        toks = tokenize_py(texts[doc_id])
+        cand = sorted(
+            (-idf(n_docs, dfs[t]), t, toks.index(t))
+            for t in present if t in toks
+        )
+        for rank, (_i, t, pos) in enumerate(cand[:nf], 1):
+            a = max(0, pos - window)
+            frag = " ".join(
+                f"<em>{w}</em>" if w in present else w
+                for w in toks[a: pos + window + 1]
+            )
+            out.append((doc_id, score, rank, t, pos, frag))
+    return out
+
+
+def test_highlight_fragments_match_python_reference(spark, built):
+    eng = SearchEngine(spark, built)
+    terms = ["w0", "w3"]
+    hits = eng.search_topk(terms, "conjunctive", 8)
+    texts = _stored_texts(spark, eng)
+    dfs = eng.term_dfs(sorted(set(terms)))
+    want = _py_fragments(texts, dfs, eng.n_docs_scoring, hits, terms,
+                         WINDOW, nf=3)
+    got = [
+        (int(r["doc_id"]), float(r["score"]), int(r["frag_rank"]),
+         r["term"], int(r["first_pos"]), r["fragment"])
+        for r in eng.search_highlight_fragments(
+            terms, "conjunctive", 8, window=WINDOW,
+            number_of_fragments=3).collect()
+    ]
+    assert got == want
+    # both matched terms produced fragments, every anchor term em-marked
+    assert {r[3] for r in got} == {"w0", "w3"}
+    assert all(f"<em>{r[3]}</em>" in r[5] for r in got)
+
+
+def test_highlight_fragments_cap(spark, built):
+    eng = SearchEngine(spark, built)
+    terms = ["w0", "w1", "w2", "w3"]
+    got = eng.search_highlight_fragments(
+        terms, "conjunctive", 5, window=WINDOW,
+        number_of_fragments=2).collect()
+    per_doc: dict[int, int] = {}
+    for r in got:
+        per_doc[int(r["doc_id"])] = per_doc.get(int(r["doc_id"]), 0) + 1
+    assert per_doc and all(n == 2 for n in per_doc.values())
+    # rank 1 anchors the rarest matched term in every doc
+    dfs = eng.term_dfs(terms)
+    rarest = min(terms, key=lambda t: (dfs[t], t))
+    assert all(r["term"] == rarest for r in got if r["frag_rank"] == 1)
+
+
 def test_highlight_refused_without_positions(spark, tmp_path):
     pdf = gen_pages(60, seed=3)
     idx = str(tmp_path / "nopos")

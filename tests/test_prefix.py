@@ -108,6 +108,18 @@ def test_parser_fuzzy_boundaries():
             parse_kuery(bad)
 
 
+def test_fuzzy_no_transpositions():
+    """Pin the documented Lucene divergence: fuzzy distance is CLASSIC
+    Levenshtein, not Damerau — a transposition costs 2 edits here (one in
+    Lucene's default fuzziness). `baord` vs `board`: swap of a/o."""
+    from picdexer_spark.query.bm25 import levenshtein_capped
+
+    assert levenshtein_capped("baord", "board", 1) == 2  # capped overflow
+    assert levenshtein_capped("baord", "board", 2) == 2
+    # the JVM built-in the distributed scan uses agrees (classic too) —
+    # covered end-to-end by the distributed-parity test below
+
+
 def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
     from picdexer_spark.query.bm25 import levenshtein_capped
 
