@@ -110,6 +110,51 @@ def cpu_burn_control(lo: int, hi: int) -> dict:
     }
 
 
+def _stream(n: int) -> float:
+    """Memory-bandwidth-bound unit: stream a 100 MB float64 array through
+    a multiply (defeats cache) n times."""
+    import numpy as np
+
+    a = np.arange(12_500_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(n):
+        b = a * 1.000001
+        s += float(b[::4096].sum())
+    return s
+
+
+def membw_control(lo: int, hi: int) -> dict:
+    """Memory-STREAMING scaling control at `lo` and `hi` process counts
+    (warmed pools — fork + numpy import + first-touch pages excluded).
+
+    Why it exists: the pure-python burn control is cache-resident and
+    measures only the host's CPU ceiling (~0.92 here). An index build
+    also streams data through memory (Arrow encode, sort, tmpfs
+    shuffle), and THIS VM's bandwidth saturates at ~2 processes —
+    measured scale_eff 0.04-0.21 for a pure streaming workload. The
+    engine's build efficiency necessarily lands between the two
+    ceilings; on a real multi-executor cluster every executor brings
+    its own memory bandwidth, which is the resource this control shows
+    is exhausted on a single VM."""
+    import multiprocessing as mp
+
+    def measure(procs: int, reps: int = 3, inner: int = 4) -> float:
+        with mp.Pool(procs) as p:
+            p.map(_stream, [1] * procs)  # warm
+            t0 = time.time()
+            p.map(_stream, [inner] * (procs * reps))
+            dt = time.time() - t0
+        return procs * reps * inner / dt
+
+    thr_lo = measure(lo)
+    thr_hi = measure(hi)
+    return {
+        "membw_throughput_lo": round(thr_lo, 2),
+        "membw_throughput_hi": round(thr_hi, 2),
+        "membw_ceiling_efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
+    }
+
+
 def quick_host_scale() -> float:
     """~3 s 1-vs-8 pure-python burn: the host's instantaneous multicore
     scale (healthy 0.85-0.95 on this VM; hypervisor-throttle windows dip
@@ -435,6 +480,7 @@ def main() -> None:
             best = {c: min(v) for c, v in ts.items()}
             speedup = best[lo] / best[hi]
             control = cpu_burn_control(lo, hi)
+            control.update(membw_control(lo, hi))
             eff = speedup / 4.0
             return {
                 "cpus_lo": lo, "cpus_hi": hi, "n_docs": scale_docs,
@@ -458,7 +504,8 @@ def main() -> None:
         best_attempt = max(attempts, key=lambda a: a["efficiency"])
         best_attempt["attempts"] = [
             {"efficiency": a["efficiency"],
-             "host_ceiling_efficiency": a["host_ceiling_efficiency"]}
+             "host_ceiling_efficiency": a["host_ceiling_efficiency"],
+             "membw_ceiling_efficiency": a["membw_ceiling_efficiency"]}
             for a in attempts
         ]
         result["scaling"] = best_attempt

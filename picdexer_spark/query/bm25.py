@@ -747,6 +747,7 @@ class SearchEngine:
         terms: list[str],
         mode: str = "disjunctive",
         filters: list = (),
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """ALL live doc_ids matching the query — the Kibana query-bar →
         dashboard-panels contract (a panel aggregates over every matching
@@ -757,8 +758,19 @@ class SearchEngine:
         full match set (bit-tested kernels, no second matching code path),
         and per-task work stays bounded by shard_range at any corpus size.
         No global order/limit — the match set never funnels to one node.
-        Empty `terms` = match_all (within `filters` if given)."""
-        if mode not in ("conjunctive", "disjunctive", "phrase"):
+        Empty `terms` = match_all (within `filters` if given).
+
+        mode "groups" (+ `groups`, the CNF clauses of a boolean kuery —
+        see :meth:`search`): a parenthesized query-bar query drives the
+        dashboard panels exactly like a flat one."""
+        if (groups is not None) != (mode == "groups"):
+            raise ValueError("`groups` is required for (exactly) mode='groups'")
+        if mode == "groups":
+            groups = [sorted(set(g)) for g in groups if g]
+            if not groups:
+                return self.spark.createDataFrame([], "doc_id long")
+            terms = [t for g in groups for t in g]
+        if mode not in ("conjunctive", "disjunctive", "phrase", "groups"):
             raise ValueError(f"unknown mode {mode!r}")
         if mode == "phrase" and not self.has_positions:
             raise ValueError(
@@ -776,6 +788,17 @@ class SearchEngine:
             t not in dfs for t in uniq
         ):
             return self.spark.createDataFrame([], "doc_id long")
+        if mode == "groups":
+            gpres = [[t for t in g if t in dfs] for g in groups]
+            if any(not g for g in gpres):
+                return self.spark.createDataFrame([], "doc_id long")
+            if len(gpres) == 1:
+                mode, groups = "disjunctive", None
+            elif all(len(g) == 1 for g in gpres):
+                mode, groups = "conjunctive", None
+                uniq = sorted(g[0] for g in gpres)
+            else:
+                groups = gpres
         present = [t for t in uniq if t in dfs]
         if not present:
             return self.spark.createDataFrame([], "doc_id long")
@@ -794,7 +817,7 @@ class SearchEngine:
             )
             scorer = _make_filtered_shard_scorer(
                 scorer_terms, idf_map, self.shard_range, mode, self.avgdl_scoring,
-                prune=False)
+                prune=False, groups=groups)
             per_shard = (
                 cand.groupBy("shard_id")
                 .cogroup(allowed.groupBy("shard_id"))
@@ -802,7 +825,8 @@ class SearchEngine:
             )
             return per_shard.select("doc_id")  # whitelist is already live
         scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
-                                    mode, self.avgdl_scoring, prune=False)
+                                    mode, self.avgdl_scoring, prune=False,
+                                    groups=groups)
         per_shard = cand.groupBy("shard_id").applyInPandas(
             scorer, RESULT_SCHEMA)
         out = per_shard.select("doc_id")

@@ -228,6 +228,26 @@ def test_query_string_prefix_inside_group(spark, built):
     assert got == _want(want)
 
 
+def test_match_ids_groups(spark, built):
+    """A boolean query-bar query drives the dashboard panels: match_ids
+    in groups mode returns the FULL CNF match set, with and without a
+    filter-OR tree."""
+    idx, oracle, langs = built
+    eng = SearchEngine(spark, idx)
+    groups = [["w1", "w2"], ["w3"]]
+    flat = [t for g in groups for t in g]
+    got = {int(r["doc_id"])
+           for r in eng.match_ids(flat, "groups", groups=groups).collect()}
+    want = {d for d, _ in oracle.search_groups(groups, k=oracle.n_docs)}
+    assert got and got == want
+    fast = ("or", [("leaf", ("lang", "=", "en")),
+                   ("leaf", ("lang", "=", "de"))])
+    got2 = {int(r["doc_id"])
+            for r in eng.match_ids(flat, "groups", filters=fast,
+                                   groups=groups).collect()}
+    assert got2 == {d for d in want if langs[d] in ("en", "de")}
+
+
 # ------------------------------------------------------ schema filters --
 
 def test_typed_filters_schema_driven(spark, built):
