@@ -1,0 +1,110 @@
+"""CLI (cmd/root.go surface): full -> search -> setup -> delete-by-query ->
+compact against a temp index, plus the exit-code contract (0 ok, 1 conf
+failure, 2 exec failure — reference cmd/root.go:10-13, full_test.go:8-22).
+
+main() is invoked in-process (the reference's cobra tests do the same via
+doFull with an injected run function); the session fixture's Spark is
+reused because get_spark returns the active session.
+"""
+
+import json
+import os
+
+import pytest
+
+from picdexer_spark.cli import main
+from picdexer_spark.fixtures.pages import gen_pages
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliidx")
+    pages_dir = str(root / "pages")
+    pdf = gen_pages(300, seed=41)
+    spark.createDataFrame(pdf).write.parquet(pages_dir)
+    conf = {
+        "loggingLevel": "WARN",
+        "index": {"dir": str(root / "index"), "shardRange": 128,
+                  "storePositions": True},
+        # no spark.master override: get_spark reuses the session fixture
+        "dropzone": {"root": str(root / "drop"),
+                     "checkpoint": str(root / "ckpt")},
+    }
+    conf_path = str(root / "conf.json")
+    with open(conf_path, "w") as f:
+        json.dump(conf, f)
+    return conf_path, pages_dir, conf
+
+
+def test_full_then_search_then_setup(env, capsys):
+    conf_path, pages_dir, conf = env
+    assert main(["full", "-c", conf_path, "-d", pages_dir,
+                 "-i", "imp-cli"]) == 0
+    out = capsys.readouterr().out
+    assert "indexed 300 docs" in out
+    # idempotent redelivery: same import id + dir is a no-op (the
+    # content-addressed identity contract, common.go:44-63)
+    assert main(["full", "-c", conf_path, "-d", pages_dir,
+                 "-i", "imp-cli"]) == 0
+    assert "skipped" in capsys.readouterr().out
+
+    assert main(["search", "-c", conf_path, "-q", "w0 OR w1", "-k",
+                 "5"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(lines) == 5
+    doc_id, score, url = lines[0].split("\t")
+    assert url.startswith("https://")
+    assert float(score) > 0
+
+    # boolean query strings ride the same path
+    assert main(["search", "-c", conf_path, "-q",
+                 "(w0 OR w1) AND w2"]) == 0
+    assert capsys.readouterr().out.strip()
+
+    assert main(["setup", "-c", conf_path]) == 0
+    views = capsys.readouterr().out.split()
+    assert "dash_doc_count" in views
+
+
+def test_delete_by_query_and_compact(env, capsys):
+    conf_path, _pages, conf = env
+    assert main(["delete-by-query", "-c", conf_path, "-q",
+                 "lang:de *"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("deleted ")
+    assert main(["compact", "-c", conf_path]) == 0
+    assert "compacted to snapshot" in capsys.readouterr().out
+    # deleted language stays gone after compact
+    assert main(["search", "-c", conf_path, "-q", "lang:de *"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_exit_codes(env, tmp_path, capsys):
+    conf_path, pages_dir, _conf = env
+    # conf failure: missing file / malformed / missing index.dir -> 1
+    assert main(["setup", "-c", str(tmp_path / "nope.json")]) == 1
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert main(["setup", "-c", str(bad)]) == 1
+    noidx = tmp_path / "noidx.json"
+    noidx.write_text(json.dumps({"spark": {}}))
+    assert main(["setup", "-c", str(noidx)]) == 1
+    capsys.readouterr()
+    # execution failure (bad input dir) -> 2
+    empty_conf = tmp_path / "c.json"
+    empty_conf.write_text(json.dumps(
+        {"index": {"dir": str(tmp_path / "idx2")}}))
+    assert main(["full", "-c", str(empty_conf), "-d",
+                 str(tmp_path / "missing-dir"), "-i", "x"]) == 2
+    # dropzone without root/checkpoint -> conf failure
+    assert main(["dropzone", "-c", str(empty_conf)]) == 1
+    capsys.readouterr()
+
+
+def test_dropzone_once(env, spark, capsys):
+    conf_path, pages_dir, conf = env
+    os.makedirs(conf["dropzone"]["root"], exist_ok=True)
+    pdf = gen_pages(50, seed=77)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(conf["dropzone"]["root"], "batch0.parquet"))
+    assert main(["dropzone", "-c", conf_path, "--once"]) == 0
