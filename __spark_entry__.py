@@ -351,6 +351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_search_after_page2"] = bm25_search_after_page2
 
+    def bm25_count_querystring(s, d):
+        # ES _count (the Kibana hit total): size of the FULL match set for
+        # a filtered disjunctive query — match_ids reduced distributively,
+        # nothing scored
+        eng = SearchEngine(s, _get_index(s, d))
+        n = eng.count(QSTRING_TERMS, "disjunctive", [("lang", "=", "de")])
+        return s.createDataFrame([(n,)], "n long")
+    q["bm25_count_querystring"] = bm25_count_querystring
+
     def bm25_boolean_querystring(s, d):
         # parenthesized boolean kuery: `(lang:en OR lang:de) AND
         # (Batch, OR vector) AND spark` — the filter-OR compiles into ONE
@@ -889,6 +898,15 @@ def oracle_sql() -> dict[str, str]:
     # fuzzy expansion computed IN SQL (DuckDB levenshtein == the engine's
     # capped DP for distances within the cap), same rewrite pins as the
     # engine: distance asc, df desc, term asc, LIMIT 50
+    o["bm25_count_querystring"] = f"""
+        SELECT count(DISTINCT t.doc_id)::bigint AS n
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+              FROM documents) t
+        JOIN documents d USING (doc_id)
+        WHERE t.term IN ({sql_terms(QSTRING_TERMS)}) AND d.lang = 'de'
+    """
     # boolean kuery: CNF groups — match needs >=1 term from EACH group,
     # score sums ALL matched terms; the lang filter-OR restricts candidates
     # without touching the corpus-wide statistics (ES filter context)

@@ -834,6 +834,15 @@ class SearchEngine:
             out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
         return out
 
+    def count(self, terms: list[str], mode: str = "disjunctive",
+              filters: list = (), groups: list[list[str]] | None = None
+              ) -> int:
+        """ES `_count` (the hit total Kibana shows above every result
+        list): the SIZE of the full match set, scored nothing. Rides
+        match_ids — per-task work bounded by shard_range, count reduced
+        distributed-side."""
+        return self.match_ids(terms, mode, filters, groups=groups).count()
+
     def term_offsets(self, terms: list[str], match: DataFrame) -> DataFrame:
         """(doc_id, term, pos) for EVERY occurrence of `terms` within the
         docs of `match` (a DataFrame[doc_id]) — the Lucene term-vector read

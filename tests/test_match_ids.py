@@ -79,6 +79,23 @@ def test_match_ids_filters_and_match_all(spark, built):
     assert _ids(eng.match_ids([])) == sorted(toks)
 
 
+def test_count_matches_match_set_size(spark, built):
+    """ES _count == len(match set), every mode/filter combination rides
+    the same kernels."""
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, langs = _toks(pdf)
+    terms = ["w1", "w4"]
+    disj = {i for i, v in toks.items() if any(t in v for t in terms)}
+    conj = {i for i, v in toks.items() if all(t in v for t in terms)}
+    assert eng.count(terms, "disjunctive") == len(disj)
+    assert eng.count(terms, "conjunctive") == len(conj)
+    assert eng.count(terms, "disjunctive", [("lang", "=", "en")]) == \
+        len({i for i in disj if langs[i] == "en"})
+    assert eng.count([], "disjunctive") == len(toks)  # match_all
+    assert eng.count(["zzz-nope"], "conjunctive") == 0
+
+
 def test_match_ids_excludes_tombstones(spark, tmp_path):
     from picdexer_spark.streaming.incremental import build_incremental
 
