@@ -106,6 +106,30 @@ def test_search_plan_shuffles_only_candidates(spark, built):
     assert count_exchanges(plan) <= 2, explain_str(plan, "simple")
 
 
+def test_groups_search_plan_shape(spark, built):
+    """The boolean (CNF groups) path keeps the flat path's scale shape:
+    term-IN pushed to the postings scan, candidate-blocks-only shuffle,
+    no extra exchanges for the group structure (it lives in the kernel)."""
+    eng = SearchEngine(spark, built)
+    plan = eng.search(["w0", "w1", "w3"], "groups", 10,
+                      groups=[["w0", "w1"], ["w3"]])
+    s = explain_str(plan, "formatted")
+    assert "PushedFilters" in s and "In(term" in s
+    assert count_exchanges(plan) <= 2, explain_str(plan, "simple")
+
+
+def test_typed_filter_pushes_docs_predicate(spark, built):
+    """Schema-driven filters reach the docs parquet scan: the whitelist
+    side of the cogroup reads only filtered rows (doc_len range pushed as
+    GreaterThanOrEqual), never the full doc store."""
+    eng = SearchEngine(spark, built)
+    plan = eng.search_filtered(["w0", "w1"], "disjunctive",
+                               [("doc_len", ">=", "50")], 10)
+    s = explain_str(plan, "formatted")
+    assert "GreaterThanOrEqual(doc_len" in s, s
+    assert "In(term" in s
+
+
 def test_build_has_two_full_data_exchanges(spark, built):
     # reconstruct the two heavy plan fragments and count their exchanges
     from picdexer_spark.index.build import (
