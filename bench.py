@@ -171,8 +171,8 @@ def quick_host_scale() -> float:
     return round(eight / one / 8.0, 3)
 
 
-def wait_host_healthy(gate: float, max_defer: int = 6,
-                      sleep_s: int = 45) -> tuple[float, int]:
+def wait_host_healthy(gate: float, max_defer: int = 3,
+                      sleep_s: int = 40) -> tuple[float, int]:
     """Defer until the host's own multicore scale clears `gate` (bounded).
     Returns (last probe value, deferrals used). Measuring engine scaling
     inside a throttle window charges the host's behavior to the engine —
