@@ -228,6 +228,38 @@ def test_query_string_prefix_inside_group(spark, built):
     assert got == _want(want)
 
 
+def test_groups_randomized_shapes_rank_identity(spark, built):
+    """Randomized sweep: 25 seeded random CNF shapes (1-4 groups, 1-3
+    terms each, head/torso/rare mix incl. absent terms) must all be
+    rank-identical to the brute-force oracle, pruned and exhaustive."""
+    import random
+
+    idx, oracle, _ = built
+    eng = SearchEngine(spark, idx)
+    vocab = (["w%d" % i for i in range(0, 40, 3)]
+             + [rare_term(g) for g in range(4)] + ["zz-absent"])
+    rng = random.Random(97)
+    nonempty = 0
+    for trial in range(25):
+        n_groups = rng.randint(1, 4)
+        pool = vocab[:]
+        rng.shuffle(pool)
+        groups, used = [], 0
+        for _g in range(n_groups):
+            k = rng.randint(1, 3)
+            groups.append(pool[used:used + k])
+            used += k
+        flat = [t for g in groups for t in g]
+        want = _want(oracle.search_groups(groups, k=10))
+        got = _rows(eng.search(flat, "groups", 10, groups=groups))
+        assert got == want, (trial, groups)
+        got_np = _rows(eng.search(flat, "groups", 10, prune=False,
+                                  groups=groups))
+        assert got_np == got, (trial, groups)
+        nonempty += bool(want)
+    assert nonempty >= 12  # the sweep wasn't vacuous
+
+
 def test_match_ids_groups(spark, built):
     """A boolean query-bar query drives the dashboard panels: match_ids
     in groups mode returns the FULL CNF match set, with and without a
