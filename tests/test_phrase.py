@@ -90,6 +90,41 @@ def test_phrase_slop_rank_identical_to_oracle(spark, built_pos):
     assert widened >= 3  # slop actually relaxed something in this corpus
 
 
+def test_phrase_slop_randomized_sweep(spark, built_pos):
+    """Randomized hardening for the sloppy chain kernel: 20 seeded random
+    (phrase, slop) cases — phrases are real in-document token windows
+    (sometimes with a gap token dropped, so slop>=1 is required to
+    match), slop 0-3 — all rank-identical to the brute-force oracle."""
+    import random
+
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    rng = random.Random(13)
+    nonempty = 0
+    for trial in range(20):
+        doc_id, text = docs[rng.randrange(len(docs))]
+        toks = text.lower().split()
+        if len(toks) < 8:
+            continue
+        i = rng.randrange(len(toks) - 5)
+        m = rng.choice((2, 3))
+        phrase = toks[i:i + m]
+        if rng.random() < 0.5 and m == 2:
+            # take tokens one apart: exact adjacency fails, slop>=1 hits
+            phrase = [toks[i], toks[i + 2]]
+        slop = rng.randrange(4)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in eng.search(phrase, "phrase", 10, slop=slop).collect()
+        ]
+        exp = oracle.search_phrase(phrase, 10, slop=slop)
+        assert [d for d, _ in got] == [d for d, _ in exp], (phrase, slop)
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12), (phrase, gd, slop)
+        nonempty += bool(exp)
+    assert nonempty >= 10
+
+
 def test_phrase_slop_zero_bit_identical(spark, built_pos):
     idx, oracle, docs = built_pos
     eng = SearchEngine(spark, idx)
