@@ -501,6 +501,10 @@ def main() -> None:
             attempts.append(one_attempt())
             if attempts[-1]["efficiency"] >= 0.8:
                 break
+            if attempts[-1]["host_ceiling_efficiency"] >= 0.9:
+                # clean host and still short of 0.8: the gap is the
+                # documented membw ceiling — a retry only burns budget
+                break
         best_attempt = max(attempts, key=lambda a: a["efficiency"])
         best_attempt["attempts"] = [
             {"efficiency": a["efficiency"],
