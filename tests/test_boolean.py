@@ -280,6 +280,28 @@ def test_match_ids_groups(spark, built):
     assert got2 == {d for d in want if langs[d] in ("en", "de")}
 
 
+def test_groups_exclude_tombstones(spark, tmp_path):
+    """Boolean searches ride the same tombstone plumbing: after
+    delete_by_query, groups-mode results contain no deleted doc."""
+    from picdexer_spark.streaming.incremental import delete_by_query
+
+    pdf = gen_pages(200, seed=53)
+    idx = str(tmp_path / "gtomb")
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=64))
+    eng = SearchEngine(spark, idx)
+    groups = [["w0", "w1"], ["w2"]]
+    before = _rows(eng.search(["w0", "w1", "w2"], "groups", 20,
+                              groups=groups))
+    assert before
+    n = delete_by_query(spark, idx, ["w2"], "disjunctive")
+    assert n > 0  # every group-match doc contains w2 -> all tombstoned
+    eng2 = SearchEngine(spark, idx)
+    after = _rows(eng2.search(["w0", "w1", "w2"], "groups", 20,
+                              groups=groups))
+    assert after == []
+
+
 # ------------------------------------------------------ schema filters --
 
 def test_typed_filters_schema_driven(spark, built):

@@ -150,6 +150,44 @@ def test_phrase_slop_query_string_and_validation(spark, built_pos):
         eng.search_query_string('"a b"~x', 10)
 
 
+def test_filtered_phrase_slop(spark, built_pos):
+    """Sloppy phrases through the COGROUPED (filtered) kernel path —
+    `lang:en "a b"~1` style — match the oracle restricted to the filter
+    set (BM25 statistics stay corpus-wide, ES filter context)."""
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    langs = {
+        int(r["doc_id"]): r["lang"]
+        for r in eng.cat.read_live_docs(spark, eng.snapshot_id)
+        .select("doc_id", "lang").collect()
+    }
+    checked = 0
+    for phrase in _phrases_from(docs, n=6, length=2):
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in eng.search_filtered(
+                phrase, "phrase", [("lang", "=", "en")], 10,
+                slop=1).collect()
+        ]
+        exp = [(d, s) for d, s in
+               oracle.search_phrase(phrase, oracle.n_docs, slop=1)
+               if langs.get(d) == "en"][:10]
+        assert [d for d, _ in got] == [d for d, _ in exp], phrase
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12), (phrase, gd)
+        checked += bool(exp)
+    assert checked >= 4
+    # and through the query string: filter + sloppy phrase in one kuery
+    p = _phrases_from(docs, n=1, length=2)[0]
+    qs = f'lang:en "{p[0]} {p[1]}"~1'
+    got_qs = [(int(r["doc_id"]), float(r["score"]))
+              for r in eng.search_query_string(qs, 10).collect()]
+    exp_qs = [(d, s) for d, s in
+              oracle.search_phrase(p, oracle.n_docs, slop=1)
+              if langs.get(d) == "en"][:10]
+    assert [d for d, _ in got_qs] == [d for d, _ in exp_qs]
+
+
 def test_batch_phrase_slop_matches_single_path(spark, built_pos):
     idx, oracle, docs = built_pos
     eng = SearchEngine(spark, idx)
