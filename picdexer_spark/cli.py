@@ -151,16 +151,19 @@ def cmd_setup(conf: dict) -> int:
     return RET_OK
 
 
-def cmd_search(conf: dict, q: str, k: int) -> int:
+def cmd_search(conf: dict, q: str, k: int,
+               snapshot: str | None = None) -> int:
     """Query the committed index with a kuery string (the discover box;
     boolean/parenthesized queries, filters, prefix/fuzzy/phrase-slop all
-    ride search_query_string). Prints doc_id<TAB>score<TAB>url."""
+    ride search_query_string). Prints doc_id<TAB>score<TAB>url.
+    `snapshot` pins an older committed snapshot (time travel — the
+    Iceberg snapshot-read the catalog chain provides)."""
     from pyspark.sql import functions as F
 
     from picdexer_spark.query.bm25 import SearchEngine
 
     spark = _spark(conf, "search")
-    eng = SearchEngine(spark, conf["index"]["dir"])
+    eng = SearchEngine(spark, conf["index"]["dir"], snapshot_id=snapshot)
     res = eng.search_query_string(q, k)
     docs = eng.cat.read_live_docs(spark, eng.snapshot_id) \
         .select("doc_id", "url")
@@ -217,6 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = with_conf(sub.add_parser("search", help="kuery search"))
     p.add_argument("-q", "--query", required=True)
     p.add_argument("-k", type=int, default=10)
+    p.add_argument("--snapshot", default=None,
+                   help="pin an older committed snapshot (time travel)")
 
     with_conf(sub.add_parser("compact", help="rewrite live corpus fresh"))
 
@@ -241,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "setup":
             return cmd_setup(conf)
         if args.cmd == "search":
-            return cmd_search(conf, args.query, args.k)
+            return cmd_search(conf, args.query, args.k, args.snapshot)
         if args.cmd == "compact":
             return cmd_compact(conf)
         if args.cmd == "delete-by-query":

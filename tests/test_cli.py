@@ -77,6 +77,10 @@ def test_delete_by_query_and_compact(env, capsys):
     # deleted language stays gone after compact
     assert main(["search", "-c", conf_path, "-q", "lang:de *"]) == 0
     assert capsys.readouterr().out.strip() == ""
+    # time travel: the pre-delete snapshot still serves the old corpus
+    assert main(["search", "-c", conf_path, "-q", "lang:de *",
+                 "--snapshot", "snap-000001"]) == 0
+    assert capsys.readouterr().out.strip() != ""
 
 
 def test_exit_codes(env, tmp_path, capsys):
