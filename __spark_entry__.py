@@ -501,6 +501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "documents"), "lang", "source", k_outer=3, k_inner=2
     )
     q["value_grid"] = lambda s, d: dash.value_grid(_tbl(s, d, "events"), "value", 0)
+    # ES `range` agg (Kibana Range viz): named half-open buckets + tails,
+    # empty buckets kept with n=0 (the range agg returns every configured
+    # bucket, unlike terms/histogram)
+    q["range_buckets"] = lambda s, d: dash.range_buckets(
+        _tbl(s, d, "events"), "value", [50.0, 150.0, 400.0, 1000.0])
 
     def sorted_projection(s, d):
         ev = _tbl(s, d, "events")
@@ -1248,6 +1253,18 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY p.okey ORDER BY p.n DESC, p.ikey ASC) AS rk
           FROM pairs p JOIN outer_top o ON p.okey = o.okey)
         SELECT okey, ikey, n FROM ranked WHERE rk <= 2
+    """
+    o["range_buckets"] = """
+        WITH b(key, ord, lo, hi) AS (VALUES
+          ('*-50', 0, NULL, 50.0), ('50-150', 1, 50.0, 150.0),
+          ('150-400', 2, 150.0, 400.0), ('400-1000', 3, 400.0, 1000.0),
+          ('1000-*', 4, 1000.0, NULL))
+        SELECT b.key,
+               (SELECT count(*) FROM events e
+                WHERE e.value IS NOT NULL
+                  AND (b.lo IS NULL OR e.value >= b.lo)
+                  AND (b.hi IS NULL OR e.value < b.hi))::bigint AS n
+        FROM b ORDER BY b.ord
     """
     o["value_grid"] = """
         SELECT round(value, 0) AS cell, count(*) AS n

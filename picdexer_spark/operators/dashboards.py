@@ -122,6 +122,48 @@ def value_grid(df: DataFrame, x_col: str, precision: int = 0) -> DataFrame:
     return df.groupBy(key).agg(F.count("*").alias("n")).orderBy("cell")
 
 
+def range_buckets(df: DataFrame, col: str,
+                  edges: list[float]) -> DataFrame:
+    """ES `range` aggregation (the Kibana Range bucket viz): named
+    half-open buckets [from, to) over a numeric field plus the two
+    unbounded tails, count per bucket — ES keys them "a-b", "*-a",
+    "b-*". Empty buckets are kept with n=0 (the ES range agg always
+    returns every configured bucket, unlike terms/histogram). One scan,
+    one map-side-combinable groupBy; the bucket table is edges+1 rows."""
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    lows = [None] + list(edges)
+    highs = list(edges) + [None]
+    keys = [
+        ("*" if lo is None else f"{lo:g}") + "-" +
+        ("*" if hi is None else f"{hi:g}")
+        for lo, hi in zip(lows, highs)
+    ]
+    c = F.col(col)
+    expr = None
+    for k, lo, hi in zip(keys, lows, highs):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (c < F.lit(float(hi)))
+        expr = F.when(cond, F.lit(k)) if expr is None \
+            else expr.when(cond, F.lit(k))
+    counted = (
+        df.filter(c.isNotNull())
+        .groupBy(expr.alias("key")).agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    all_keys = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                                     "key string, ord int")
+    return (
+        all_keys.join(counted, "key", "left")
+        .select("key", F.coalesce("n", F.lit(0)).alias("n"), "ord")
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
 def sorted_projection(
     df: DataFrame, cols: list[str], ts_col: str, key_col: str, limit: int = 100
 ) -> DataFrame:

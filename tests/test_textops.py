@@ -276,6 +276,31 @@ def test_kmeans_centroids_matches_numpy_reference(spark):
            [(r["neighbor_id"], r["cos_sim"]) for r in exact]
 
 
+def test_range_buckets(spark):
+    """ES range agg: half-open [from, to) buckets + unbounded tails, ES
+    key format, EVERY configured bucket present (empty -> n=0), nulls
+    out, declared order preserved."""
+    import pytest as _pytest
+
+    from picdexer_spark.operators import dashboards as dash
+
+    vals = [0.5, 10.0, 10.0, 25.0, 99.0, 100.0, None, -3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [(r["key"], r["n"])
+           for r in dash.range_buckets(df, "x", [10.0, 100.0]).collect()]
+    # -3, 0.5 below 10; 10,10,25,99 in [10,100); 100 in [100,*); null out
+    assert got == [("*-10", 2), ("10-100", 4), ("100-*", 1)]
+    # empty middle bucket survives with n=0
+    got2 = [(r["key"], r["n"])
+            for r in dash.range_buckets(df, "x",
+                                        [10.0, 50.0, 60.0]).collect()]
+    assert got2 == [("*-10", 2), ("10-50", 3), ("50-60", 0), ("60-*", 2)]
+    with _pytest.raises(ValueError):
+        dash.range_buckets(df, "x", [])
+    with _pytest.raises(ValueError):
+        dash.range_buckets(df, "x", [5.0, 1.0])
+
+
 def test_percentiles_and_cardinality(spark):
     """percentiles pins exact linear interpolation (numpy 'linear'
     definition); cardinality exact==distinct, approx within HLL bounds."""
