@@ -351,6 +351,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_search_after_page2"] = bm25_search_after_page2
 
+    def filters_agg_panel(s, d):
+        # ES `filters` agg (Kibana "split by filters"): one bucket per
+        # named kuery query, value = its full match count; declaration
+        # order preserved, one unioned plan
+        eng = SearchEngine(s, _get_index(s, d))
+        return eng.filters_agg({
+            "de": "lang:de *",
+            "dup": "dup",
+            "dup_and_spark": "dup AND spark",
+        })
+    q["filters_agg_panel"] = filters_agg_panel
+
     def bm25_count_querystring(s, d):
         # ES _count (the Kibana hit total): size of the FULL match set for
         # a filtered disjunctive query — match_ids reduced distributively,
@@ -903,6 +915,26 @@ def oracle_sql() -> dict[str, str]:
     # fuzzy expansion computed IN SQL (DuckDB levenshtein == the engine's
     # capped DP for distances within the cap), same rewrite pins as the
     # engine: distance asc, df desc, term asc, LIMIT 50
+    o["filters_agg_panel"] = """
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        b(key, ord, n) AS (
+          SELECT 'de', 0,
+                 (SELECT count(*) FROM documents WHERE lang = 'de')
+          UNION ALL
+          SELECT 'dup', 1,
+                 (SELECT count(DISTINCT doc_id) FROM tok
+                  WHERE term = 'dup')
+          UNION ALL
+          SELECT 'dup_and_spark', 2, (SELECT count(*) FROM (
+                 SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
+                 INTERSECT
+                 SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'))
+        )
+        SELECT key, n::bigint AS n FROM b ORDER BY ord
+    """
     o["bm25_count_querystring"] = f"""
         SELECT count(DISTINCT t.doc_id)::bigint AS n
         FROM (SELECT doc_id,

@@ -748,6 +748,7 @@ class SearchEngine:
         mode: str = "disjunctive",
         filters: list = (),
         groups: list[list[str]] | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """ALL live doc_ids matching the query — the Kibana query-bar →
         dashboard-panels contract (a panel aggregates over every matching
@@ -817,7 +818,7 @@ class SearchEngine:
             )
             scorer = _make_filtered_shard_scorer(
                 scorer_terms, idf_map, self.shard_range, mode, self.avgdl_scoring,
-                prune=False, groups=groups)
+                prune=False, groups=groups, slop=slop)
             per_shard = (
                 cand.groupBy("shard_id")
                 .cogroup(allowed.groupBy("shard_id"))
@@ -826,7 +827,7 @@ class SearchEngine:
             return per_shard.select("doc_id")  # whitelist is already live
         scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
                                     mode, self.avgdl_scoring, prune=False,
-                                    groups=groups)
+                                    groups=groups, slop=slop)
         per_shard = cand.groupBy("shard_id").applyInPandas(
             scorer, RESULT_SCHEMA)
         out = per_shard.select("doc_id")
@@ -842,6 +843,39 @@ class SearchEngine:
         match_ids — per-task work bounded by shard_range, count reduced
         distributed-side."""
         return self.match_ids(terms, mode, filters, groups=groups).count()
+
+    def filters_agg(self, named_queries: dict[str, str]) -> DataFrame:
+        """ES `filters` aggregation (the Kibana "split by filters" bucket
+        type): one bucket per NAMED kuery query, value = its full match
+        count. Returns (key, n) in declaration order.
+
+        Each named query compiles through parse_kuery and rides
+        match_ids (exact per-shard kernels, counts reduced
+        distributed-side); the union is one plan, so collecting the
+        result is a single action. Bucket count is panel-config-sized
+        (a handful), never data-sized."""
+        from picdexer_spark.query.parser import parse_kuery
+
+        if not named_queries:
+            raise ValueError("filters_agg needs at least one named query")
+        parts = []
+        for i, (name, q) in enumerate(named_queries.items()):
+            terms, mode, filters = parse_kuery(q)
+            slop = 0
+            if mode.startswith("phrase~"):
+                slop = int(mode.split("~", 1)[1])
+                mode = "phrase"
+            m = self.match_ids(terms, mode, filters, slop=slop)
+            parts.append(
+                m.agg(F.count("*").alias("n")).select(
+                    F.lit(name).alias("key"), "n",
+                    F.lit(i).alias("ord"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.orderBy("ord").drop("ord")
 
     def term_offsets(self, terms: list[str], match: DataFrame) -> DataFrame:
         """(doc_id, term, pos) for EVERY occurrence of `terms` within the

@@ -96,6 +96,28 @@ def test_count_matches_match_set_size(spark, built):
     assert eng.count(["zzz-nope"], "conjunctive") == 0
 
 
+def test_filters_agg_named_buckets(spark, built):
+    """ES filters agg: one bucket per named kuery query, declaration
+    order, values = brute-force match counts; refuses empty config."""
+    idx, pdf = built
+    eng = SearchEngine(spark, idx)
+    toks, langs = _toks(pdf)
+    got = [(r["key"], int(r["n"])) for r in eng.filters_agg({
+        "en": "lang:en *",
+        "w1w4": "w1 AND w4",
+        "nothing": "zzz-nope",
+    }).collect()]
+    want = [
+        ("en", sum(1 for lg in langs.values() if lg == "en")),
+        ("w1w4", sum(1 for v in toks.values()
+                     if "w1" in v and "w4" in v)),
+        ("nothing", 0),
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        eng.filters_agg({})
+
+
 def test_match_ids_excludes_tombstones(spark, tmp_path):
     from picdexer_spark.streaming.incremental import build_incremental
 
