@@ -248,6 +248,10 @@ def run_ab_vs_ref(ref: str, n_docs: int, cpus: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     wt = tempfile.mkdtemp(prefix="bench_ab_wt_")
     shutil.rmtree(wt, ignore_errors=True)  # git worktree wants a fresh path
+    # a crashed earlier run can leave a registered-but-deleted worktree
+    # that would fail the add below — prune first
+    subprocess.run(["git", "worktree", "prune"], cwd=repo,
+                   capture_output=True)
     subprocess.run(["git", "worktree", "add", "--detach", wt, ref],
                    cwd=repo, check=True, capture_output=True)
     probe = os.path.join(tempfile.gettempdir(), "bench_ab_probe.py")
