@@ -500,6 +500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = out.unionAll(p)
         return out.orderBy("grain", "bucket")
     q["date_hist_multi"] = date_hist_multi
+    # Kibana pipeline aggs on the weekly histogram: derivative,
+    # cumulative_sum, moving_fn(window 3) — computed on the parent
+    # histogram's buckets, the ES pipeline-agg contract
+    q["date_hist_pipeline"] = lambda s, d: dash.date_histogram_pipeline(
+        _tbl(s, d, "events"), "ts", "12h")
 
     def top_terms_other(s, d):
         docs = _tbl(s, d, "documents").select(tokens_col("text").alias("toks"))
@@ -1244,6 +1249,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     o["count_all"] = "SELECT count(*) AS n FROM documents"
+    o["date_hist_pipeline"] = """
+        WITH h AS (
+          SELECT (floor(epoch(ts) / 43200) * 43200)::bigint AS bucket,
+                 count(*) AS n
+          FROM events GROUP BY 1)
+        SELECT bucket, n,
+               (n - lag(n) OVER (ORDER BY bucket))::bigint AS delta_n,
+               (sum(n) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::bigint AS cum_n,
+               avg(n) OVER (ORDER BY bucket
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_n
+        FROM h ORDER BY bucket
+    """
     o["date_hist_multi"] = """
         SELECT '12h' AS grain,
                (floor(epoch(ts) / 43200) * 43200)::bigint AS bucket,

@@ -122,6 +122,35 @@ def value_grid(df: DataFrame, x_col: str, precision: int = 0) -> DataFrame:
     return df.groupBy(key).agg(F.count("*").alias("n")).orderBy("cell")
 
 
+def date_histogram_pipeline(df: DataFrame, ts_col: str,
+                            bucket: str) -> DataFrame:
+    """Kibana PIPELINE aggregations over a date histogram: derivative,
+    cumulative_sum and a centered(=trailing, ES default) moving average,
+    computed on the parent histogram's buckets (ES derivative /
+    cumulative_sum / moving_fn docs semantics):
+
+    - `delta_n`  = n - lag(n)           (derivative; first bucket NULL)
+    - `cum_n`    = running sum of n     (cumulative_sum)
+    - `mavg3_n`  = avg over the current + 2 preceding buckets
+                   (moving_fn window 3, partial at the series head)
+
+    The bucket series is panel-sized (thousands at most), so the single
+    unpartitioned window after the distributed groupBy is the ES
+    coordinator reduction, not a data-sized funnel."""
+    from pyspark.sql import Window
+
+    h = date_histogram(df, ts_col, bucket)
+    w = Window.orderBy("bucket")
+    w3 = w.rowsBetween(-2, 0)
+    return h.select(
+        "bucket", "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta_n"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.avg("n").over(w3).alias("mavg3_n"),
+    ).orderBy("bucket")
+
+
 def range_buckets(df: DataFrame, col: str,
                   edges: list[float]) -> DataFrame:
     """ES `range` aggregation (the Kibana Range bucket viz): named

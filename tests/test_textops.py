@@ -276,6 +276,28 @@ def test_kmeans_centroids_matches_numpy_reference(spark):
            [(r["neighbor_id"], r["cos_sim"]) for r in exact]
 
 
+def test_date_histogram_pipeline(spark):
+    """Pipeline aggs over histogram buckets: derivative (first NULL),
+    cumulative sum, trailing window-3 moving average (partial head)."""
+    import datetime as dt
+
+    from picdexer_spark.operators import dashboards as dash
+
+    base = dt.datetime(2024, 1, 1)
+    # bucket counts by 12h period: [2, 1, 3] (one empty period absent)
+    rows = [base + dt.timedelta(hours=h) for h in (1, 2, 13, 49, 50, 51)]
+    df = spark.createDataFrame([(t,) for t in rows], "ts timestamp")
+    got = [(int(r["n"]),
+            None if r["delta_n"] is None else int(r["delta_n"]),
+            int(r["cum_n"]), float(r["mavg3_n"]))
+           for r in dash.date_histogram_pipeline(df, "ts", "12h").collect()]
+    assert got == [
+        (2, None, 2, 2.0),
+        (1, -1, 3, 1.5),
+        (3, 2, 6, 2.0),
+    ]
+
+
 def test_range_buckets(spark):
     """ES range agg: half-open [from, to) buckets + unbounded tails, ES
     key format, EVERY configured bucket present (empty -> n=0), nulls
