@@ -125,7 +125,8 @@ def cmd_dropzone(conf: dict, import_id: str, once: bool) -> int:
     spark = _spark(conf, "dropzone")
     q = run_dropzone_stream(
         spark, dz["root"], conf["index"]["dir"],
-        _index_cfg(conf, import_id), dz["checkpoint"],
+        checkpoint_dir=dz["checkpoint"],
+        cfg=_index_cfg(conf, import_id),
         available_now=once,
         processing_time=dz.get("period", "5 seconds"),
     )

@@ -276,6 +276,7 @@ def run_dropzone_stream(
     spark: SparkSession,
     input_dir: str,
     index_dir: str,
+    *,
     checkpoint_dir: str,
     cfg: IndexConfig | None = None,
     available_now: bool = True,

@@ -106,9 +106,32 @@ def test_exit_codes(env, tmp_path, capsys):
 
 
 def test_dropzone_once(env, spark, capsys):
+    """The stream must actually ingest: drop ONE parquet FILE (the file
+    source lists files, not Spark output directories), run --once, and
+    assert the committed doc count grew by the batch size. Regression for
+    the round-4 arg-swap bug where the IndexConfig became the checkpoint
+    path and the stream crashed without indexing anything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from picdexer_spark.fixtures.pages import PAGES_SCHEMA
+    from picdexer_spark.query.bm25 import SearchEngine
+
     conf_path, pages_dir, conf = env
+    idx_dir = conf["index"]["dir"]
+    n_before = SearchEngine(spark, idx_dir).n_docs
     os.makedirs(conf["dropzone"]["root"], exist_ok=True)
     pdf = gen_pages(50, seed=77)
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=PAGES_SCHEMA, preserve_index=False),
         os.path.join(conf["dropzone"]["root"], "batch0.parquet"))
     assert main(["dropzone", "-c", conf_path, "--once"]) == 0
+    assert SearchEngine(spark, idx_dir).n_docs == n_before + 50
+    # the configured checkpoint was really used (exactly-once offsets live
+    # there, so a restart with no new files must be a no-op)
+    assert os.path.isdir(os.path.join(conf["dropzone"]["checkpoint"],
+                                      "offsets"))
+    from picdexer_spark.sources.catalog import IndexCatalog
+    chain = IndexCatalog(idx_dir).parent_chain()
+    assert main(["dropzone", "-c", conf_path, "--once"]) == 0
+    assert IndexCatalog(idx_dir).parent_chain() == chain

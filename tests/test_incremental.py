@@ -144,12 +144,14 @@ def test_dropzone_stream(spark, corpus, tmp_path):
             pa.Table.from_pandas(part, schema=PAGES_SCHEMA, preserve_index=False),
             os.path.join(drop, f"drop-{i}.parquet"),
         )
-    q = run_dropzone_stream(spark, drop, idx, ckpt, CFG, available_now=True)
+    q = run_dropzone_stream(spark, drop, idx, checkpoint_dir=ckpt, cfg=CFG,
+                            available_now=True)
     q.awaitTermination(300)
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == N
     # restart the stream with no new files: no new snapshot
     chain_before = IndexCatalog(idx).parent_chain()
-    q2 = run_dropzone_stream(spark, drop, idx, ckpt, CFG, available_now=True)
+    q2 = run_dropzone_stream(spark, drop, idx, checkpoint_dir=ckpt, cfg=CFG,
+                             available_now=True)
     q2.awaitTermination(300)
     assert IndexCatalog(idx).parent_chain() == chain_before
