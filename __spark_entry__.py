@@ -435,6 +435,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_cardinality"] = lambda s, d: dash.cardinality(
         _tbl(s, d, "documents"), "lang", exact=True)
 
+    def doc_len_stats(s, d):
+        # ES `stats` agg (Kibana metric viz min/max/avg/sum/count in one
+        # request): one scan, one partial-agg reduce over doc token length
+        docs = _tbl(s, d, "documents")
+        dl = docs.select(F.size(tokens_col("text")).alias("dl"))
+        out = dash.stats_agg(dl, "dl")
+        return out.select(
+            F.col("count").cast("long").alias("count"),
+            F.col("min").cast("long").alias("min"),
+            F.col("max").cast("long").alias("max"),
+            F.round("avg", 6).alias("avg"),
+            F.col("sum").cast("long").alias("sum"),
+        )
+    q["doc_len_stats"] = doc_len_stats
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -473,10 +488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(30)
         )
     q["term_df_top"] = term_df_top
-
-    q["doc_token_stats"] = lambda s, d: tx.token_stats(
-        _tbl(s, d, "documents"), "doc_id", "text"
-    )
 
     # ---- dashboard surface (Q1-Q12 analogues) ----------------------------
     q["count_all"] = lambda s, d: dash.count_all(_tbl(s, d, "documents"))
@@ -561,18 +572,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", f"{GPS_EXPR} AS gps"
         )
 
-    def geo_dms_decimal(s, d):
-        out = geo.gps_to_decimal(_gps_df(s, d), "gps")
-        return out.select(
-            "doc_id",
-            F.round("lat", 6).alias("lat"),
-            F.round("lon", 6).alias("lon"),
+    def geo_multi(s, d):
+        # B8 + Q6 folded into ONE driver gate (the registry must fit the
+        # driver's first-N recording window; same union-fold pattern as
+        # date_hist_multi): `dms` rows = per-doc DMS->decimal parse,
+        # `grid` rows = the 2-D geo grid over the same points (cell keys
+        # ride the lat/lon columns, count in n)
+        pt = geo.gps_to_decimal(_gps_df(s, d), "gps")
+        dms = pt.select(
+            F.lit("dms").alias("arm"), "doc_id",
+            F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+            F.lit(None).cast("long").alias("n"),
         )
-    q["geo_dms_decimal"] = geo_dms_decimal
-
-    q["geo_grid_2d"] = lambda s, d: geo.geo_grid(
-        geo.gps_to_decimal(_gps_df(s, d), "gps"), "lat", "lon", 0
-    )
+        grid = geo.geo_grid(pt, "lat", "lon", 0).select(
+            F.lit("grid").alias("arm"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("cell_lat").cast("double").alias("lat"),
+            F.col("cell_lon").cast("double").alias("lon"),
+            F.col("n").cast("long").alias("n"),
+        )
+        return dms.unionAll(grid)
+    q["geo_multi"] = geo_multi
 
     def folder_terms(s, d):
         docs = _tbl(s, d, "documents").selectExpr(
@@ -592,27 +612,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "lang", "source", "n_chars")
 
     # ---- training-data pipeline ops --------------------------------------
-    q["dedup_exact"] = lambda s, d: tx.exact_dup_groups(
-        _tbl(s, d, "documents"), "doc_id", "text"
-    )
-    q["ngram_jaccard_pairs"] = lambda s, d: tx.ngram_jaccard_pairs(
-        _tbl(s, d, "documents"), "doc_id", "text", n=3, threshold=0.2
-    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    q["quality_score"] = lambda s, d: tx.quality_score(
-        _tbl(s, d, "documents"), "doc_id", "text"
-    )
-    q["lang_id"] = lambda s, d: tx.lang_id_heuristic(
-        _tbl(s, d, "documents"), "doc_id", "text"
-    )
-    q["fingerprint"] = lambda s, d: tx.fingerprint(
-        _tbl(s, d, "documents"), "doc_id", "text", k=8
-    )
-    # full-oracle entries since round 2: the md5_60 hash (textops.hash60) is
-    # reproducible bit-identically in DuckDB
-    q["minhash_lsh_pairs"] = lambda s, d: tx.minhash_lsh_pairs(
-        _tbl(s, d, "documents"), "doc_id", "text", threshold=0.4
-    )
-    q["simhash"] = lambda s, d: tx.simhash(_tbl(s, d, "documents"), "doc_id", "text")
+    def doc_features(s, d):
+        # per-doc text-feature vector: token stats + quality scoring +
+        # language-ID + fingerprint JOINED into one row per doc — four
+        # components, one hash-green gate (registry-window fold). Each
+        # piece stays independently implemented in operators/textops.py.
+        docs = _tbl(s, d, "documents")
+        ts = tx.token_stats(docs, "doc_id", "text")
+        qs = tx.quality_score(docs, "doc_id", "text").drop("n_tokens")
+        li = tx.lang_id_heuristic(docs, "doc_id", "text")
+        fp = tx.fingerprint(docs, "doc_id", "text", k=8)
+        return ts.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+    q["doc_features"] = doc_features
+
+    def dedup_multi(s, d):
+        # dedup family folded into ONE gate: `exact` = hash-groupBy dup
+        # groups, `ngram` = 3-gram Jaccard pairs, `minhash` = banded
+        # MinHash-LSH pairs (md5_60 hash, bit-identical in DuckDB)
+        docs = _tbl(s, d, "documents")
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        exact = tx.exact_dup_groups(docs, "doc_id", "text").select(
+            F.lit("exact").alias("arm"), "text_md5",
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("keep_id").cast("long").alias("keep_id"),
+            nul("long").alias("id_a"), nul("long").alias("id_b"),
+            nul("double").alias("jaccard"),
+        )
+        ngram = tx.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2
+        ).select(
+            F.lit("ngram").alias("arm"), nul("string").alias("text_md5"),
+            nul("long").alias("n_dups"), nul("long").alias("keep_id"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        mh = tx.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4) \
+            .select(
+                F.lit("minhash").alias("arm"), nul("string").alias("text_md5"),
+                nul("long").alias("n_dups"), nul("long").alias("keep_id"),
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("est_jaccard").cast("double").alias("jaccard"),
+            )
+        return exact.unionAll(ngram).unionAll(mh)
+    q["dedup_multi"] = dedup_multi
 
     # ---- multimodal binary columns ---------------------------------------
     def _media_df(s, d):
@@ -628,7 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return docs.select("doc_id", "text", media.alias("media"))
 
-    def media_metadata(s, d):
+    def _media_metadata_df(s, d):
         df = _media_df(s, d)
         return df.select(
             F.col("doc_id").alias("id"),
@@ -636,7 +680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("media").cast("long").alias("n_bytes"),
             F.md5(F.col("text")).alias("content_md5"),
         )
-    q["media_metadata"] = media_metadata
 
     def _ppm_media_df(s, d):
         # deterministic synthetic binary-PPM column: constant-color images
@@ -662,39 +705,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "encode(if(trunc, substring(full, 1, 5), full), 'utf-8') AS media",
         )
 
-    # REAL decode kernel (binary PPM, numpy) — full value oracle since r2
-    q["media_features"] = lambda s, d: mm.extract_media_features(
-        _ppm_media_df(s, d), "doc_id", "media"
-    )
-    q["media_resize"] = lambda s, d: mm.resize_media(
-        _ppm_media_df(s, d), "doc_id", "media", 8, 6
-    ).select("id", "resize_ok", F.md5("media").alias("media_md5"))
-    q["media_frame_sample"] = lambda s, d: mm.frame_sample_plan(
-        _media_df(s, d), "doc_id", "media"
-    ).select("id", "frame_no", F.hex("frame").alias("frame_hex"))
+    def media_multi(s, d):
+        # multimodal family folded into ONE gate (wide-nullable union,
+        # native types so the value hash stays exact): `metadata` = mime
+        # sniff over magic bytes, `features` = REAL binary-PPM decode
+        # (numpy), `resize` = nearest-neighbor resample re-encoded as PPM,
+        # `frames` = the frame-sample plan over the opaque media column
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        pad = dict(width="int", height="int", n_channels="int",
+                   mean_luma="double", decode_ok="boolean",
+                   resize_ok="boolean", media_md5="string",
+                   frame_no="int", frame_hex="string")
+        cols = ["arm", "id", "mime", "n_bytes", "content_md5"] + list(pad)
 
-    q["token_counts"] = lambda s, d: tx.token_counts(
-        _tbl(s, d, "documents"), "doc_id", "text"
-    )
-    def winnow_fps(s, d):
-        # explode_outer + post-filter, NOT explode: InferFiltersFromGenerate
-        # would add size(fps)>0 and predicate pushdown then inlines the
-        # whole per-window hash chain into the scan filter — re-creating
-        # the O(len^2) md5 blowup the operator's staged projection avoids
-        out = tx.winnow_fingerprints(
-            _tbl(s, d, "documents"), "doc_id", "text", k=8, window=6
-        ).select("id", F.explode_outer("fps").alias("fp"))
-        return out.filter(F.col("fp").isNotNull())
-    q["winnow_fps"] = winnow_fps
+        def arm(name, df):
+            out = df.withColumn("arm", F.lit(name))
+            for c, t in {**{"mime": "string", "n_bytes": "long",
+                            "content_md5": "string"}, **pad}.items():
+                if c not in df.columns:
+                    out = out.withColumn(c, nul(t))
+                else:
+                    out = out.withColumn(c, F.col(c).cast(t))
+            return out.select(*cols)
+
+        meta = _media_metadata_df(s, d)
+        feats = mm.extract_media_features(_ppm_media_df(s, d), "doc_id", "media")
+        resize = mm.resize_media(_ppm_media_df(s, d), "doc_id", "media", 8, 6) \
+            .select("id", "resize_ok", F.md5("media").alias("media_md5"))
+        frames = mm.frame_sample_plan(_media_df(s, d), "doc_id", "media") \
+            .select("id", "frame_no", F.hex("frame").alias("frame_hex"))
+        return arm("metadata", meta).unionAll(arm("features", feats)) \
+            .unionAll(arm("resize", resize)).unionAll(arm("frames", frames))
+    q["media_multi"] = media_multi
+
+    def text_fp_multi(s, d):
+        # fingerprint family folded into ONE gate: `simhash` = 16-bit
+        # simhash over distinct tokens, `token_counts` = whitespace/BPE
+        # piece/subword-budget counts, `winnow` = winnowing fingerprints
+        # (explode_outer + post-filter, NOT explode:
+        # InferFiltersFromGenerate would add size(fps)>0 and predicate
+        # pushdown then inlines the whole per-window hash chain into the
+        # scan filter — the O(len^2) md5 blowup the staged projection
+        # avoids)
+        docs = _tbl(s, d, "documents")
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        sh = tx.simhash(docs, "doc_id", "text").select(
+            F.lit("simhash").alias("arm"), F.col("id").cast("long").alias("id"),
+            F.col("simhash").cast("long").alias("simhash"),
+            nul("long").alias("n_ws"), nul("long").alias("n_pieces"),
+            nul("long").alias("n_subwords"), nul("long").alias("fp"),
+        )
+        tc = tx.token_counts(docs, "doc_id", "text").select(
+            F.lit("token_counts").alias("arm"),
+            F.col("doc_id").cast("long").alias("id"),
+            nul("long").alias("simhash"),
+            F.col("n_ws").cast("long").alias("n_ws"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            nul("long").alias("fp"),
+        )
+        wf = tx.winnow_fingerprints(docs, "doc_id", "text", k=8, window=6) \
+            .select("id", F.explode_outer("fps").alias("fp")) \
+            .filter(F.col("fp").isNotNull()).select(
+                F.lit("winnow").alias("arm"),
+                F.col("id").cast("long").alias("id"),
+                nul("long").alias("simhash"), nul("long").alias("n_ws"),
+                nul("long").alias("n_pieces"), nul("long").alias("n_subwords"),
+                F.col("fp").cast("long").alias("fp"),
+            )
+        return sh.unionAll(tc).unionAll(wf)
+    q["text_fp_multi"] = text_fp_multi
 
     # ---- similarity search ------------------------------------------------
-    q["ann_cosine_topk"] = lambda s, d: sim.cosine_topk(
-        _tbl(s, d, "embeddings"), "vec_id", "embedding", [0, 1, 2], k=10
-    )
-    q["ann_lsh_pairs"] = lambda s, d: sim.lsh_candidate_pairs(
-        _tbl(s, d, "embeddings"), "vec_id", "embedding", dim=64,
-        n_planes=12, min_cos=0.2,
-    )
+    def ann_pair_multi(s, d):
+        # exact brute-force cosine top-k (`cos_topk` rows, broadcast query
+        # side + WindowGroupLimit) and hyperplane-LSH candidate pairs
+        # (`lsh_pairs` rows, bucketed + capped) in ONE gate
+        emb = _tbl(s, d, "embeddings")
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        cos = sim.cosine_topk(emb, "vec_id", "embedding", [0, 1, 2], k=10) \
+            .select(
+                F.lit("cos_topk").alias("arm"),
+                F.col("query_id").cast("long").alias("id_a"),
+                F.col("neighbor_id").cast("long").alias("id_b"),
+                F.col("cos_sim").cast("double").alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        lsh = sim.lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64,
+                                      n_planes=12, min_cos=0.2).select(
+            F.lit("lsh_pairs").alias("arm"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            nul("int").alias("rank"),
+        )
+        return cos.unionAll(lsh)
+    q["ann_pair_multi"] = ann_pair_multi
     q["ann_ivf_topk"] = lambda s, d: sim.ivf_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding",
         centroid_ids=IVF_CENTROIDS, query_ids=[0, 1, 2], k=10, n_probe=4,
@@ -1046,6 +1152,15 @@ def oracle_sql() -> dict[str, str]:
     """
     o["lang_cardinality"] = \
         "SELECT count(DISTINCT lang) AS n_distinct FROM documents"
+    o["doc_len_stats"] = """
+        WITH dl AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          FROM documents)
+        SELECT count(dl)::BIGINT AS count, min(dl)::BIGINT AS min,
+               max(dl)::BIGINT AS max, round(avg(dl), 6) AS avg,
+               sum(dl)::BIGINT AS sum
+        FROM dl
+    """
 
     o["suggest_terms_s"] = f"""
         WITH tok AS (
@@ -1241,13 +1356,6 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         GROUP BY term ORDER BY df DESC, term ASC LIMIT 30
     """
-    o["doc_token_stats"] = """
-        SELECT doc_id,
-               len(regexp_extract_all(lower(text), '[a-z0-9]+'))::bigint AS n_tokens,
-               len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::bigint AS n_distinct,
-               length(text)::bigint AS n_chars
-        FROM documents
-    """
     o["count_all"] = "SELECT count(*) AS n FROM documents"
     o["date_hist_pipeline"] = """
         WITH h AS (
@@ -1344,97 +1452,41 @@ def oracle_sql() -> dict[str, str]:
     o["point_lookup"] = """
         SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
     """
-    o["dedup_exact"] = """
-        SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
-        FROM documents GROUP BY md5(text) HAVING count(*) > 1
-    """
-    o["ngram_jaccard_pairs"] = """
-        WITH sh AS (
-          SELECT doc_id AS id,
-                 list_sort(list_distinct([
-                   array_to_string(toks[i:i+2], ' ')
-                   FOR i IN range(1, len(toks) - 1)
-                 ])) AS sh
-          FROM (SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-                FROM documents)
-          WHERE len(toks) >= 3)
-        SELECT a.id AS id_a, b.id AS id_b,
-               round(len(list_intersect(a.sh, b.sh))::double
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        FROM sh a JOIN sh b ON a.id < b.id
-        WHERE len(list_intersect(a.sh, b.sh))::double
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
-    """
-    o["quality_score"] = """
+    # stopword literal shared by the quality / lang-ID feature columns
+    STOPS = ("['the','of','and','a','to','in','is','it','for','on',"
+             "'with','as','at','by','an','be','this','that','are','was']")
+    # four components, one gate: token stats + quality + lang-ID +
+    # fingerprint joined on doc_id (each expression verbatim from the
+    # round-2..4 per-gate oracles; dt == list_distinct(toks))
+    o["doc_features"] = f"""
         WITH t AS (
           SELECT doc_id, text,
-                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                 list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS dt
           FROM documents)
         SELECT doc_id,
                len(toks)::bigint AS n_tokens,
+               len(dt)::bigint AS n_distinct,
+               length(text)::bigint AS n_chars,
                round(CASE WHEN len(toks) > 0
                  THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::double / len(toks)
                  ELSE 0.0 END, 4) AS mean_token_len,
                round(CASE WHEN len(toks) > 0
-                 THEN len(list_intersect(list_distinct(toks),
-                      ['the','of','and','a','to','in','is','it','for','on',
-                       'with','as','at','by','an','be','this','that','are','was']))::double
-                      / len(list_distinct(toks))
+                 THEN len(list_intersect(dt, {STOPS}))::double / len(dt)
                  ELSE 0.0 END, 4) AS stopword_ratio,
                round(CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::double / length(text)
-                 ELSE 0.0 END, 4) AS digit_ratio
-        FROM t
-    """
-    o["lang_id"] = """
-        WITH t AS (
-          SELECT doc_id,
-                 list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dt
-          FROM documents)
-        SELECT doc_id,
+                 ELSE 0.0 END, 4) AS digit_ratio,
                round(CASE WHEN len(dt) > 0
-                 THEN len(list_intersect(dt,
-                      ['the','of','and','a','to','in','is','it','for','on',
-                       'with','as','at','by','an','be','this','that','are','was']))::double / len(dt)
+                 THEN len(list_intersect(dt, {STOPS}))::double / len(dt)
                  ELSE 0.0 END, 4) AS en_ratio,
                CASE WHEN len(dt) > 0
-                 THEN (len(list_intersect(dt,
-                      ['the','of','and','a','to','in','is','it','for','on',
-                       'with','as','at','by','an','be','this','that','are','was']))::double / len(dt)) >= 0.05
-                 ELSE false END AS is_en
+                 THEN (len(list_intersect(dt, {STOPS}))::double / len(dt))
+                      >= 0.05
+                 ELSE false END AS is_en,
+               md5(array_to_string(list_sort(dt)[1:8], ' ')) AS fingerprint
         FROM t
-    """
-    o["fingerprint"] = """
-        SELECT doc_id,
-               md5(array_to_string(
-                 list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))[1:8],
-                 ' ')) AS fingerprint
-        FROM documents
-    """
-    o["media_metadata"] = r"""
-        WITH m AS (
-          SELECT doc_id AS id, text,
-                 CASE
-                   WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF'::blob || encode(text)
-                   WHEN doc_id % 3 = 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::blob || encode(text)
-                   ELSE encode(text)
-                 END AS media
-          FROM documents)
-        SELECT id,
-               CASE
-                 WHEN left(hex(media), 6) = 'FFD8FF' THEN 'image/jpeg'
-                 WHEN left(hex(media), 16) = '89504E470D0A1A0A' THEN 'image/png'
-                 WHEN left(hex(media), 8) = '47494638' THEN 'image/gif'
-                 WHEN left(hex(media), 8) = '52494646' THEN 'audio/wav'
-                 WHEN left(hex(media), 6) = '494433' THEN 'audio/mpeg'
-                 WHEN left(hex(media), 8) = '1A45DFA3' THEN 'video/webm'
-                 WHEN left(hex(media), 6) = '50360A' THEN 'image/x-portable-pixmap'
-                 ELSE 'application/octet-stream'
-               END AS mime,
-               octet_length(media)::bigint AS n_bytes,
-               md5(text) AS content_md5
-        FROM m
     """
     # ---- geo: DMS parse + grid, same regex + arithmetic as the engine ----
     from picdexer_spark.operators.geo import GPS_PATTERN
@@ -1462,14 +1514,15 @@ def oracle_sql() -> dict[str, str]:
           (d2 + m2/60.0 + s2/3600.0) * {_sgn('l2')} AS lon
           FROM x)
     """
-    o["geo_dms_decimal"] = GEO_BASE + """
-        SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM pt
-    """
-    o["geo_grid_2d"] = GEO_BASE + """
-        SELECT round(lat, 0) AS cell_lat, round(lon, 0) AS cell_lon,
-               count(*) AS n
+    o["geo_multi"] = GEO_BASE + """
+        SELECT 'dms' AS arm, doc_id, round(lat, 6) AS lat,
+               round(lon, 6) AS lon, NULL::BIGINT AS n
+        FROM pt
+        UNION ALL
+        SELECT 'grid', NULL::BIGINT, round(lat, 0), round(lon, 0),
+               count(*)::BIGINT
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 1, 2
+        GROUP BY 3, 4
     """
     o["folder_terms"] = """
         SELECT '/corpus/' || source AS folder, count(*) AS n
@@ -1492,41 +1545,70 @@ def oracle_sql() -> dict[str, str]:
                           || repeat(chr(c::INT), (w*h*3)::INT) AS whole
                 FROM m))
     """
-    o["media_features"] = PPM_BASE + """
-        SELECT doc_id AS id,
-               'image/x-portable-pixmap' AS mime,
-               length(payload)::BIGINT AS n_bytes,
-               md5(payload) AS content_md5,
-               (CASE WHEN trunc THEN 0 ELSE w END)::INT AS width,
-               (CASE WHEN trunc THEN 0 ELSE h END)::INT AS height,
-               (CASE WHEN trunc THEN 0 ELSE 3 END)::INT AS n_channels,
-               CASE WHEN trunc THEN 0.0 ELSE c / 255.0 END AS mean_luma,
-               NOT trunc AS decode_ok
-        FROM p
-    """
-    o["media_resize"] = PPM_BASE + """
-        SELECT doc_id AS id,
-               NOT trunc AS resize_ok,
-               CASE WHEN trunc THEN NULL
-                    ELSE md5('P6' || chr(10) || '8 6' || chr(10) || '255'
-                             || chr(10) || repeat(chr(c::INT), 144))
-               END AS media_md5
-        FROM p
-    """
-    o["media_frame_sample"] = r"""
-        WITH m AS (
-          SELECT doc_id AS id,
+    # the whole multimodal family in ONE gate: wide-nullable union, each
+    # arm verbatim from its round-2..4 per-gate oracle. `mb` = magic-bytes
+    # media (jpeg/png prefixes over utf-8 text), `p` = the binary-PPM
+    # payload from PPM_BASE.
+    MEDIA_PAD = ("NULL::INT AS width, NULL::INT AS height, "
+                 "NULL::INT AS n_channels, NULL::DOUBLE AS mean_luma, "
+                 "NULL::BOOLEAN AS decode_ok")
+    RESIZE_PAD = "NULL::BOOLEAN AS resize_ok, NULL::VARCHAR AS media_md5"
+    FRAME_PAD = "NULL::INT AS frame_no, NULL::VARCHAR AS frame_hex"
+    META_PAD = ("NULL::VARCHAR AS mime, NULL::BIGINT AS n_bytes, "
+                "NULL::VARCHAR AS content_md5")
+    o["media_multi"] = PPM_BASE + r""",
+        mb AS (
+          SELECT doc_id AS id, text,
                  CASE
                    WHEN doc_id % 3 = 0 THEN '\xFF\xD8\xFF'::blob || encode(text)
                    WHEN doc_id % 3 = 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::blob || encode(text)
                    ELSE encode(text)
                  END AS media
           FROM documents),
-        k AS (SELECT unnest([0, 1]) AS k)
-        SELECT id, (k * 30)::INT AS frame_no,
+        fk AS (SELECT unnest([0, 1]) AS k)
+        SELECT 'metadata' AS arm, id,
+               CASE
+                 WHEN left(hex(media), 6) = 'FFD8FF' THEN 'image/jpeg'
+                 WHEN left(hex(media), 16) = '89504E470D0A1A0A' THEN 'image/png'
+                 WHEN left(hex(media), 8) = '47494638' THEN 'image/gif'
+                 WHEN left(hex(media), 8) = '52494646' THEN 'audio/wav'
+                 WHEN left(hex(media), 6) = '494433' THEN 'audio/mpeg'
+                 WHEN left(hex(media), 8) = '1A45DFA3' THEN 'video/webm'
+                 WHEN left(hex(media), 6) = '50360A' THEN 'image/x-portable-pixmap'
+                 ELSE 'application/octet-stream'
+               END AS mime,
+               octet_length(media)::bigint AS n_bytes,
+               md5(text) AS content_md5,
+               """ + MEDIA_PAD + ", " + RESIZE_PAD + ", " + FRAME_PAD + """
+        FROM mb
+        UNION ALL
+        SELECT 'features', doc_id,
+               'image/x-portable-pixmap',
+               length(payload)::BIGINT,
+               md5(payload),
+               (CASE WHEN trunc THEN 0 ELSE w END)::INT,
+               (CASE WHEN trunc THEN 0 ELSE h END)::INT,
+               (CASE WHEN trunc THEN 0 ELSE 3 END)::INT,
+               CASE WHEN trunc THEN 0.0 ELSE c / 255.0 END,
+               NOT trunc,
+               """ + RESIZE_PAD + ", " + FRAME_PAD + """
+        FROM p
+        UNION ALL
+        SELECT 'resize', doc_id, """ + META_PAD + ", " + MEDIA_PAD + """,
+               NOT trunc,
+               CASE WHEN trunc THEN NULL
+                    ELSE md5('P6' || chr(10) || '8 6' || chr(10) || '255'
+                             || chr(10) || repeat(chr(c::INT), 144))
+               END,
+               """ + FRAME_PAD + """
+        FROM p
+        UNION ALL
+        SELECT 'frames', id, """ + META_PAD + ", " + MEDIA_PAD + ", " \
+        + RESIZE_PAD + """,
+               (k * 30)::INT,
                left(hex(media), 32)
-                 || (CASE WHEN k = 0 THEN '00' ELSE '01' END) AS frame_hex
-        FROM m CROSS JOIN k
+                 || (CASE WHEN k = 0 THEN '00' ELSE '01' END)
+        FROM mb CROSS JOIN fk
         WHERE octet_length(media) >= 8
     """
 
@@ -1545,8 +1627,11 @@ def oracle_sql() -> dict[str, str]:
         + " AS bucket FROM sig"
         for b in range(NB)
     )
-    o["minhash_lsh_pairs"] = f"""
-        WITH sh AS (
+    # dedup family in ONE gate: exact hash-groupBy dup groups, 3-gram
+    # Jaccard pairs (same `sh` shingle CTE), banded MinHash-LSH pairs —
+    # each arm verbatim from its per-gate oracle, wide-nullable union
+    o["dedup_multi"] = f"""
+        WITH sh AS MATERIALIZED (
           SELECT doc_id AS id,
                  list_sort(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
@@ -1571,7 +1656,21 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter(range(1, {NH + 1}),
                      i -> a.sig[i] = b.sig[i]))::DOUBLE / {NH} AS est_jaccard
           FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id)
-        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
+        SELECT 'exact' AS arm, md5(text) AS text_md5,
+               count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_id,
+               NULL::BIGINT AS id_a, NULL::BIGINT AS id_b,
+               NULL::DOUBLE AS jaccard
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        UNION ALL
+        SELECT 'ngram', NULL, NULL, NULL, a.id, b.id,
+               round(len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE len(list_intersect(a.sh, b.sh))::double
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        UNION ALL
+        SELECT 'minhash', NULL, NULL, NULL, id_a, id_b, est_jaccard
+        FROM est WHERE est_jaccard >= 0.4
     """
 
     BITS = 16
@@ -1582,19 +1681,8 @@ def oracle_sql() -> dict[str, str]:
     fp_expr = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(BITS)
     )
-    o["simhash"] = f"""
-        WITH t AS (
-          SELECT doc_id AS id,
-                 unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
-          FROM documents),
-        h AS (SELECT id, {h60('tok', 0)} AS h FROM t),
-        votes AS (
-          SELECT id, {vote_exprs}
-          FROM h GROUP BY id),
-        fp AS (SELECT id, ({fp_expr})::BIGINT AS simhash FROM votes)
-        SELECT d.doc_id AS id, coalesce(fp.simhash, 0)::BIGINT AS simhash
-        FROM documents d LEFT JOIN fp ON d.doc_id = fp.id
-    """
+    # simhash arm of text_fp_multi is assembled below (after the winnow /
+    # token-count expressions are in scope)
 
     # ---- ANN hyperplane LSH: plane constants regenerated with the same
     # seeded numpy draw the engine uses, embedded as SQL literals ----------
@@ -1624,9 +1712,6 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos_sim
           FROM cand c JOIN embeddings a ON c.id_a = a.vec_id
                       JOIN embeddings e ON c.id_b = e.vec_id)
-    """
-    o["ann_lsh_pairs"] = ANN_LSH_BASE + """
-        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2
     """
     # survivors of greedy keep-smallest-id dedup over the same pair stream
     o["ann_dedup_survivors"] = ANN_LSH_BASE + """
@@ -1748,54 +1833,78 @@ def oracle_sql() -> dict[str, str]:
 
     from picdexer_spark.operators.textops import BPE_PIECE_PATTERN
 
-    o["winnow_fps"] = """
+    # simhash + token_counts + winnow folded into ONE gate (wide-nullable
+    # union, each arm verbatim from its per-gate oracle; the winnow `wh`
+    # CTE stays MATERIALIZED — an inlined CTE would re-evaluate the O(len)
+    # md5 chain per window, the O(len^2) trap the Spark side avoids by
+    # staging the hash array as a column)
+    o["text_fp_multi"] = f"""
         WITH t AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+          FROM documents),
+        h AS (SELECT id, {h60('tok', 0)} AS h FROM t),
+        votes AS (
+          SELECT id, {vote_exprs}
+          FROM h GROUP BY id),
+        sfp AS (SELECT id, ({fp_expr})::BIGINT AS simhash FROM votes),
+        wt AS (
           SELECT doc_id,
                  array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
           FROM documents),
-        h AS MATERIALIZED (
-          -- MATERIALIZED: an inlined CTE would re-evaluate the O(len) md5
-          -- chain per window below (the same O(len^2) trap the Spark side
-          -- avoids by staging the hash array as a column)
+        wh AS MATERIALIZED (
           SELECT doc_id,
                  [('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT
                   FOR i IN range(1, length(norm) - 8 + 2)] AS hashes
-          FROM t),
-        m AS (
+          FROM wt),
+        wm AS (
           SELECT doc_id, CASE
             WHEN len(hashes) >= 6 THEN
               [list_min(hashes[j:j+5]) FOR j IN range(1, len(hashes) - 6 + 2)]
             WHEN len(hashes) > 0 THEN [list_min(hashes)]
             ELSE [] END AS mins
-          FROM h)
-        SELECT doc_id AS id, unnest(list_sort(list_distinct(mins))) AS fp
-        FROM m
-    """
-    o["token_counts"] = f"""
-        SELECT doc_id,
+          FROM wh)
+        SELECT 'simhash' AS arm, d.doc_id AS id,
+               coalesce(sfp.simhash, 0)::BIGINT AS simhash,
+               NULL::BIGINT AS n_ws, NULL::BIGINT AS n_pieces,
+               NULL::BIGINT AS n_subwords, NULL::BIGINT AS fp
+        FROM documents d LEFT JOIN sfp ON d.doc_id = sfp.id
+        UNION ALL
+        SELECT 'token_counts', doc_id, NULL,
                len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'),
-                               x -> x != ''))::BIGINT AS n_ws,
-               len(regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'))::BIGINT AS n_pieces,
+                               x -> x != ''))::BIGINT,
+               len(regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'))::BIGINT,
                coalesce(list_sum(list_transform(
                  regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'),
-                 p -> floor((length(p) + 3) / 4)::BIGINT)), 0)::BIGINT AS n_subwords
+                 p -> floor((length(p) + 3) / 4)::BIGINT)), 0)::BIGINT,
+               NULL
         FROM documents
+        UNION ALL
+        SELECT 'winnow', doc_id, NULL, NULL, NULL, NULL,
+               unnest(list_sort(list_distinct(mins)))
+        FROM wm
     """
 
-    o["ann_cosine_topk"] = """
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
-        scored AS (
-          SELECT q.query_id, e.vec_id AS neighbor_id,
-                 round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+    # exact cosine top-k + hyperplane-LSH pairs in ONE gate; the LSH arm
+    # reuses ANN_LSH_BASE's `scored` CTE, the cosine arm its own chain
+    o["ann_pair_multi"] = ANN_LSH_BASE + """,
+        cq AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        cs AS (
+          SELECT cq.query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(e.embedding::DOUBLE[], cq.qvec::DOUBLE[])
                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                          * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS cos_sim
-          FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
-        ranked AS (
+                          * sqrt(list_dot_product(cq.qvec::DOUBLE[], cq.qvec::DOUBLE[]))), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN cq WHERE e.vec_id != cq.query_id),
+        cr AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-          FROM scored)
-        SELECT query_id, neighbor_id, cos_sim, rank::int AS rank
-        FROM ranked WHERE rank <= 10
+          FROM cs)
+        SELECT 'cos_topk' AS arm, query_id AS id_a, neighbor_id AS id_b,
+               cos_sim, rank::INT AS rank
+        FROM cr WHERE rank <= 10
+        UNION ALL
+        SELECT 'lsh_pairs', id_a, id_b, cos_sim, NULL::INT
+        FROM scored WHERE cos_sim >= 0.2
     """
     return o

@@ -315,6 +315,23 @@ def percentiles(df: DataFrame, col: str,
     )
 
 
+def stats_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES `stats` aggregation (the Kibana metric-viz min/max/avg/sum family
+    in one request): count, min, max, avg, sum over a numeric field in ONE
+    scan — a single map-side-combinable aggregate, the same partial-agg
+    plan ES's stats agg runs per shard before the coordinator reduce.
+    NULLs are skipped by min/max/avg/sum (the ES missing-value default);
+    `count` is the non-null value count, matching ES stats.count."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("avg"),
+        F.sum(c).alias("sum"),
+    )
+
+
 def cardinality(df: DataFrame, col: str, exact: bool = True) -> DataFrame:
     """ES cardinality agg. exact=True -> COUNT(DISTINCT) (the oracle-
     comparable small-scale form); exact=False -> HLL++

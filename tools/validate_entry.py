@@ -36,10 +36,17 @@ def norm_cell(v):
     return v
 
 
+def _sort_key(row):
+    # None-tolerant total order: NULLs first within a column, values keyed
+    # by type name to avoid cross-type '<' (wide-nullable union gates)
+    return tuple((v is not None, type(v).__name__, v if v is not None else 0)
+                 for v in row)
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(norm_cell(r[i]) for i in idx) for r in rows
+        (tuple(norm_cell(r[i]) for i in idx) for r in rows), key=_sort_key
     )
 
 
