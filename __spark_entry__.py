@@ -150,6 +150,14 @@ TYPED_QSTRING = ('doc_len >= 60 NOT url:"doc://000000000007" '
                  "Batch, OR vector OR spark")
 TYPED_MIN_DL = 60
 TYPED_NOT_DOC = 7
+# analyzed field-scoped match (the ES text-field KQL contract): url is a
+# text+.keyword multi-field, so `url:<token>` matches any doc whose
+# ANALYZED url contains the token (exact-keyword would match nothing —
+# no url equals a bare token); the OR-qualifier chain folds to one
+# or-filter of three analyzed leaves
+ANALYZED_IDS = [7, 11, 13]
+ANALYZED_QSTRING = (" OR ".join(f"url:{i:012d}" for i in ANALYZED_IDS)
+                    + " Batch, OR vector OR spark")
 # fuzzy query: part~2 expands (levenshtein <= 2 over the dictionary) to
 # {part, fast, sort}, OR'd with rare term dup
 FUZZY_QSTRING = "part~2 OR dup"
@@ -392,6 +400,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search_query_string(TYPED_QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_typed_filter_querystring"] = bm25_typed_filter_querystring
+
+    def bm25_analyzed_field_match(s, d):
+        # ES text-vs-keyword multi-field: `url:000000000007 OR url:...`
+        # analyzes each qualifier VALUE and matches it against the
+        # tokenized url (any-token match, the KQL match-query contract);
+        # scored terms ride the normal disjunctive kernel over the
+        # filtered candidates. A keyword-exact engine would return 0 rows.
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.search_query_string(ANALYZED_QSTRING, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_analyzed_field_match"] = bm25_analyzed_field_match
 
     def bm25_fuzzy_querystring(s, d):
         # ES fuzziness: `part~2` expands against the term dictionary by
@@ -1103,6 +1122,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         k=10,
     )
+    # the oracle TOKENIZES the synthesized url in SQL — validating the
+    # query-time analysis itself, not a hardcoded doc_id list
+    url_toks = ("regexp_extract_all(lower('doc://' || "
+                "lpad(doc_id::VARCHAR, 12, '0')), '[a-z0-9]+')")
+    analyzed_cond = " OR ".join(
+        f"list_has_any({url_toks}, ['{i:012d}'])" for i in ANALYZED_IDS
+    )
+    o["bm25_analyzed_field_match"] = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS),
+        conj_filter=f"JOIN documents USING (doc_id) WHERE {analyzed_cond}",
+        k=10,
+    )
+
     o["bm25_fuzzy_querystring"] = f"""
         WITH tok AS MATERIALIZED (
           SELECT doc_id,

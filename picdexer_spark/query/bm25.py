@@ -156,8 +156,15 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  snapshot_id: str | None = None,
-                 preload_stats_max_terms: int = 200_000):
+                 preload_stats_max_terms: int = 200_000,
+                 analyzed_fields: tuple[str, ...] = ("url",)):
         self.spark = spark
+        #: string fields mapped text + .keyword (the reference's ES mapping
+        #: makes every string field a multi-field, picdexer.json:7-96): a
+        #: `field:value` qualifier on these ANALYZES the value — unquoted =
+        #: match (any token), quoted = match_phrase — while `field.keyword:
+        #: value` stays exact. Non-listed string fields are keyword-only.
+        self.analyzed_fields = frozenset(analyzed_fields)
         self.cat = IndexCatalog(index_dir)
         self.snapshot_id = snapshot_id or self.cat.current_snapshot()
         self.postings = self.cat.read(spark, "postings", self.snapshot_id)
@@ -583,11 +590,53 @@ class SearchEngine:
             ) from None
         return F.lit(v)  # string
 
+    def _analyzed_match_cond(self, field: str, v: str,
+                             phrase: bool) -> F.Column:
+        """ES KQL on a `text` field: `field:value` is a match query (ANY
+        analyzed token of the value occurs among the field's analyzed
+        tokens, the default-OR match), `field:"value"` is a match_phrase
+        (the value's tokens occur CONSECUTIVELY in order). Zero analyzed
+        tokens match nothing (ES zero_terms_query: none). All JVM
+        expression work per row — no shuffle, evaluated at the docs scan
+        like every other filter-context condition."""
+        from picdexer_spark.functions.tokenize import tokenize_py, tokens_col
+
+        vtoks = tokenize_py(v)
+        if not vtoks:
+            return F.lit(False)
+        tc = tokens_col(F.col(field))
+        if not phrase or len(vtoks) == 1:
+            m = F.arrays_overlap(tc, F.array(*[F.lit(t) for t in vtoks]))
+        else:
+            n = len(vtoks)
+            arr = F.array(*[F.lit(t) for t in vtoks])
+            # consecutive-subsequence scan: starts 1..len-n+1 (clamped to 1
+            # so sequence() never runs descending; a short array slices to
+            # fewer than n elements and can never equal `arr`)
+            starts = F.sequence(
+                F.lit(1), F.greatest(F.size(tc) - F.lit(n - 1), F.lit(1))
+            )
+            m = F.exists(starts, lambda i: F.slice(tc, i, n) == arr)
+        return F.coalesce(m, F.lit(False))  # null field -> no match
+
     def _leaf_cond(self, flt) -> F.Column:
         """One kuery filter leaf -> Column. (field, value) 2-tuples imply
-        '='; 3-tuples carry op in = != >= <= > <. '!=' is NULL-SAFE (ES
-        must_not: a doc missing the field matches)."""
+        '='; 3-tuples carry op in = != >= <= > < (plus the '=q'/'!=q'
+        quoted-value variants the parser emits). '!='/'!=q' are NULL-SAFE
+        (ES must_not: a doc missing the field matches). Equality on a
+        field in `analyzed_fields` is the ES text-field match contract
+        (see _analyzed_match_cond); `field.keyword` forces exact."""
         f, op, v = flt if len(flt) == 3 else (flt[0], "=", flt[1])
+        quoted = op.endswith("q")
+        op = op[:-1] if quoted else op
+        keyword = f.endswith(".keyword")
+        if keyword:
+            f = f[: -len(".keyword")]
+            if self._docs_fields.get(f, "").split("(")[0] != "string":
+                raise ValueError(
+                    f".keyword is only valid on string fields ({f!r} is "
+                    f"{self._docs_fields.get(f, 'unknown')})"
+                )
         if op in (">=", "<=", ">", "<"):
             lit = self._typed_lit(f, v, need_range=True)
             col = F.col(f)
@@ -596,6 +645,11 @@ class SearchEngine:
                 ">": col > lit, "<": col < lit,
             }[op]
         if op in ("=", "!="):
+            if (not keyword and f in self.analyzed_fields
+                    and self._docs_fields.get(f, "").split("(")[0]
+                    == "string"):
+                m = self._analyzed_match_cond(f, v, phrase=quoted)
+                return m if op == "=" else ~m
             eq = F.col(f).eqNullSafe(self._typed_lit(f, v, need_range=False))
             return eq if op == "=" else ~eq
         raise ValueError(f"unsupported filter op {op!r}")

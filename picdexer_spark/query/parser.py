@@ -12,8 +12,14 @@ quotes) is refused rather than guessed.
 Every bare word goes through the SAME analyzer as indexed text
 (functions/tokenize.py), so `Batch,` matches the indexed term `batch` —
 query-side and index-side analysis agree, the Lucene contract. Filter
-VALUES are not analyzed (they match stored docs-table columns exactly,
-the kuery keyword-field behavior).
+VALUES are passed through verbatim with their QUOTEDNESS recorded (ops
+'=q'/'!=q' for quoted values): the ENGINE decides per field whether a
+qualifier is analyzed — on fields declared text-analyzed
+(SearchEngine.analyzed_fields, mirroring the reference's text+.keyword
+multi-field mapping, picdexer.json:7-96) `field:value` is an any-token
+match and `field:"value"` a match_phrase, while `field.keyword:value`
+(accepted here as a field-name suffix) and every non-analyzed field stay
+exact keyword matches.
 
 `NOT field:value` negates a filter (ES must_not — docs missing the field
 match), and `field >= value` / `<=` / `>` / `<` (space-separated, KQL
@@ -38,8 +44,13 @@ from picdexer_spark.functions.tokenize import tokenize_py
 
 _OPS = ("AND", "OR")
 
-_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
-_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+_FIELD_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*(?:\.keyword)?):(.+)$", re.DOTALL
+)
+# a qualifier may glue a QUOTED value (with spaces) to the field name:
+# `url:"doc x"` must stay ONE token (the plain \S+ branch would split it
+# at the space and the dangling quote would be refused downstream)
+_TOKEN_RE = re.compile(r'[^\s":]+:"[^"]*"|"[^"]*"|\S+')
 
 
 _FUZZY_RE = re.compile(r"^(.*?)~([12]?)$", re.DOTALL)
@@ -142,7 +153,17 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _unquote_value(v: str, tok: str) -> str:
-    if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+    return _unquote_value2(v, tok)[0]
+
+
+def _unquote_value2(v: str, tok: str) -> tuple[str, bool]:
+    """Strip optional quotes; also report WHETHER the value was quoted.
+    Quotedness is semantic on text-analyzed fields (the ES KQL contract:
+    `field:value` on a `text` field is a match query — any analyzed
+    token — while `field:"value"` is a match_phrase), so qualifier ops
+    carry it as '=q'/'!=q'; keyword fields treat both identically."""
+    quoted = v.startswith('"') and v.endswith('"') and len(v) >= 2
+    if quoted:
         v = v[1:-1]
     if '"' in v:
         raise ValueError(f"unsupported filter value in {tok!r}")
@@ -152,7 +173,7 @@ def _unquote_value(v: str, tok: str) -> str:
         raise ValueError(
             f"wildcards in filter values are not supported ({tok!r})"
         )
-    return v
+    return v, quoted
 
 
 def _match_qualifier(tok: str):
@@ -208,7 +229,8 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
                     "group scored terms with filters)"
                 )
             f, v = m2.groups()
-            leaf = (f, "=", _unquote_value(v, toks[i + 1]))
+            val, quoted = _unquote_value2(v, toks[i + 1])
+            leaf = (f, "=q" if quoted else "=", val)
             prev = filters[-1]
             if len(prev) == 2 and isinstance(prev[1], list):
                 prev[1].append(leaf)
@@ -225,7 +247,8 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
                     '(to search the word "not", quote it as a phrase)'
                 )
             f, v = m2.groups()
-            filters.append((f, "!=", _unquote_value(v, toks[i + 1])))
+            val, quoted = _unquote_value2(v, toks[i + 1])
+            filters.append((f, "!=q" if quoted else "!=", val))
             i += 2
             continue
         if i + 1 < len(toks) and toks[i + 1] in _RANGE_OPS:
@@ -245,7 +268,8 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
-            filters.append((f, "=", _unquote_value(v, t)))
+            val, quoted = _unquote_value2(v, t)
+            filters.append((f, "=q" if quoted else "=", val))
             _last_filter_end = i + 1
         else:
             if not t.startswith('"') and any(ch in t for ch in "<>="):
@@ -297,7 +321,9 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
 # boolean kuery: parentheses + explicit AND/OR over terms and filters
 # --------------------------------------------------------------------------
 
-_TREE_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+_TREE_TOKEN_RE = re.compile(
+    r'[^\s"():]+:"[^"]*"|"[^"]*"|\(|\)|[^\s()]+'
+)
 
 
 def parse_kuery_tree(q: str):
@@ -398,7 +424,8 @@ def parse_kuery_tree(q: str):
             raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
-            return ("filter", (f, "=", _unquote_value(v, t)))
+            val, quoted = _unquote_value2(v, t)
+            return ("filter", (f, "=q" if quoted else "=", val))
         if any(ch in t for ch in "<>="):
             raise ValueError(
                 f"range operators must be space-separated ({t!r})"

@@ -72,9 +72,19 @@ def test_parse_kuery_boundaries():
     assert parse_kuery("lang:en batch OR vector") == (
         ["batch", "vector"], "disjunctive", [("lang", "=", "en")]
     )
+    # quoted values carry the '=q' op (semantic on text-analyzed fields:
+    # quoted = match_phrase, unquoted = any-token match; keyword fields
+    # treat both as exact)
     assert parse_kuery('lang:"en" url:doc://x "part filter"') == (
         ["part", "filter"], "phrase",
-        [("lang", "=", "en"), ("url", "=", "doc://x")]
+        [("lang", "=q", "en"), ("url", "=", "doc://x")]
+    )
+    assert parse_kuery('NOT lang:"de" batch') == (
+        ["batch"], "disjunctive", [("lang", "!=q", "de")]
+    )
+    # .keyword suffix: the ES multi-field exact-match escape hatch
+    assert parse_kuery("url.keyword:doc://x") == (
+        [], "disjunctive", [("url.keyword", "=", "doc://x")]
     )
     assert parse_kuery("lang:en a AND b") == (
         ["a", "b"], "conjunctive", [("lang", "=", "en")]
