@@ -158,8 +158,11 @@ TYPED_NOT_DOC = 7
 ANALYZED_IDS = [7, 11, 13]
 ANALYZED_QSTRING = (" OR ".join(f"url:{i:012d}" for i in ANALYZED_IDS)
                     + " Batch, OR vector OR spark")
-# fuzzy query: part~2 expands (levenshtein <= 2 over the dictionary) to
-# {part, fast, sort}, OR'd with rare term dup
+# fuzzy query: part~2 expands (OSA Damerau <= 2 over the dictionary —
+# transpositions cost ONE edit, the Lucene fuzziness default) to
+# {part, fast, sort, spark}, OR'd with rare term dup. The DuckDB oracle's
+# damerau_levenshtein is unrestricted DL (OSA differs only when a
+# transposed pair is edited again — verified absent from this vocab)
 FUZZY_QSTRING = "part~2 OR dup"
 FUZZY_STEM = "part"
 FUZZY_EDITS = 2
@@ -414,8 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_fuzzy_querystring(s, d):
         # ES fuzziness: `part~2` expands against the term dictionary by
-        # Levenshtein distance (length-banded scan, distance asc / df
-        # desc / term asc, top_terms_50 cap), scored scoring_boolean
+        # OSA Damerau distance (transpositions = 1 edit, the Lucene
+        # default; length-banded scan, distance asc / df desc / term asc,
+        # top_terms_50 cap), scored scoring_boolean
         eng = SearchEngine(s, _get_index(s, d))
         res = eng.search_query_string(FUZZY_QSTRING, 10)
         return res.select("doc_id", F.round("score", 4).alias("score"))
@@ -1146,8 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         dfall AS MATERIALIZED (
           SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
         expand AS (SELECT term FROM dfall
-                   WHERE levenshtein(term, '{FUZZY_STEM}') <= {FUZZY_EDITS}
-                   ORDER BY levenshtein(term, '{FUZZY_STEM}') ASC,
+                   WHERE damerau_levenshtein(term, '{FUZZY_STEM}')
+                         <= {FUZZY_EDITS}
+                   ORDER BY damerau_levenshtein(term, '{FUZZY_STEM}') ASC,
                             df DESC, term ASC LIMIT 50),
         qterms AS (SELECT term FROM expand
                    UNION SELECT unnest([{sql_terms(FUZZY_BARE)}])),

@@ -49,9 +49,11 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def levenshtein_capped(a: str, b: str, maxd: int) -> int:
-    """Exact edit distance, or maxd+1 as soon as the row minimum exceeds
-    `maxd` (the banded early abandon — callers only rank distances <=
-    maxd, so the overflow value never needs to be exact)."""
+    """CLASSIC edit distance (no transpositions), or maxd+1 as soon as the
+    row minimum exceeds `maxd` (the banded early abandon). Kept as the
+    reference for the JVM `levenshtein(a, b, threshold)` built-in the
+    distributed fuzzy PREFILTER runs on; ranking semantics are
+    :func:`damerau_capped`."""
     la, lb = len(a), len(b)
     if abs(la - lb) > maxd:
         return maxd + 1
@@ -70,6 +72,70 @@ def levenshtein_capped(a: str, b: str, maxd: int) -> int:
             return maxd + 1
         prev = cur
     return prev[lb] if prev[lb] <= maxd else maxd + 1
+
+
+def damerau_capped(a: str, b: str, maxd: int) -> int:
+    """OSA (optimal-string-alignment) edit distance capped at maxd+1 — the
+    Lucene FuzzyQuery default (transpositions=true): an adjacent swap
+    costs ONE edit, and a transposed pair is never edited again (OSA, not
+    unrestricted Damerau — Lucene's Schulz-Mihov automata are OSA-shaped).
+    `baord~1` finds `board` here, matching ES fuzziness."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return maxd + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]))
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == b[j - 1]:
+                c = min(c, prev2[j - 2] + 1)
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > maxd:
+            return maxd + 1
+        prev2, prev = prev, cur
+    return prev[lb] if prev[lb] <= maxd else maxd + 1
+
+
+def osa_distances(term: str, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized OSA distance from `term` to EVERY row of `mat` (an int32
+    char-code matrix, rows zero-padded; true lengths in `lens`). The two
+    Python loops run over the query length x the max candidate length
+    (both tiny); every inner operation is one numpy vector op across the
+    whole candidate axis — no per-term Python, the driver-cache fuzzy
+    path at vocabulary scale. Parity with :func:`damerau_capped` is
+    pytest-pinned."""
+    n, max_l = mat.shape
+    if n == 0 or not term:
+        return np.full(n, max(len(term), max_l), dtype=np.int32)
+    q = np.array([term]).view(np.int32)  # UCS4 code points
+    m = len(q)
+    prev = np.broadcast_to(
+        np.arange(max_l + 1, dtype=np.int32), (n, max_l + 1)
+    ).copy()
+    prev2: np.ndarray | None = None
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        qi = q[i - 1]
+        eq = mat == qi  # (n, max_l)
+        for j in range(1, max_l + 1):
+            c = np.minimum(prev[:, j] + 1,
+                           prev[:, j - 1] + (~eq[:, j - 1]))
+            np.minimum(c, cur[:, j - 1] + 1, out=c)
+            if i > 1 and j > 1:
+                # a[i-1]==b[j-2] (eq col j-2) and a[i-2]==b[j-1]
+                tr = eq[:, j - 2] & (mat[:, j - 1] == q[i - 2])
+                c = np.where(tr, np.minimum(c, prev2[:, j - 2] + 1), c)
+            cur[:, j] = c
+        prev2, prev = prev, cur
+    return prev[np.arange(n), lens]
 
 
 def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
@@ -365,41 +431,61 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
+    def _vocab_arrays(self):
+        """Char-code matrix over the cached vocabulary for the vectorized
+        fuzzy path, built ONCE per engine: numpy's U-dtype view gives the
+        zero-padded UCS4 matrix with no per-term Python loop."""
+        va = getattr(self, "_vocab_arrays_cache", None)
+        if va is None:
+            items = sorted(self._df_cache.items())
+            t_arr = np.array([t for t, _ in items])
+            mat = t_arr.view(np.int32).reshape(len(t_arr), -1)
+            lens = np.char.str_len(t_arr).astype(np.int64)
+            dfs = np.array([d for _, d in items], dtype=np.int64)
+            va = (t_arr, mat, lens, dfs)
+            self._vocab_arrays_cache = va
+        return va
+
     def expand_fuzzy(self, term: str, max_edits: int = 2,
                      max_expansions: int | None = None) -> list[str]:
-        """Dictionary terms within `max_edits` Levenshtein edits of
-        `term` — the ES fuzzy query (Lucene FuzzyQuery re-expressed as a
-        length-banded dictionary scan instead of an FST automaton
-        intersection). Pinned rewrite: order by (distance asc, df desc,
-        term asc), capped at `max_expansions` (default top_terms_50) —
-        a deliberate, documented simplification of Lucene's
-        blended-freqs rewrite (each expanded term keeps its own idf).
+        """Dictionary terms within `max_edits` edits of `term` — the ES
+        fuzzy query (Lucene FuzzyQuery re-expressed as a length-banded
+        dictionary scan instead of an FST automaton intersection).
+        Pinned rewrite: order by (distance asc, df desc, term asc),
+        capped at `max_expansions` (default top_terms_50) — a deliberate,
+        documented simplification of Lucene's blended-freqs rewrite
+        (each expanded term keeps its own idf).
 
-        Distance is CLASSIC Levenshtein (insert/delete/substitute), NOT
-        Damerau: Lucene counts a transposition as ONE edit by default
-        (`baord~1` finds `board` there; here it needs `~2`). Pinned —
-        test_fuzzy_no_transpositions — because the JVM early-abandon
-        built-in `levenshtein(a, b, threshold)` the distributed scan
-        runs on is classic, and the cached path must rank identically.
-
-        Scale shape (no df cache): `length(term) BETWEEN l-d AND l+d`
-        prunes the dictionary scan before the JVM `levenshtein(a, b, d)`
-        built-in (whole-stage codegen, early-abandon at the threshold —
-        returns -1 past it; classic Levenshtein, exactly what
-        levenshtein_capped computes, tie-order parity pytest-pinned);
-        only the <= max_expansions winners reach the driver. No per-row
-        Python anywhere in the query path."""
+        Distance is OSA Damerau (damerau_capped): an adjacent
+        TRANSPOSITION costs one edit, the Lucene fuzziness default —
+        `baord~1` finds `board`. Cached path: length band + the
+        vectorized numpy kernel (osa_distances) over the whole vocab
+        matrix, zero per-term Python. Distributed path (no df cache —
+        web-scale vocab): the length band `BETWEEN l-d AND l+d` (valid
+        for OSA too: |len diff| <= OSA) prunes the scan, then the JVM
+        early-abandon `levenshtein(a, b, 2d)` built-in is a COMPLETE
+        classic-distance prefilter (a swap costs two classic edits, so
+        OSA <= d implies classic <= 2d); only that near-neighborhood
+        candidate set reaches the driver for the exact OSA re-check and
+        rank. Both paths rank identically (pytest-pinned)."""
         n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
             else max_expansions
         if max_edits not in (1, 2):
             raise ValueError("max_edits must be 1 or 2")
         if self._df_cache is not None:
-            hits = []
-            for t, df_ in self._df_cache.items():
-                d = levenshtein_capped(term, t, max_edits)
-                if d <= max_edits:
-                    hits.append((d, -df_, t))
-            hits.sort()
+            if not self._df_cache:
+                return []
+            t_arr, mat, lens, dfs = self._vocab_arrays()
+            idx = np.nonzero(np.abs(lens - len(term)) <= max_edits)[0]
+            if not len(idx):
+                return []
+            sub_lens = lens[idx]
+            width = int(sub_lens.max())
+            d = osa_distances(term, mat[idx][:, :width], sub_lens)
+            keep = d <= max_edits
+            kept = idx[keep]
+            hits = sorted(zip(d[keep].tolist(), (-dfs[kept]).tolist(),
+                              t_arr[kept].tolist()))
             return [t for _d, _df, t in hits[:n]]
         lo, hi = len(term) - max_edits, len(term) + max_edits
         rows = (
@@ -407,14 +493,18 @@ class SearchEngine:
             .select(
                 "term", "df",
                 F.levenshtein(F.lit(term), F.col("term"),
-                              max_edits).alias("d"),
+                              2 * max_edits).alias("d0"),
             )
-            .filter(F.col("d") >= 0)  # -1 = distance beyond the threshold
-            .orderBy(F.asc("d"), F.desc("df"), F.asc("term"))
-            .limit(n)
+            .filter(F.col("d0") >= 0)  # -1 = beyond the classic prefilter
             .collect()
         )
-        return [r["term"] for r in rows]
+        hits = []
+        for r in rows:  # candidate neighborhood only, never the vocab
+            d = damerau_capped(term, r["term"], max_edits)
+            if d <= max_edits:
+                hits.append((d, -int(r["df"]), r["term"]))
+        hits.sort()
+        return [t for _d, _df, t in hits[:n]]
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Search-bar autocomplete (the ES term suggester / Kibana

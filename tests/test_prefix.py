@@ -108,20 +108,50 @@ def test_parser_fuzzy_boundaries():
             parse_kuery(bad)
 
 
-def test_fuzzy_no_transpositions():
-    """Pin the documented Lucene divergence: fuzzy distance is CLASSIC
-    Levenshtein, not Damerau — a transposition costs 2 edits here (one in
-    Lucene's default fuzziness). `baord` vs `board`: swap of a/o."""
-    from picdexer_spark.query.bm25 import levenshtein_capped
+def test_fuzzy_transpositions_are_one_edit():
+    """Lucene-parity fuzziness (the round-5 un-pinning of the former
+    classic-Levenshtein divergence): an adjacent transposition costs ONE
+    edit (OSA), so `baord~1` finds `board`; OSA never re-edits a
+    transposed pair (`ca` vs `abc` stays 3, unlike unrestricted
+    Damerau's 2)."""
+    from picdexer_spark.query.bm25 import damerau_capped, levenshtein_capped
 
-    assert levenshtein_capped("baord", "board", 1) == 2  # capped overflow
+    assert damerau_capped("baord", "board", 1) == 1
+    assert damerau_capped("baord", "board", 2) == 1
+    assert damerau_capped("ca", "abc", 2) == 3  # OSA, not unrestricted DL
+    assert damerau_capped("part", "prat", 1) == 1
+    assert damerau_capped("part", "part", 2) == 0
+    assert damerau_capped("part", "xyzq", 2) == 3  # capped overflow
+    # the classic kernel stays the JVM-prefilter reference (swap = 2)
     assert levenshtein_capped("baord", "board", 2) == 2
-    # the JVM built-in the distributed scan uses agrees (classic too) —
-    # covered end-to-end by the distributed-parity test below
+
+
+def test_osa_vectorized_matches_scalar():
+    """The numpy driver-cache kernel == the scalar OSA reference over a
+    randomized vocabulary (the no-Python-loop rewrite parity pin)."""
+    import random
+
+    import numpy as np
+
+    from picdexer_spark.query.bm25 import damerau_capped, osa_distances
+
+    rng = random.Random(7)
+    vocab = list({
+        "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+        for _ in range(300)
+    })
+    t_arr = np.array(sorted(vocab))
+    mat = t_arr.view(np.int32).reshape(len(t_arr), -1)
+    lens = np.char.str_len(t_arr).astype(np.int64)
+    for term in ("abc", "dcabe", "e", "abcdeabc"):
+        got = osa_distances(term, mat, lens)
+        for i, t in enumerate(t_arr.tolist()):
+            want = damerau_capped(term, t, 10)
+            assert got[i] == want, (term, t, int(got[i]), want)
 
 
 def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
-    from picdexer_spark.query.bm25 import levenshtein_capped
+    from picdexer_spark.query.bm25 import damerau_capped
 
     eng = SearchEngine(spark, built)
     assert eng._df_cache is not None
@@ -129,7 +159,7 @@ def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
     def brute(term, d):
         hits = []
         for t, df_ in eng._df_cache.items():
-            dist = levenshtein_capped(term, t, d)
+            dist = damerau_capped(term, t, d)
             if dist <= d:
                 hits.append((dist, -df_, t))
         hits.sort()
@@ -140,6 +170,8 @@ def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
         assert len(want) > 3, (term, d)  # non-degenerate expansion
         assert eng.expand_fuzzy(term, d) == want[:50]
         assert eng.expand_fuzzy(term, d, max_expansions=4) == want[:4]
+    # the distributed path (classic-2d JVM prefilter + exact OSA re-check)
+    # ranks identically to the cached numpy path
     dist_eng = SearchEngine(spark, built, preload_stats_max_terms=0)
     assert dist_eng.expand_fuzzy("w1", 1) == brute("w1", 1)[:50]
     assert dist_eng.expand_fuzzy("w123", 1, max_expansions=4) == \
