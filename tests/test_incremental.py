@@ -127,6 +127,85 @@ def test_kill_resume(spark, corpus, tmp_path):
     assert got1 == got2
 
 
+def test_stream_delete_compact_equals_fresh(spark, corpus, tmp_path):
+    """Streaming x mutation interplay in ONE e2e: dropzone batch ->
+    delete_by_query mid-stream -> two more streamed batches -> a second
+    delete -> compact(). The final index must be bit-identical (docs
+    table, term_stats, rankings) to a fresh build over exactly the
+    surviving pages — streams, tombstones and segment-merge compose."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from picdexer_spark.fixtures.pages import PAGES_SCHEMA
+    from picdexer_spark.streaming.incremental import compact, delete_by_query
+
+    pdf = corpus
+    drop = str(tmp_path / "dropm")
+    os.makedirs(drop)
+    idx = str(tmp_path / "midx")
+    ckpt = str(tmp_path / "mckpt")
+    parts = [pdf.iloc[:200], pdf.iloc[200:400], pdf.iloc[400:]]
+
+    def drip(part, name):
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=PAGES_SCHEMA,
+                                 preserve_index=False),
+            os.path.join(drop, name))
+
+    def live_urls():
+        e = SearchEngine(spark, idx)
+        return {r["url"] for r in
+                e.cat.read_live_docs(spark, e.snapshot_id)
+                .select("url").collect()}
+
+    drip(parts[0], "b0.parquet")
+    run_dropzone_stream(spark, drop, idx, checkpoint_dir=ckpt, cfg=CFG,
+                        available_now=True).awaitTermination(300)
+    # mutation 1, mid-stream: tombstone every German doc indexed so far
+    before = live_urls()
+    n1 = delete_by_query(spark, idx, [], "disjunctive",
+                         [("lang", "=", "de")])
+    assert n1 == len(before - live_urls()) > 0
+    # two more batches land AFTER the delete (their de docs survive)
+    drip(parts[1], "b1.parquet")
+    drip(parts[2], "b2.parquet")
+    run_dropzone_stream(spark, drop, idx, checkpoint_dir=ckpt, cfg=CFG,
+                        available_now=True).awaitTermination(300)
+    # mutation 2 on the grown corpus: tombstone every w0 doc
+    n2 = delete_by_query(spark, idx, ["w0"], "disjunctive")
+    assert n2 > 0
+    survivors = live_urls()
+    compact(spark, idx)
+
+    by_url = pdf.set_index("url")
+    fresh_pdf = by_url.loc[sorted(survivors)].reset_index()[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    fidx = str(tmp_path / "freshm")
+    build_index(spark, spark.createDataFrame(fresh_pdf), fidx, CFG)
+    eng, feng = SearchEngine(spark, idx), SearchEngine(spark, fidx)
+    assert eng.n_docs == feng.n_docs == len(survivors)
+    assert eng.avgdl == feng.avgdl
+    assert sorted(
+        (int(r["doc_id"]), r["url"]) for r in
+        eng.cat.read(spark, "docs").select("doc_id", "url").collect()
+    ) == sorted(
+        (int(r["doc_id"]), r["url"]) for r in
+        feng.cat.read(spark, "docs").select("doc_id", "url").collect()
+    )
+    assert sorted(
+        (r["term"], int(r["df"])) for r in
+        eng.term_stats.select("term", "df").collect()
+    ) == sorted(
+        (r["term"], int(r["df"])) for r in
+        feng.term_stats.select("term", "df").collect()
+    )
+    for terms, mode in ((["w1", "w3"], "disjunctive"),
+                        (["w2"], "conjunctive"),
+                        (["w5", "w9"], "disjunctive")):
+        assert eng.search_topk(terms, mode, 20) == \
+            feng.search_topk(terms, mode, 20), (terms, mode)
+
+
 def test_dropzone_stream(spark, corpus, tmp_path):
     pdf = corpus
     drop = str(tmp_path / "drop")
