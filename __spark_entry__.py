@@ -482,10 +482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = bm25_phrase
 
     def bm25_phrase_slop(s, d):
-        # ES match_phrase with slop: '"part filter"~1' — ordered sloppy
-        # match, pinned contract in wand.score_phrase (chain of in-order
-        # positions with at most `slop` total extra gaps; every match
-        # counts 1 toward phrase_tf). Strict superset of the slop-0 gate.
+        # ES match_phrase with slop: '"part filter"~1' — Lucene
+        # SloppyPhraseScorer semantics for the distinct-term bigram
+        # (wand.score_phrase): out-of-order within the slop budget over
+        # phrase positions, each greedy-matched pair weighing
+        # 1/(1+spread) into a fractional phrase_tf.
         eng = SearchEngine(s, _get_index(s, d))
         res = eng.search(PHRASE, "phrase", 10, slop=PHRASE_SLOP)
         return res.select("doc_id", F.round("score", 4).alias("score"))
@@ -1343,9 +1344,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     '''
-    # sloppy phrase by position join: ptf = count of t0-positions p with a
-    # t1-partner in (p, p+1+slop] — the pinned ordered-slop contract for a
-    # bigram (general m-term chains only matter for m > 2)
+    # sloppy bigram, Lucene SloppyPhraseScorer semantics (distinct-term
+    # bigram path of wand.score_phrase): over phrase positions a = p0,
+    # b = p1 - 1, the greedy advance-min matcher's emitted pairs admit the
+    # closed form  |a-b| <= slop AND prevA(a) <= b AND prevB(b) < a
+    # (prev = predecessor in the same doc's own stream, -inf at the head);
+    # each pair weighs 1/(1+|a-b|) into phrase_tf (fractional). The closed
+    # form is pinned against the definitional step-by-step simulation in
+    # oracle/reference.py via tests/test_phrase.py rank-identity tests.
     o["bm25_phrase_slop"] = f'''
         WITH tok AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -1364,12 +1370,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, unnest(toks) AS term,
                  generate_subscripts(toks, 1) AS p
           FROM tok),
-        p0 AS (SELECT doc_id, p FROM pos WHERE term = '{PHRASE[0]}'),
-        p1 AS (SELECT doc_id, p FROM pos WHERE term = '{PHRASE[1]}'),
+        p0 AS (SELECT doc_id, p AS a,
+                      lag(p, 1, -1000000) OVER (
+                        PARTITION BY doc_id ORDER BY p) AS prev_a
+               FROM pos WHERE term = '{PHRASE[0]}'),
+        p1 AS (SELECT doc_id, p - 1 AS b,
+                      lag(p - 1, 1, -1000000) OVER (
+                        PARTITION BY doc_id ORDER BY p) AS prev_b
+               FROM pos WHERE term = '{PHRASE[1]}'),
         pf AS (
-          SELECT p0.doc_id, count(DISTINCT p0.p) AS ptf
+          SELECT p0.doc_id,
+                 sum(1.0 / (1.0 + abs(p0.a - p1.b))) AS ptf
           FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
-               AND p1.p > p0.p AND p1.p <= p0.p + 1 + {PHRASE_SLOP}
+               AND abs(p0.a - p1.b) <= {PHRASE_SLOP}
+               AND p0.prev_a <= p1.b AND p1.prev_b < p0.a
           GROUP BY p0.doc_id),
         scored AS (
           SELECT pf.doc_id,

@@ -127,15 +127,38 @@ class OracleIndex:
         (sum of idf over phrase term OCCURRENCES, duplicates counted) *
         ptf*(k1+1) / (ptf + k1*(1-b+b*dl/avgdl)); docs with ptf >= 1.
 
-        slop > 0: ORDERED sloppy match (the pinned engine contract, see
-        wand.score_phrase) — a start p matches iff an increasing chain
-        p < q_1 < ... < q_{m-1} exists with toks[q_j] == terms[j] and
-        q_{m-1} <= p + (m-1) + slop; phrase_tf counts matching starts.
-        Brute force here (try every chain greedily), numpy-free."""
+        slop > 0, TWO distinct terms: Lucene SloppyPhraseScorer semantics
+        (out-of-order within the budget, 1/(1+spread) weight per match) —
+        the DEFINITIONAL step-by-step greedy simulation over the two
+        phrase-position streams pp_j = pos - j: advance-min with ties to
+        the t0 stream, emitting whenever the spread fits. The engine's
+        closed-form vectorized kernel must rank identically to this.
+
+        slop > 0, m > 2 (or a repeated-term bigram): ORDERED sloppy match
+        (the narrowed pinned contract, see wand.score_phrase) — a start p
+        matches iff an increasing chain p < q_1 < ... < q_{m-1} exists
+        with toks[q_j] == terms[j] and q_{m-1} <= p + (m-1) + slop;
+        phrase_tf counts matching starts. Brute force here (try every
+        chain greedily), numpy-free."""
         if not terms:
             return []
         m = len(terms)
         idf_sum = sum(self.idf(t) for t in terms)
+
+        def sloppy2_freq(toks: list[str]) -> float:
+            a = [i for i, t in enumerate(toks) if t == terms[0]]
+            bb = [i - 1 for i, t in enumerate(toks) if t == terms[1]]
+            i = j = 0
+            freq = 0.0
+            while i < len(a) and j < len(bb):
+                spread = abs(a[i] - bb[j])
+                if spread <= slop:
+                    freq += 1.0 / (1.0 + spread)
+                if a[i] <= bb[j]:
+                    i += 1
+                else:
+                    j += 1
+            return freq
 
         def start_matches(toks: list[str], p: int) -> bool:
             prev = p
@@ -157,6 +180,8 @@ class OracleIndex:
                     1 for i in range(len(toks) - m + 1)
                     if toks[i:i + m] == terms
                 )
+            elif m == 2 and terms[0] != terms[1]:
+                ptf = sloppy2_freq(toks)
             else:
                 ptf = sum(
                     1 for i in range(len(toks))

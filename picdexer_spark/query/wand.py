@@ -575,17 +575,29 @@ def score_phrase(
       ptf >= 1 only. Requires an index built with store_positions=True.
 
     `slop > 0` (the ES match_phrase `slop` / query_string `"a b"~N`
-    parameter) relaxes adjacency to an ORDERED sloppy match, pinned as:
-    a start position p (an occurrence of term_0) matches iff there is an
-    increasing chain p < q_1 < ... < q_{m-1} with q_j an occurrence of
-    term_j and q_{m-1} <= p + (m-1) + slop (at most `slop` total extra
-    gaps, terms in order); phrase_tf = number of matching starts. The
-    chain test uses greedy-minimal q_j (optimal by exchange), one
-    searchsorted per slot — no per-candidate Python. This diverges
-    DELIBERATELY from Lucene's SloppyPhraseScorer in two documented ways:
-    no out-of-order matches (Lucene's edit-distance slop permits
-    transposed terms at cost 2) and no 1/(1+moves) weighting of each
-    match (every match counts 1 toward phrase_tf, the slop=0 rule).
+    parameter):
+
+    - TWO distinct terms (the dominant sloppy phrase): Lucene
+      SloppyPhraseScorer semantics — OUT-OF-ORDER matches allowed within
+      the slop budget over phrase positions pp_j = pos - j (an adjacent
+      swap costs spread 2, so `"a b"~2` matches "b a"), and each match
+      contributes Lucene's sloppyFreq weight 1/(1+spread) to phrase_tf
+      (now fractional). Matches are the greedy advance-min pairs of the
+      two sorted pp streams, which admit a CLOSED FORM: pair (a, b) is
+      emitted iff |a-b| <= slop AND prevA(a) <= b AND prevB(b) < a
+      (prev = predecessor in its own stream, -inf at the head; ties
+      advance the t0 stream). One searchsorted window per t0 position —
+      no per-candidate Python. Parity with the step-by-step greedy
+      simulation is pinned through the oracle rank-identity tests.
+    - m > 2 terms (or a repeated-term bigram, where Lucene's repeat
+      machinery applies): ORDERED sloppy match, pinned as: a start p
+      (an occurrence of term_0) matches iff an increasing chain
+      p < q_1 < ... < q_{m-1} exists with q_j an occurrence of term_j
+      and q_{m-1} <= p + (m-1) + slop; phrase_tf = number of matching
+      starts, weight 1 each (greedy-minimal q_j, optimal by exchange,
+      one searchsorted per slot). This remains a DOCUMENTED divergence
+      from Lucene for m > 2 only.
+
     slop=0 runs the original adjacency kernel bit-for-bit.
 
     `terms` is the phrase IN ORDER (not deduped, not sorted).
@@ -647,7 +659,7 @@ def score_phrase(
         )
     flats = {t: blocks[t].positions_flat(cand) for t in uniq}
     for t, (_fd, fp) in flats.items():
-        if fp.size and int(fp.max()) + len(terms) >= (1 << 32):
+        if fp.size and int(fp.max()) + len(terms) + 2 * slop >= (1 << 32):
             raise ValueError(
                 "phrase kernel: token position exceeds 2^32 in packed "
                 "(doc, pos) keys"
@@ -657,6 +669,7 @@ def score_phrase(
         return ((docs - base) << np.uint64(32)) | pos
 
     alive_doc, alive_pos = flats[terms[0]]
+    match_docs = ptf = None
     if slop == 0:
         for j, t in enumerate(terms[1:], 1):
             if alive_doc.size == 0:
@@ -665,6 +678,45 @@ def score_phrase(
                 keys(alive_doc, alive_pos + np.uint64(j)), keys(*flats[t])
             )
             alive_doc, alive_pos = alive_doc[hit], alive_pos[hit]
+    elif len(terms) == 2 and terms[0] != terms[1]:
+        # Lucene bigram sloppy matcher (see docstring): closed-form greedy
+        # pairs over shifted phrase positions a' = pos0 + slop + 1,
+        # b' = (pos1 - 1) + slop + 1 — the +slop+1 shift keeps packed keys
+        # unsigned and the +/-slop key window inside the doc's key block
+        da, pa = flats[terms[0]]
+        db, pb = flats[terms[1]]
+        if da.size == 0 or db.size == 0:
+            return empty
+        shift = np.uint64(slop + 1)
+        ka = keys(da, pa + shift)
+        kb = keys(db, pb + shift - np.uint64(1))
+        lo = np.searchsorted(kb, ka - np.uint64(slop))
+        hi = np.searchsorted(kb, ka + np.uint64(slop), side="right")
+        cnt = (hi - lo).astype(np.int64)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        av = (pa + shift).astype(np.int64)
+        bv = (pb + shift - np.uint64(1)).astype(np.int64)
+        prev_a = np.empty(av.size, np.int64)
+        prev_a[0] = -1
+        prev_a[1:] = np.where(da[1:] == da[:-1], av[:-1], -1)
+        prev_b = np.empty(bv.size, np.int64)
+        prev_b[0] = -1
+        prev_b[1:] = np.where(db[1:] == db[:-1], bv[:-1], -1)
+        rep = np.repeat(np.arange(av.size, dtype=np.int64), cnt)
+        offs = np.zeros(av.size, np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        bidx = (np.arange(tot, dtype=np.int64)
+                - np.repeat(offs, cnt) + np.repeat(lo.astype(np.int64), cnt))
+        a_val, b_val = av[rep], bv[bidx]
+        okp = (prev_a[rep] <= b_val) & (prev_b[bidx] < a_val)
+        if not okp.any():
+            return empty
+        w = 1.0 / (1.0 + np.abs(a_val - b_val)[okp].astype(np.float64))
+        pair_docs = da[rep[okp]]
+        match_docs, inv = np.unique(pair_docs, return_inverse=True)
+        ptf = np.bincount(inv, weights=w)
     else:
         # ordered sloppy chain, greedy-minimal next position per slot:
         # prev tracks q_{j-1}; the next q_j is the FIRST occurrence of
@@ -688,13 +740,14 @@ def score_phrase(
             start_pos = start_pos[ok]
             prev = qpos[ok]
         alive_pos = start_pos
-    if alive_doc.size == 0:
-        return empty
-    match_docs, ptf = np.unique(alive_doc, return_counts=True)
+    if match_docs is None:
+        if alive_doc.size == 0:
+            return empty
+        match_docs, ptf = np.unique(alive_doc, return_counts=True)
+        ptf = ptf.astype(np.float64)
     dl = cand_dl[np.searchsorted(cand, match_docs)].astype(np.float64)
 
     idf_sum = float(sum(idf[t] for t in terms))  # occurrences, dups counted
-    ptf = ptf.astype(np.float64)
     scores = idf_sum * (ptf * (k1 + 1.0)) / (
         ptf + k1 * (1.0 - b + b * dl / avgdl)
     )

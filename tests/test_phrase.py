@@ -232,6 +232,45 @@ def test_phrase_requires_adjacency_and_order(spark, built_pos):
     assert {d for d, _ in fwd} <= conj
 
 
+def test_bigram_slop_out_of_order_lucene_semantics(spark, built_pos):
+    """Round-5 un-pinning: a TRANSPOSED bigram matches at slop 2 (spread
+    2 over phrase positions, the Lucene adjacent-swap cost), not at slop
+    1, and sloppy matches weight 1/(1+spread) into phrase_tf — verified
+    against the definitional greedy simulation in the oracle."""
+    idx, oracle, docs = built_pos
+    eng = SearchEngine(spark, idx)
+    phrase = None
+    for _d, text in docs:
+        toks = text.lower().split()
+        if len(toks) >= 4 and toks[0] != toks[1]:
+            phrase = [toks[0], toks[1]]
+            break
+    assert phrase is not None
+    rev = list(reversed(phrase))
+    fwd_docs = {d for d, _ in eng.search_topk(phrase, "phrase", N)}
+    # the swapped phrase reaches the forward docs once slop covers the
+    # transposition (spread 2)
+    rev2 = {int(r["doc_id"]) for r in
+            eng.search(rev, "phrase", N, slop=2).collect()}
+    assert fwd_docs <= rev2
+    # ...but NOT at slop 1 unless the doc happens to contain the reversed
+    # adjacency itself: slop-1 reverse matches == oracle's, exactly
+    rev1 = [(int(r["doc_id"]), float(r["score"])) for r in
+            eng.search(rev, "phrase", N, slop=1)
+            .orderBy("score", ascending=False).collect()]
+    exp1 = oracle.search_phrase(rev, N, slop=1)
+    assert [d for d, _ in rev1] == [d for d, _ in exp1]
+    for (gd, gs), (_, es) in zip(rev1, exp1):
+        assert gs == pytest.approx(es, rel=1e-12), gd
+    # weighted freq: slop-2 reverse scores equal the simulation's
+    got2 = [(int(r["doc_id"]), float(r["score"])) for r in
+            eng.search(rev, "phrase", 20, slop=2).collect()]
+    exp2 = oracle.search_phrase(rev, 20, slop=2)
+    assert [d for d, _ in got2] == [d for d, _ in exp2]
+    for (gd, gs), (_, es) in zip(got2, exp2):
+        assert gs == pytest.approx(es, rel=1e-12), gd
+
+
 def test_phrase_refused_without_positions(spark, tmp_path):
     pdf = gen_pages(100, seed=5)
     idx = str(tmp_path / "nopos")
