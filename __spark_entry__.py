@@ -339,9 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_highlight_conj"] = search_highlight_conj
 
     def search_highlight_frags(s, d):
-        # ES unified-highlighter number_of_fragments: one fragment per
-        # matched term (first occurrence), ranked idf desc / term asc,
-        # capped at 2, every query term in the span <em>-wrapped
+        # ES unified-highlighter number_of_fragments WITH passage
+        # merging: one anchor span per matched term (first occurrence),
+        # overlapping spans merged transitively into passages, ranked
+        # (sum-of-anchor-idfs desc, top term asc), capped at 2, every
+        # query term inside a passage <em>-wrapped
         eng = SearchEngine(s, _get_index(s, d))
         res = eng.search_highlight_fragments(
             QSTRING_TERMS, "disjunctive", 10, window=2,
@@ -990,8 +992,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # multi-fragment highlight: same shape as above but disjunctive top-10
-    # over QSTRING_TERMS, anchors rn <= 2 (number_of_fragments), fragment
-    # tokens <em>-wrapped wherever they equal a query term
+    # over QSTRING_TERMS, with the unified highlighter's PASSAGE MERGING —
+    # overlapping anchor spans union transitively (running-max interval
+    # grouping over first_pos order), passage score = sum of member idfs,
+    # top term = (idf desc, term asc)-first member, rank (score desc,
+    # top term asc) capped at 2; fragment tokens <em>-wrapped wherever
+    # they equal a query term
     hf_terms = sql_terms(QSTRING_TERMS)
     o["search_highlight_frags"] = f"""
         WITH tok AS MATERIALIZED (
@@ -1028,15 +1034,41 @@ def oracle_sql() -> dict[str, str]:
                  FROM flat f JOIN topk USING (doc_id)
                  WHERE f.term IN ({hf_terms})
                  GROUP BY f.doc_id, f.term),
-        anchors AS (SELECT doc_id, frag_rank, term, first_pos FROM (
-                      SELECT o.*, row_number() OVER (PARTITION BY o.doc_id
-                               ORDER BY i.idf DESC, o.term ASC) AS frag_rank
-                      FROM offs o JOIN idf i USING (term))
+        spans AS (SELECT o.doc_id, o.term, o.first_pos, i.idf,
+                         greatest(o.first_pos - 2, 0) AS s,
+                         o.first_pos + 2 AS e
+                  FROM offs o JOIN idf i USING (term)),
+        grp AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                       PARTITION BY doc_id ORDER BY first_pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1) THEN 1 ELSE 0 END AS newg
+                FROM spans),
+        pgs AS (SELECT *, sum(newg) OVER (PARTITION BY doc_id
+                       ORDER BY first_pos ROWS UNBOUNDED PRECEDING) AS pg
+                FROM grp),
+        pass AS (SELECT doc_id, pg, min(s) AS ps, max(e) AS pe,
+                        sum(idf) AS pscore
+                 FROM pgs GROUP BY doc_id, pg),
+        ptop AS (SELECT doc_id, pg, term, first_pos FROM (
+                   SELECT doc_id, pg, term, first_pos,
+                          row_number() OVER (PARTITION BY doc_id, pg
+                            ORDER BY idf DESC, term ASC) AS rn
+                   FROM pgs)
+                 WHERE rn = 1),
+        anchors AS (SELECT doc_id, frag_rank, term, first_pos, ps, pe
+                    FROM (
+                      SELECT pa.doc_id, pt.term, pt.first_pos,
+                             pa.ps, pa.pe,
+                             row_number() OVER (PARTITION BY pa.doc_id
+                               ORDER BY pa.pscore DESC, pt.term ASC)
+                             AS frag_rank
+                      FROM pass pa
+                      JOIN ptop pt ON pt.doc_id = pa.doc_id
+                                  AND pt.pg = pa.pg)
                     WHERE frag_rank <= 2),
         frag AS (SELECT t.doc_id, a.frag_rank, a.term, a.first_pos,
                         array_to_string(list_transform(
-                          t.toks[greatest(a.first_pos - 2, 0) + 1
-                                 : a.first_pos + 3],
+                          t.toks[a.ps + 1 : a.pe + 1],
                           x -> CASE WHEN x IN ({hf_terms})
                                THEN '<em>' || x || '</em>' ELSE x END),
                           ' ') AS fragment

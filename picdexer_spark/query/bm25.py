@@ -1173,18 +1173,25 @@ class SearchEngine:
         highlighter's `number_of_fragments`, one step past
         :meth:`search_highlight`'s single best-term snippet). Pinned:
 
-        - one candidate fragment per MATCHED query term per hit, anchored
-          at that term's first occurrence (0-based analyzer ordinal);
-        - fragments ranked (term idf desc, term asc) — rarest term's
-          context first, the unified highlighter's passage-scoring
-          spirit — capped at `number_of_fragments`;
-        - fragment text = analyzed tokens [max(0, pos-window) ..
-          pos+window], space-joined, with EVERY query term occurrence
-          inside the span wrapped in <em>..</em> (the ES default tags);
-        - overlapping fragments are NOT merged (documented simplification
-          of ES's passage merging — each anchor keeps its own span).
+        - one candidate span per MATCHED query term per hit, anchored at
+          that term's first occurrence p (0-based analyzer ordinal):
+          [max(0, p-window) .. p+window];
+        - OVERLAPPING spans MERGE transitively into one passage (the
+          unified highlighter's passage merging: two matched terms that
+          share a window render as one passage), spanning
+          [min start .. max end] of the merged anchors;
+        - passages ranked by (passage score desc, top term asc) where
+          passage score = sum of the merged anchors' term idfs and the
+          top term is the passage's (idf desc, term asc)-first anchor —
+          the unified highlighter's passage scoring (sum of unique term
+          weights) — capped at `number_of_fragments`. With no overlaps
+          this degenerates to the per-anchor (idf desc, term asc) order;
+        - fragment text = the passage's analyzed tokens, space-joined,
+          with EVERY query term occurrence inside the span wrapped in
+          <em>..</em> (the ES default tags).
 
         Returns (doc_id, score, frag_rank, term, first_pos, fragment)
+        — `term`/`first_pos` are the passage's top term and its anchor —
         ordered (score desc, doc_id asc, frag_rank asc)."""
         from pyspark.sql import Window
 
@@ -1205,24 +1212,56 @@ class SearchEngine:
             [(t, idf(self.n_docs_scoring, dfs[t])) for t in present],
             "term string, idf double",
         )
-        w = Window.partitionBy("doc_id").orderBy(F.desc("idf"),
-                                                 F.asc("term"))
-        anchors = (
+        # anchor spans -> transitive interval merge (classic running-max
+        # grouping) -> passage score/top-term -> rank. All on the k-row
+        # anchor set (<= k docs x |terms| rows), partitioned by doc_id.
+        w_ord = Window.partitionBy("doc_id").orderBy("first_pos")
+        run_prev = F.max("e").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        spans = (
             offs.groupBy("doc_id", "term")
             .agg(F.min("pos").alias("first_pos"))
             .join(F.broadcast(idf_df), "term")
-            .withColumn("frag_rank", F.row_number().over(w))
+            .withColumn(
+                "s", F.greatest(F.col("first_pos") - window, F.lit(0)))
+            .withColumn("e", F.col("first_pos") + window)
+            .withColumn(
+                "newg",
+                F.when(F.col("s") > F.coalesce(run_prev, F.lit(-1)),
+                       F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("pg", F.sum("newg").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        )
+        w_rank = Window.partitionBy("doc_id").orderBy(
+            F.desc("p_score"), F.asc(F.col("top.t")))
+        anchors = (
+            spans.groupBy("doc_id", "pg")
+            .agg(
+                F.min("s").alias("p_start"),
+                F.max("e").alias("p_end"),
+                F.sum("idf").alias("p_score"),
+                F.min(F.struct(
+                    (-F.col("idf")).alias("ni"),
+                    F.col("term").alias("t"),
+                    F.col("first_pos").alias("fp"),
+                )).alias("top"),
+            )
+            .withColumn("frag_rank", F.row_number().over(w_rank))
             .filter(F.col("frag_rank") <= number_of_fragments)
-            .select("doc_id", "frag_rank", "term", "first_pos")
+            .select(
+                "doc_id", "frag_rank",
+                F.col("top.t").alias("term"),
+                F.col("top.fp").alias("first_pos"),
+                "p_start", "p_end",
+            )
         )
         docs = self.cat.read_live_docs(self.spark, self.snapshot_id) \
             .select("doc_id", "text")
         from picdexer_spark.functions.tokenize import tokens_col
 
-        start0 = F.greatest(F.col("first_pos") - window, F.lit(0))
-        length = F.col("first_pos") + window - start0 + 1
         qterms = F.array(*[F.lit(t) for t in present])
-        span = F.slice(F.col("toks"), start0 + 1, length)
+        span = F.slice(F.col("toks"), F.col("p_start") + 1,
+                       F.col("p_end") - F.col("p_start") + 1)
         marked = F.transform(
             span,
             lambda t: F.when(

@@ -112,22 +112,38 @@ def test_highlight_phrase_mode(spark, built):
 
 
 def _py_fragments(texts, dfs, n_docs, hits, terms, window, nf):
-    """Python reference for search_highlight_fragments: one fragment per
-    matched term (first occurrence), ranked idf desc / term asc, capped
-    at nf, every query-term occurrence in the span <em>-wrapped."""
+    """Python reference for search_highlight_fragments: one anchor span
+    per matched term (first occurrence), OVERLAPPING spans merged
+    transitively into passages, passages ranked (sum-of-anchor-idfs
+    desc, top term asc), capped at nf, every query-term occurrence in
+    the passage <em>-wrapped."""
     present = sorted(t for t in set(terms) if t in dfs)
     out = []
     for doc_id, score in hits:
         toks = tokenize_py(texts[doc_id])
-        cand = sorted(
-            (-idf(n_docs, dfs[t]), t, toks.index(t))
+        anchors = sorted(
+            (toks.index(t), t, idf(n_docs, dfs[t]))
             for t in present if t in toks
         )
-        for rank, (_i, t, pos) in enumerate(cand[:nf], 1):
-            a = max(0, pos - window)
+        passages = []  # [start, end, [(pos, term, idf), ...]]
+        for pos, t, w in anchors:
+            s, e = max(0, pos - window), pos + window
+            if passages and s <= passages[-1][1]:
+                passages[-1][1] = max(passages[-1][1], e)
+                passages[-1][2].append((pos, t, w))
+            else:
+                passages.append([s, e, [(pos, t, w)]])
+        ranked = []
+        for s, e, members in passages:
+            score_p = sum(w for _p, _t, w in members)
+            _p, top_t, _w = min(members, key=lambda m: (-m[2], m[1]))
+            top_pos = next(p for p, t, _ in members if t == top_t)
+            ranked.append((-score_p, top_t, top_pos, s, e))
+        ranked.sort()
+        for rank, (_ns, t, pos, s, e) in enumerate(ranked[:nf], 1):
             frag = " ".join(
                 f"<em>{w}</em>" if w in present else w
-                for w in toks[a: pos + window + 1]
+                for w in toks[s: e + 1]
             )
             out.append((doc_id, score, rank, t, pos, frag))
     return out
@@ -149,8 +165,8 @@ def test_highlight_fragments_match_python_reference(spark, built):
             number_of_fragments=3).collect()
     ]
     assert got == want
-    # both matched terms produced fragments, every anchor term em-marked
-    assert {r[3] for r in got} == {"w0", "w3"}
+    # every passage's top term is em-marked inside its own fragment
+    assert {r[3] for r in got} <= {"w0", "w3"}
     assert all(f"<em>{r[3]}</em>" in r[5] for r in got)
 
 
@@ -163,11 +179,40 @@ def test_highlight_fragments_cap(spark, built):
     per_doc: dict[int, int] = {}
     for r in got:
         per_doc[int(r["doc_id"])] = per_doc.get(int(r["doc_id"]), 0) + 1
-    assert per_doc and all(n == 2 for n in per_doc.values())
-    # rank 1 anchors the rarest matched term in every doc
+    # merging can leave fewer passages than the cap, never more
+    assert per_doc and all(1 <= n <= 2 for n in per_doc.values())
+    # rank-1 equals the python reference's top passage per doc
+    texts = _stored_texts(spark, eng)
     dfs = eng.term_dfs(terms)
-    rarest = min(terms, key=lambda t: (dfs[t], t))
-    assert all(r["term"] == rarest for r in got if r["frag_rank"] == 1)
+    hits = eng.search_topk(terms, "conjunctive", 5)
+    want = _py_fragments(texts, dfs, eng.n_docs_scoring, hits, terms,
+                         WINDOW, nf=2)
+    top_want = {d: t for d, _s, rk, t, _p, _f in want if rk == 1}
+    assert all(r["term"] == top_want[int(r["doc_id"])]
+               for r in got if r["frag_rank"] == 1)
+
+
+def test_highlight_fragments_merge_overlap(spark, built):
+    """The edge fixture doc 'qqedge w0 w1 w2 w3' makes qqedge@0 (span
+    [0,2]) and w3@4 (span [2,6]) overlap at token 2: they must merge
+    into ONE passage [0,4] covering the whole doc, top term = qqedge
+    (rarest), both query terms em-wrapped — the unified highlighter's
+    passage merging."""
+    eng = SearchEngine(spark, built)
+    rows = eng.search_highlight_fragments(
+        ["qqedge", "w3"], "conjunctive", 5, window=WINDOW,
+        number_of_fragments=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    texts = _stored_texts(spark, eng)
+    start_doc = next(d for d, t in texts.items()
+                     if t == "qqedge w0 w1 w2 w3")
+    frags = by_doc[start_doc]
+    assert len(frags) == 1                       # merged, not two spans
+    f = frags[0]
+    assert f["term"] == "qqedge" and int(f["first_pos"]) == 0
+    assert f["fragment"] == "<em>qqedge</em> w0 w1 w2 <em>w3</em>"
 
 
 def test_highlight_refused_without_positions(spark, tmp_path):
