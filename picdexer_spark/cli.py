@@ -48,14 +48,28 @@ RET_CONF_FAILURE = 1
 RET_EXEC_FAILURE = 2
 
 
+# the log4j level set setLogLevel accepts — the zerolog.ParseLevel
+# analogue (cmd/common.go:9-19: an unparsable conf level is an error)
+_LOG_LEVELS = {"ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+               "FATAL", "OFF"}
+
+
 def load_conf(path: str) -> dict:
     """cmd/conf.go::LoadConf analogue — any read/parse problem is a
-    CONFIGURATION failure (exit 1), not an execution failure."""
+    CONFIGURATION failure (exit 1), not an execution failure. The
+    conf's `loggingLevel` (conf.go:10) is validated here so a bad
+    level fails before any Spark work, as the reference's
+    setLoggingLevel does before Run."""
     with open(path) as f:
         conf = json.load(f)
     if not isinstance(conf, dict) or "index" not in conf \
             or "dir" not in conf.get("index", {}):
         raise ValueError("conf must carry index.dir")
+    lvl = conf.get("loggingLevel")
+    if lvl is not None and str(lvl).upper() not in _LOG_LEVELS:
+        raise ValueError(
+            f"error while setting logging level ({lvl!r}): expected one "
+            f"of {sorted(_LOG_LEVELS)}")
     return conf
 
 
@@ -63,11 +77,15 @@ def _spark(conf: dict, app: str):
     from picdexer_spark.session import get_spark
 
     sc = conf.get("spark", {})
-    return get_spark(
+    spark = get_spark(
         f"picdexer-{app}",
         master=sc.get("master"),
         shuffle_partitions=sc.get("shufflePartitions"),
     )
+    lvl = conf.get("loggingLevel")
+    if lvl is not None:  # validated in load_conf; applied per command
+        spark.sparkContext.setLogLevel(str(lvl).upper())
+    return spark
 
 
 def _index_cfg(conf: dict, import_id: str | None = None):

@@ -105,6 +105,27 @@ def test_exit_codes(env, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_logging_level_conf(env, spark, tmp_path, capsys):
+    """conf loggingLevel parity (conf.go:10 + common.go:9-19): an
+    unparsable level is a CONFIGURATION failure before any work; a
+    valid one is applied to the session for the command."""
+    conf_path, _pages, conf = env
+    bad = dict(conf, loggingLevel="chatty")
+    bad_path = tmp_path / "badlvl.json"
+    bad_path.write_text(json.dumps(bad))
+    assert main(["setup", "-c", str(bad_path)]) == 1
+    assert "logging level" in capsys.readouterr().err
+    lvl_conf = dict(conf, loggingLevel="error")  # case-insensitive
+    lvl_path = tmp_path / "errlvl.json"
+    lvl_path.write_text(json.dumps(lvl_conf))
+    assert main(["setup", "-c", str(lvl_path)]) == 0
+    capsys.readouterr()
+    jvm_lvl = spark._jvm.org.apache.logging.log4j.LogManager \
+        .getRootLogger().getLevel().toString()
+    assert jvm_lvl == "ERROR"
+    spark.sparkContext.setLogLevel("WARN")  # restore for the suite
+
+
 def test_dropzone_once(env, spark, capsys):
     """The stream must actually ingest: drop ONE parquet FILE (the file
     source lists files, not Spark output directories), run --once, and
