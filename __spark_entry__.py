@@ -475,6 +475,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_len_stats"] = doc_len_stats
 
+    def terms_error_bounds(s, d):
+        # ES terms agg `show_term_doc_count_error`: per-shard (doc_id % 8)
+        # top-20 token lists, coordinator sum, per-key worst-case
+        # doc_count_error from the truncated shards' smallest returned
+        # counts — the distributed accuracy contract of a sharded top-k
+        docs = _tbl(s, d, "documents")
+        vals = docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        res = dash.top_terms_error_bounds(vals, "term", "shard",
+                                          k=15, shard_size=20)
+        return res.select(
+            "key", F.col("n").cast("long").alias("n"),
+            F.col("doc_count_error").cast("long")
+            .alias("doc_count_error"),
+        )
+    q["terms_error_bounds"] = terms_error_bounds
+
     def bm25_phrase(s, d):
         # Lucene match_phrase over the positional index (the quoted-phrase
         # path of the discover box: '"part filter"')
@@ -1230,6 +1249,41 @@ def oracle_sql() -> dict[str, str]:
                max(dl)::BIGINT AS max, round(avg(dl), 6) AS avg,
                sum(dl)::BIGINT AS sum
         FROM dl
+    """
+
+    # terms agg with show_term_doc_count_error: per-shard top-20 token
+    # lists (shard = doc_id % 8, order n desc / key asc), coordinator sum
+    # of returned counts, per-key error = sum of truncated shards'
+    # smallest returned count where the key was NOT returned (a complete
+    # shard contributes 0) — the exact ES reduce the engine operator runs
+    o["terms_error_bounds"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        pairs AS (
+          SELECT doc_id % 8 AS shard, term AS key, count(*) AS n
+          FROM tok GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY shard
+                      ORDER BY n DESC, key ASC) AS rk
+          FROM pairs),
+        shard_err AS (
+          SELECT shard,
+                 CASE WHEN max(rk) > 20
+                      THEN min(CASE WHEN rk <= 20 THEN n END)
+                      ELSE 0 END AS err_n
+          FROM ranked GROUP BY shard),
+        tot AS (SELECT sum(err_n) AS tot FROM shard_err),
+        combined AS (
+          SELECT r.key, sum(r.n) AS n, sum(se.err_n) AS present_err
+          FROM ranked r JOIN shard_err se USING (shard)
+          WHERE r.rk <= 20 GROUP BY r.key)
+        SELECT key, n::BIGINT AS n,
+               ((SELECT tot FROM tot) - present_err)::BIGINT
+               AS doc_count_error
+        FROM combined
+        ORDER BY n DESC, key ASC LIMIT 15
     """
 
     o["suggest_terms_s"] = f"""

@@ -397,6 +397,18 @@ def main() -> None:
     queries["index_build"] = round(t_build, 3)
     docs_per_sec = n_docs / t_build
 
+    # HOST-GATE the query block like the scaling slots (r4 lesson: the
+    # ungated headline p50 0.483 drew a 0.895-scale window while the same
+    # session's clean window recorded 0.389 — a throttled host charges
+    # its own state to the engine). Probed BETWEEN the build session's
+    # teardown and the query session's creation: a live JVM skews the
+    # 1-proc burn baseline (observed probe values > 1 with Spark up).
+    # Deferred up to 3x40 s until the host's own 1-vs-8 burn clears
+    # BENCH_QUERY_GATE; the last probe is recorded either way, so a
+    # still-throttled run is self-documenting.
+    q_gate = float(os.environ.get("BENCH_QUERY_GATE", "0.9"))
+    query_host_scale, q_deferred = wait_host_healthy(q_gate)
+
     spark = get_spark(f"bench-query-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     eng = SearchEngine(spark, index_dir)
@@ -431,6 +443,8 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 1),
         "p50_query_sec": round(p50, 3),
         "host_multicore_scale": host_multicore_scale,
+        "query_host_scale": query_host_scale,
+        "query_gate_deferrals": q_deferred,
     }
 
     if os.environ.get("BENCH_AB", "1") != "0":

@@ -340,3 +340,67 @@ def cardinality(df: DataFrame, col: str, exact: bool = True) -> DataFrame:
     agg = (F.count_distinct(F.col(col)) if exact
            else F.approx_count_distinct(F.col(col)))
     return df.agg(agg.alias("n_distinct"))
+
+
+def top_terms_error_bounds(
+    df: DataFrame, col: str, shard_col: str,
+    k: int = 10, shard_size: int = 25,
+) -> DataFrame:
+    """ES terms agg with `show_term_doc_count_error` — the DISTRIBUTED
+    accuracy contract of a sharded top-k (ES terms-agg docs; the part of
+    kibana.ndjson:4's TopKeywords panel that only materializes on a
+    multi-shard index):
+
+    - each shard returns only its LOCAL top `shard_size` keys by count
+      (count desc, key asc — the pinned tie-break);
+    - the coordinator sums the returned per-shard counts per key and
+      keeps the global top `k` (sum desc, key asc);
+    - `doc_count_error` per returned key = sum, over every TRUNCATED
+      shard that did not return the key, of that shard's smallest
+      returned count — the worst case the key could have missed. A
+      shard that returned ALL its keys contributes 0 (nothing hidden).
+      ES's agg-level doc_count_error_upper_bound is the same sum over
+      all truncated shards (= the error of a key no shard returned).
+
+    Scale shape: the only data-sized stage is the (shard, key) partial
+    count; after the per-shard row_number top-list, at most
+    n_shards x shard_size rows reach the coordinator reduction — the
+    exact shard-size/accuracy trade ES exposes, expressed as
+    groupBy -> window top-k -> broadcast-joined error ledger."""
+    pairs = (
+        df.groupBy(F.col(shard_col).alias("shard"), F.col(col).alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("key"))
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    returned = ranked.filter(F.col("rk") <= shard_size)
+    # per-shard error ledger: smallest returned count if the shard was
+    # truncated, else 0 — n_shards rows, broadcast back onto the top lists
+    shard_err = (
+        ranked.groupBy("shard")
+        .agg(
+            F.max("rk").alias("n_keys"),
+            F.min(F.when(F.col("rk") <= shard_size, F.col("n")))
+            .alias("last_n"),
+        )
+        .select(
+            "shard",
+            F.when(F.col("n_keys") > shard_size, F.col("last_n"))
+            .otherwise(F.lit(0)).alias("err_n"),
+        )
+    )
+    total_err = shard_err.agg(F.sum("err_n").alias("tot"))
+    combined = (
+        returned.join(F.broadcast(shard_err), "shard")
+        .groupBy("key")
+        .agg(F.sum("n").alias("n"), F.sum("err_n").alias("present_err"))
+    )
+    return (
+        combined.crossJoin(F.broadcast(total_err))
+        .select(
+            "key", "n",
+            (F.col("tot") - F.col("present_err")).alias("doc_count_error"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )

@@ -1,0 +1,84 @@
+"""Terms-agg distributed accuracy contract (top_terms_error_bounds):
+ES `show_term_doc_count_error` semantics — per-shard top `shard_size`
+lists, coordinator sum, worst-case per-key doc_count_error from the
+truncated shards' smallest returned counts.
+
+- a hand-computed two-shard case pins every number;
+- a seeded randomized corpus is checked against an independent python
+  reference of the ES algorithm;
+- a non-truncated run (shard_size >= all keys) must report exact counts
+  with zero error everywhere.
+"""
+
+import random
+from collections import Counter
+
+from picdexer_spark.operators.dashboards import top_terms_error_bounds
+
+
+def _py_reference(rows, k, shard_size):
+    """ES terms-agg reduce over per-shard top lists, python-side."""
+    by_shard: dict[int, Counter] = {}
+    for shard, key in rows:
+        by_shard.setdefault(shard, Counter())[key] += 1
+    returned = {}   # shard -> [(key, n)] top list
+    err_n = {}      # shard -> worst hidden count (0 if complete)
+    for shard, cnt in by_shard.items():
+        ordered = sorted(cnt.items(), key=lambda it: (-it[1], it[0]))
+        returned[shard] = ordered[:shard_size]
+        err_n[shard] = ordered[shard_size - 1][1] \
+            if len(ordered) > shard_size else 0
+    tot = sum(err_n.values())
+    combined: dict[str, list] = {}
+    for shard, lst in returned.items():
+        for key, n in lst:
+            agg = combined.setdefault(key, [0, 0])
+            agg[0] += n
+            agg[1] += err_n[shard]
+    out = [(key, n, tot - present) for key, (n, present) in
+           combined.items()]
+    out.sort(key=lambda it: (-it[1], it[0]))
+    return out[:k]
+
+
+def _run(spark, rows, k, shard_size):
+    df = spark.createDataFrame(rows, "shard int, key string")
+    got = top_terms_error_bounds(df, "key", "shard", k=k,
+                                 shard_size=shard_size).collect()
+    return [(r["key"], int(r["n"]), int(r["doc_count_error"]))
+            for r in got]
+
+
+def test_hand_computed_two_shards(spark):
+    rows = (
+        [(0, "a")] * 5 + [(0, "b")] * 3 + [(0, "c")] * 1
+        + [(1, "a")] * 2 + [(1, "d")] * 4 + [(1, "c")] * 2
+    )
+    # shard 0 top2 = a:5, b:3 (err 3); shard 1 top2 = d:4, a:2 (err 2;
+    # the c:2/a:2 tie breaks key-asc to a). tot = 5.
+    assert _run(spark, rows, k=3, shard_size=2) == [
+        ("a", 7, 0),   # returned by both truncated shards
+        ("d", 4, 3),   # missing from shard 0 (err 3)
+        ("b", 3, 2),   # missing from shard 1 (err 2)
+    ]
+
+
+def test_randomized_matches_python_reference(spark):
+    rng = random.Random(83)
+    keys = [f"k{i:02d}" for i in range(40)]
+    weights = [1.0 / (i + 1) for i in range(40)]  # Zipf-ish
+    rows = [(rng.randrange(6), rng.choices(keys, weights)[0])
+            for _ in range(4000)]
+    for k, ss in [(10, 5), (15, 3), (5, 40)]:
+        assert _run(spark, rows, k, ss) == _py_reference(rows, k, ss), \
+            (k, ss)
+
+
+def test_complete_shards_are_exact(spark):
+    rng = random.Random(7)
+    rows = [(rng.randrange(4), rng.choice(["x", "y", "z"]))
+            for _ in range(500)]
+    got = _run(spark, rows, k=3, shard_size=10)
+    true_counts = Counter(key for _s, key in rows)
+    assert {(k, n) for k, n, _e in got} == set(true_counts.items())
+    assert all(e == 0 for _k, _n, e in got)

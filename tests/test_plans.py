@@ -200,3 +200,24 @@ def test_search_batch_parallelism_is_shard_times_query(spark, built):
     import re
     fm = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
     assert fm and "query_id" in fm[0] and "shard_id" in fm[0], plan
+
+
+def test_terms_error_bounds_plan_shape(spark, built):
+    """The sharded terms agg's scale contract: the data-sized (shard,key)
+    count partial-aggregates before its exchange, and the per-shard error
+    ledger (n_shards rows) plus the total come back via BROADCAST joins —
+    no second shuffle of the top lists."""
+    from picdexer_spark.operators.dashboards import top_terms_error_bounds
+
+    docs = IndexCatalog(built).read(spark, "docs")
+    from picdexer_spark.functions.tokenize import tokens_col
+    vals = docs.select((F.col("doc_id") % 8).alias("shard"),
+                       F.explode(tokens_col("text")).alias("term"))
+    res = top_terms_error_bounds(vals, "term", "shard", k=10, shard_size=5)
+    s = explain_str(res, "simple")
+    first_ex = s.find("Exchange")
+    assert 0 < s.find("partial_count", 0, first_ex) or \
+        "partial_count" in s[:first_ex] or "HashAggregate" in s[:first_ex]
+    assert s.count("BroadcastExchange") >= 2, s
+    rows = res.collect()
+    assert rows and all(r["doc_count_error"] >= 0 for r in rows)
