@@ -448,32 +448,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["suggest_terms_s"] = suggest_terms_s
 
-    def doc_len_percentiles(s, d):
-        # ES percentiles agg (Kibana metric viz): exact interpolated
-        # p50/p90/p99 of doc token length — one scan for all percentiles
+    def metric_aggs_multi(s, d):
+        # gate-window fold (the date_hist_multi pattern): the three
+        # metric-agg families in one driver row — ES `stats`
+        # (count/min/max/avg/sum, one partial-agg scan), `percentiles`
+        # (exact interpolated p50/p90/p99, one scan), `cardinality`
+        # (exact count-distinct; approx_count_distinct is the documented
+        # 100 TB swap) — tagged (gate, key, value)
         docs = _tbl(s, d, "documents")
         dl = docs.select(F.size(tokens_col("text")).alias("dl"))
-        return dash.percentiles(dl, "dl").select(
-            "pct", F.round("value", 6).alias("value"))
-    q["doc_len_percentiles"] = doc_len_percentiles
-
-    q["lang_cardinality"] = lambda s, d: dash.cardinality(
-        _tbl(s, d, "documents"), "lang", exact=True)
-
-    def doc_len_stats(s, d):
-        # ES `stats` agg (Kibana metric viz min/max/avg/sum/count in one
-        # request): one scan, one partial-agg reduce over doc token length
-        docs = _tbl(s, d, "documents")
-        dl = docs.select(F.size(tokens_col("text")).alias("dl"))
-        out = dash.stats_agg(dl, "dl")
-        return out.select(
-            F.col("count").cast("long").alias("count"),
-            F.col("min").cast("long").alias("min"),
-            F.col("max").cast("long").alias("max"),
-            F.round("avg", 6).alias("avg"),
-            F.col("sum").cast("long").alias("sum"),
+        st = dash.stats_agg(dl, "dl").selectExpr(
+            "'stats' AS gate",
+            "stack(5, 'count', cast(count as double), "
+            "'min', cast(min as double), 'max', cast(max as double), "
+            "'avg', avg, 'sum', cast(sum as double)) AS (key, value)")
+        pct = dash.percentiles(dl, "dl").select(
+            F.lit("pct").alias("gate"),
+            F.col("pct").cast("string").alias("key"),
+            F.col("value"))
+        card = dash.cardinality(docs, "lang", exact=True).select(
+            F.lit("cardinality").alias("gate"),
+            F.lit("lang_n_distinct").alias("key"),
+            F.col("n_distinct").cast("double").alias("value"))
+        return (
+            st.unionByName(pct).unionByName(card)
+            .select("gate", "key", F.round("value", 6).alias("value"))
+            .orderBy("gate", "key")
         )
-    q["doc_len_stats"] = doc_len_stats
+    q["metric_aggs_multi"] = metric_aggs_multi
+
+    def composite_agg_page(s, d):
+        # ES composite agg — the scalable export-all-buckets agg: page 2
+        # of (lang, 50-token length bucket) keys asc with the
+        # strictly-greater after cursor ('de', 150); one partial agg +
+        # TakeOrdered per page, never OFFSET, never a global sort
+        docs = _tbl(s, d, "documents")
+        srcs = [("lang", F.col("lang")),
+                ("len_bucket",
+                 (F.floor(F.size(tokens_col("text")) / 50) * 50)
+                 .cast("long"))]
+        res = dash.composite_agg(docs, srcs, size=12, after=("de", 150))
+        return res.select(
+            "lang", "len_bucket",
+            F.col("doc_count").cast("long").alias("doc_count"))
+    q["composite_agg_page"] = composite_agg_page
 
     def terms_error_bounds(s, d):
         # ES terms agg `show_term_doc_count_error`: per-shard (doc_id % 8)
@@ -1226,29 +1244,44 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
-    # ES percentiles: Spark `percentile` and DuckDB quantile_cont share
-    # the exact linear-interpolation definition
-    o["doc_len_percentiles"] = """
+    # metric-agg fold: stats + percentiles + cardinality in one union
+    # (Spark `percentile` and DuckDB quantile_cont share the exact
+    # linear-interpolation definition)
+    o["metric_aggs_multi"] = """
         WITH dl AS (
           SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
           FROM documents),
-        q AS (SELECT quantile_cont(dl, 0.5) AS p50,
-                     quantile_cont(dl, 0.9) AS p90,
-                     quantile_cont(dl, 0.99) AS p99 FROM dl)
-        SELECT 0.5::DOUBLE AS pct, round(p50, 6) AS value FROM q
-        UNION ALL SELECT 0.9::DOUBLE, round(p90, 6) FROM q
-        UNION ALL SELECT 0.99::DOUBLE, round(p99, 6) FROM q
+        st AS (SELECT count(dl)::double AS c, min(dl)::double AS mn,
+                      max(dl)::double AS mx, avg(dl) AS av,
+                      sum(dl)::double AS sm FROM dl),
+        qt AS (SELECT quantile_cont(dl, 0.5) AS p50,
+                      quantile_cont(dl, 0.9) AS p90,
+                      quantile_cont(dl, 0.99) AS p99 FROM dl)
+        SELECT gate, key, round(value, 6) AS value FROM (
+          SELECT 'stats' AS gate, 'count' AS key, c AS value FROM st
+          UNION ALL SELECT 'stats', 'min', mn FROM st
+          UNION ALL SELECT 'stats', 'max', mx FROM st
+          UNION ALL SELECT 'stats', 'avg', av FROM st
+          UNION ALL SELECT 'stats', 'sum', sm FROM st
+          UNION ALL SELECT 'pct', '0.5', p50 FROM qt
+          UNION ALL SELECT 'pct', '0.9', p90 FROM qt
+          UNION ALL SELECT 'pct', '0.99', p99 FROM qt
+          UNION ALL SELECT 'cardinality', 'lang_n_distinct',
+            (SELECT count(DISTINCT lang) FROM documents)::double)
+        ORDER BY gate, key
     """
-    o["lang_cardinality"] = \
-        "SELECT count(DISTINCT lang) AS n_distinct FROM documents"
-    o["doc_len_stats"] = """
-        WITH dl AS (
-          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
-          FROM documents)
-        SELECT count(dl)::BIGINT AS count, min(dl)::BIGINT AS min,
-               max(dl)::BIGINT AS max, round(avg(dl), 6) AS avg,
-               sum(dl)::BIGINT AS sum
-        FROM dl
+    # composite agg page 2: grouped keys asc, strictly-greater cursor
+    o["composite_agg_page"] = """
+        WITH b AS (
+          SELECT lang,
+                 (floor(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        / 50) * 50)::bigint AS len_bucket
+          FROM documents WHERE lang IS NOT NULL),
+        g AS (SELECT lang, len_bucket, count(*) AS doc_count
+              FROM b GROUP BY 1, 2)
+        SELECT lang, len_bucket, doc_count FROM g
+        WHERE lang > 'de' OR (lang = 'de' AND len_bucket > 150)
+        ORDER BY lang, len_bucket LIMIT 12
     """
 
     # terms agg with show_term_doc_count_error: per-shard top-20 token

@@ -404,3 +404,46 @@ def top_terms_error_bounds(
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(k)
     )
+
+
+def composite_agg(
+    df: DataFrame, sources: list[tuple[str, Column]],
+    size: int = 10, after: tuple | None = None,
+) -> DataFrame:
+    """ES `composite` aggregation — THE scalable bucket agg (the one ES
+    documents for paging through ALL buckets of a high-cardinality agg,
+    e.g. exporting every (lang, length-bucket) pair of a 10^12-doc
+    index): buckets are ordered by the composite key tuple ascending and
+    paged with a strictly-greater `after` cursor, so every page costs
+    one aggregate + TakeOrdered(size) — never a global sort of all
+    buckets, never OFFSET.
+
+    `sources`: [(name, key Column)] in key order (the ES sources array,
+    terms-source semantics). `after`: the previous page's last key tuple
+    (None = first page). Buckets whose key contains NULL are skipped
+    (the ES missing_bucket:false default).
+
+    Pinned: key order is Spark's default ascending collation per source
+    (ES orders asc by default too); `doc_count` is the bucket size."""
+    names = [n for n, _c in sources]
+    keyed = df.select(*[c.alias(n) for n, c in sources])
+    for n in names:
+        keyed = keyed.filter(F.col(n).isNotNull())
+    counts = keyed.groupBy(*names).agg(F.count("*").alias("doc_count"))
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError(
+                f"after cursor must carry {len(names)} key values")
+        # lexicographic strictly-greater: (k1 > a1) OR (k1 = a1 AND
+        # k2 > a2) OR ... — evaluated on the grouped keys, so the page
+        # scan stays one partial-agg + pruned TakeOrdered
+        cond = None
+        eq = None
+        for n, v in zip(names, after):
+            gt = F.col(n) > F.lit(v)
+            branch = gt if eq is None else eq & gt
+            cond = branch if cond is None else cond | branch
+            e = F.col(n) == F.lit(v)
+            eq = e if eq is None else eq & e
+        counts = counts.filter(cond)
+    return counts.orderBy(*[F.asc(n) for n in names]).limit(size)

@@ -11,6 +11,8 @@ truncated shards' smallest returned counts.
 """
 
 import random
+
+import pytest
 from collections import Counter
 
 from picdexer_spark.operators.dashboards import top_terms_error_bounds
@@ -82,3 +84,42 @@ def test_complete_shards_are_exact(spark):
     true_counts = Counter(key for _s, key in rows)
     assert {(k, n) for k, n, _e in got} == set(true_counts.items())
     assert all(e == 0 for _k, _n, e in got)
+
+
+def _composite_walk(spark, rows, size):
+    """Page through ALL buckets with the after cursor; return the walk."""
+    from picdexer_spark.operators.dashboards import composite_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "lang string, n int")
+    srcs = [("lang", F.col("lang")), ("n", F.col("n"))]
+    out, after = [], None
+    while True:
+        page = composite_agg(df, srcs, size=size, after=after).collect()
+        if not page:
+            return out
+        out.extend((r["lang"], r["n"], r["doc_count"]) for r in page)
+        after = (page[-1]["lang"], page[-1]["n"])
+
+
+def test_composite_agg_pages_reconstruct_everything(spark):
+    rng = random.Random(5)
+    rows = [(rng.choice(["de", "en", "fr", None]), rng.randrange(6))
+            for _ in range(800)]
+    want = sorted(
+        (lang, n, c) for (lang, n), c in
+        Counter((lg, n) for lg, n in rows if lg is not None).items()
+    )
+    # any page size reconstructs the identical full bucket list, and a
+    # page boundary never duplicates or drops a bucket
+    for size in (1, 3, 7, 100):
+        assert _composite_walk(spark, rows, size) == want, size
+
+
+def test_composite_agg_after_arity_refused(spark):
+    from picdexer_spark.operators.dashboards import composite_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("de", 1)], "lang string, n int")
+    with pytest.raises(ValueError, match="after cursor"):
+        composite_agg(df, [("lang", F.col("lang"))], after=("de", 1))
