@@ -124,6 +124,7 @@ FILTERED_QSTRING = "lang:de Batch, OR vector OR spark"
 FILTERED_LANG = "de"
 PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 PHRASE_SLOP = 1  # '"part filter"~1': one extra gap allowed, in order
+PP_STEM = "fil"  # '"part fil*"' match_phrase_prefix stem
 # prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
 # stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
 PREFIX_QSTRING = "s* OR dup"
@@ -530,6 +531,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = eng.search(PHRASE, "phrase", 10, slop=PHRASE_SLOP)
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_phrase_slop"] = bm25_phrase_slop
+
+    def bm25_phrase_prefix(s, d):
+        # ES match_phrase_prefix '"part fil*"' (Lucene MultiPhrasePrefix):
+        # stem expands to the FIRST 50 dictionary terms in TERM order,
+        # adjacency with any expansion in the last slot, BM25 idf = fixed
+        # occurrences + ALL expansions (summed-termStats convention)
+        eng = SearchEngine(s, _get_index(s, d))
+        res = eng.match_phrase_prefix([PHRASE[0], PP_STEM], 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+    q["bm25_phrase_prefix"] = bm25_phrase_prefix
 
     def tf_pairs(s, d):
         docs = _tbl(s, d, "documents")
@@ -1503,6 +1514,49 @@ def oracle_sql() -> dict[str, str]:
           FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
                AND abs(p0.a - p1.b) <= {PHRASE_SLOP}
                AND p0.prev_a <= p1.b AND p1.prev_b < p0.a
+          GROUP BY p0.doc_id),
+        scored AS (
+          SELECT pf.doc_id,
+                 idfs.idf_sum * (pf.ptf * 2.2)
+                 / (pf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                    / (st.total_len::double / st.n_docs))) AS s
+          FROM pf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs
+          WHERE pf.ptf > 0)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    '''
+    # match_phrase_prefix: stem expansion = FIRST 50 distinct terms in
+    # TERM order (the Lucene MultiPhrasePrefix rewrite, NOT df-ranked);
+    # ptf = starts of fixed term followed by ANY expansion; idf_sum =
+    # fixed idf + sum over ALL expansions (summed-termStats weight)
+    o["bm25_phrase_prefix"] = f'''
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        flat AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos1
+          FROM tok),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        alts AS (SELECT DISTINCT term FROM flat
+                 WHERE term LIKE '{PP_STEM}%' ORDER BY term LIMIT 50),
+        tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+                WHERE term = '{PHRASE[0]}'
+                   OR term IN (SELECT term FROM alts)
+                GROUP BY term),
+        idfs AS (
+          SELECT sum(ln(1 + (st.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)))
+                 AS idf_sum
+          FROM tdf CROSS JOIN st),
+        p0 AS (SELECT doc_id, pos1 FROM flat WHERE term = '{PHRASE[0]}'),
+        p1 AS (SELECT doc_id, pos1 FROM flat
+               WHERE term IN (SELECT term FROM alts)),
+        pf AS (
+          SELECT p0.doc_id, count(*) AS ptf
+          FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+               AND p1.pos1 = p0.pos1 + 1
           GROUP BY p0.doc_id),
         scored AS (
           SELECT pf.doc_id,

@@ -195,5 +195,43 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def search_phrase_prefix(
+        self, terms: list[str], k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES match_phrase_prefix oracle (Lucene MultiPhrasePrefixQuery),
+        spec pinned for the engine: the LAST entry of `terms` is the
+        prefix STEM; it expands to the first `max_expansions` dictionary
+        terms in TERM ORDER (the MultiPhrasePrefix rewrite — NOT
+        df-ranked); phrase_tf = number of start positions where the
+        fixed terms occur adjacently followed by ANY expansion; score =
+        BM25 with idf_sum = sum of idf over the fixed occurrences plus
+        ALL expansion terms (the MultiPhraseQuery summed-termStats
+        weight)."""
+        if not terms or not terms[-1]:
+            return []
+        fixed = terms[:-1]
+        stem = terms[-1]
+        alts = sorted(t for t in self.postings
+                      if t.startswith(stem))[:max_expansions]
+        if not alts:
+            return []
+        aset = set(alts)
+        m = len(fixed) + 1
+        idf_sum = (sum(self.idf(t) for t in fixed)
+                   + sum(self.idf(a) for a in alts))
+        scored = []
+        for d, toks in self.tokens.items():
+            ptf = sum(
+                1 for i in range(len(toks) - m + 1)
+                if toks[i:i + m - 1] == fixed and toks[i + m - 1] in aset
+            )
+            if ptf:
+                dl = self.doc_len[d]
+                s = (idf_sum * (ptf * (K1 + 1.0))
+                     / (ptf + K1 * (1.0 - B + B * dl / self.avgdl)))
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def extract_tokens(self, text: str) -> list[str]:
         return tokenize_py(text)

@@ -38,6 +38,7 @@ from picdexer_spark.query.wand import (
     score_disjunctive,
     score_groups,
     score_phrase,
+    score_phrase_prefix,
 )
 from picdexer_spark.sources.catalog import IndexCatalog
 
@@ -153,7 +154,7 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
 
 
 def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
-                  allowed=None, after=None, groups=None, slop=0):
+                  allowed=None, after=None, groups=None, slop=0, alts=None):
     if mode == "groups":
         return score_groups(groups, blocks, idf_map, K1, B, avgdl, k_eff,
                             prune=prune, allowed=allowed, after=after)
@@ -163,12 +164,17 @@ def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
     if mode == "phrase":
         return score_phrase(ordered, blocks, idf_map, K1, B, avgdl, k_eff,
                             allowed=allowed, after=after, slop=slop)
+    if mode == "phrase_prefix":
+        return score_phrase_prefix(ordered, alts, blocks, idf_map, K1, B,
+                                   avgdl, k_eff, allowed=allowed,
+                                   after=after)
     return score_disjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
                              prune=prune, allowed=allowed, after=after)
 
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                       tomb_counts=None, after=None, groups=None, slop=0):
+                       tomb_counts=None, after=None, groups=None, slop=0,
+                       alts=None):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
     tombstone COUNT (metadata-sized): each shard over-fetches
     k + |its tombstones|, and the caller anti-joins the chained `deletes`
@@ -184,7 +190,7 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k_eff, prune, after=after,
-                                    groups=groups, slop=slop)
+                                    groups=groups, slop=slop, alts=alts)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -431,6 +437,84 @@ class SearchEngine:
         )
         return [r["term"] for r in rows]
 
+    def expand_prefix_alpha(self, prefix: str,
+                            max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms under `prefix` in TERM ORDER, first
+        `max_expansions` — Lucene's MultiPhrasePrefixQuery rewrite (it
+        walks the TermsEnum in term order and stops at maxExpansions,
+        unlike the top_terms_N df-ranked rewrite of :meth:`expand_prefix`;
+        this is the documented ES match_phrase_prefix gotcha where a hot
+        completion can fall outside the first-50 window — reproduced
+        faithfully, not 'fixed'). Same pushed StringStartsWith scan."""
+        n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
+            else max_expansions
+        if self._df_cache is not None:
+            return sorted(t for t in self._df_cache
+                          if t.startswith(prefix))[:n]
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy(F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def match_phrase_prefix(
+        self,
+        terms: list[str],
+        k: int = 10,
+        max_expansions: int | None = None,
+        prune: bool = True,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """ES match_phrase_prefix (`'"part fil*"'` in the discover box —
+        Lucene MultiPhrasePrefixQuery, the phrase-autocomplete query):
+        `terms` is the phrase IN ORDER with the LAST entry being the
+        prefix STEM (no `*`). The stem expands to the FIRST
+        `max_expansions` dictionary terms in TERM ORDER
+        (:meth:`expand_prefix_alpha`); a doc matches where the fixed
+        terms occur adjacently followed by ANY expansion. Scoring is the
+        Lucene MultiPhraseQuery convention: one BM25 weight whose idf
+        sums the fixed occurrences plus ALL expansion terms (see
+        wand.score_phrase_prefix for the full pin). slop and filters are
+        refused (not silently approximated). Returns (doc_id, score)."""
+        if not self.has_positions:
+            raise ValueError(
+                "phrase search needs an index built with "
+                "store_positions=True (this snapshot has positions=False)"
+            )
+        if not terms or not terms[-1]:
+            raise ValueError("match_phrase_prefix needs a non-empty stem")
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        fixed = list(terms[:-1])
+        alts = self.expand_prefix_alpha(terms[-1], max_expansions)
+        if not alts:
+            return self._empty()
+        uniq_fixed = sorted(set(fixed))
+        dfs = self.term_dfs(sorted(set(uniq_fixed) | set(alts)))
+        if any(t not in dfs for t in uniq_fixed):
+            return self._empty()  # a required fixed term matches nothing
+        idf_map = {t: idf(self.n_docs_scoring, d) for t, d in dfs.items()}
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc",
+                    "pos_enc"]
+        qterms = sorted(set(uniq_fixed) | set(alts))
+        cand = self.postings.filter(F.col("term").isin(qterms)) \
+            .select(*pay_cols)
+        scorer = _make_shard_scorer(
+            fixed, idf_map, k, "phrase_prefix", self.avgdl_scoring, prune,
+            self._tomb_counts, after=after, alts=alts,
+        )
+        per_shard = cand.groupBy("shard_id").applyInPandas(scorer,
+                                                           RESULT_SCHEMA)
+        if self._tomb_counts:
+            per_shard = per_shard.join(
+                F.broadcast(self.deletes), "doc_id", "left_anti"
+            )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _vocab_arrays(self):
         """Char-code matrix over the cached vocabulary for the vectorized
         fuzzy path, built ONCE per engine: numpy's U-dtype view gives the
@@ -585,6 +669,16 @@ class SearchEngine:
             return self.search(flat, "groups", k, prune, groups=expanded)
 
         terms, mode, filters = parse_kuery(q)
+        if mode == "phrase_prefix":
+            # '"part fil*"' — ES match_phrase_prefix; filters with it are
+            # refused (not approximated) until the whitelist path learns
+            # the multi-term final slot
+            if filters:
+                raise ValueError(
+                    "field filters are not supported with a phrase "
+                    "prefix query"
+                )
+            return self.match_phrase_prefix(terms, k, prune=prune)
         slop = 0
         if mode.startswith("phrase~"):
             # `"a b"~N` — the query_string sloppy-phrase syntax; the

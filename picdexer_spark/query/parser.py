@@ -105,6 +105,33 @@ def _analyze_words(words: list[str], mode: str) -> list[str]:
     return terms
 
 
+def _phrase_inner(inner: str) -> tuple[list[str], str]:
+    """Analyze the inside of a quoted phrase. A single TRAILING `*` glued
+    to the last word makes it a match_phrase_prefix (`"part fil*"` —
+    mode 'phrase_prefix', last token = the stem); any other `*`/`~`
+    placement inside a phrase is refused, not guessed."""
+    if inner.endswith("*"):
+        stem_part = inner[:-1]
+        if not stem_part or stem_part[-1].isspace():
+            raise ValueError(
+                'a phrase prefix needs the `*` glued to the last word '
+                '("part fil*")'
+            )
+        if "*" in stem_part or "~" in stem_part:
+            raise ValueError(
+                "wildcards/fuzzy inside a phrase are not supported"
+            )
+        toks = tokenize_py(stem_part)
+        if not toks:
+            raise ValueError("phrase prefix analyzed to no tokens")
+        return toks, "phrase_prefix"
+    if "*" in inner or "~" in inner:
+        raise ValueError(
+            "wildcards/fuzzy inside a phrase are not supported"
+        )
+    return tokenize_py(inner), "phrase"
+
+
 def parse_query_string(q: str) -> tuple[list[str], str]:
     """'a b' -> ([a, b], disjunctive); 'a AND b' -> ([a, b], conjunctive).
 
@@ -130,11 +157,8 @@ def parse_query_string(q: str) -> tuple[list[str], str]:
         # refuse rather than silently degrade a phrase to OR terms)
         if (stripped.startswith('"') and stripped.endswith('"')
                 and '"' not in stripped[1:-1] and len(stripped) >= 2):
-            if "*" in stripped or "~" in stripped:
-                raise ValueError(
-                    "wildcards/fuzzy inside a phrase are not supported"
-                )
-            return tokenize_py(stripped[1:-1]), "phrase"
+            toks, mode = _phrase_inner(stripped[1:-1])
+            return toks, mode
         raise ValueError("quotes are only supported as one whole-query phrase")
     raw = q.split()
     ops = {w.upper() for w in raw if w.upper() in _OPS}
@@ -297,12 +321,15 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             raise ValueError(
                 "quotes are only supported as one whole quoted phrase"
             )
-        if "*" in rest[0] or "~" in rest[0]:
-            raise ValueError(
-                "wildcards/fuzzy inside a phrase are not supported"
-            )
+        toks, pmode = _phrase_inner(rest[0][1:-1])
+        if pmode == "phrase_prefix":
+            if slop:
+                raise ValueError(
+                    "slop is not supported with a phrase prefix"
+                )
+            return toks, "phrase_prefix", filters
         mode = "phrase" if slop == 0 else f"phrase~{slop}"
-        return tokenize_py(rest[0][1:-1]), mode, filters
+        return toks, mode, filters
     ops = {w.upper() for w in rest if w.upper() in _OPS}
     if ops == {"AND"}:
         mode = "conjunctive"

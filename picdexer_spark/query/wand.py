@@ -756,3 +756,164 @@ def score_phrase(
         am = _after_mask(ids, scores, after)
         ids, scores = ids[am], scores[am]
     return _topk(ids, scores, k)
+
+
+def score_phrase_prefix(
+    fixed: list[str],
+    alts: list[str],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    allowed: np.ndarray | None = None,
+    after: tuple | None = None,
+):
+    """ES match_phrase_prefix / Lucene MultiPhrasePrefixQuery: an exact
+    phrase whose LAST slot matches ANY of the dictionary expansions of a
+    prefix stem. Pinned semantics:
+
+    - `fixed` = the phrase's leading terms IN ORDER (may be empty for a
+      bare-prefix phrase); `alts` = the stem's expansion set, gathered
+      ENGINE-side in term-dictionary order (Lucene's MultiPhrasePrefix
+      rewrite takes the FIRST max_expansions terms in term order, not
+      the highest-df ones — the documented ES match_phrase_prefix
+      gotcha, reproduced faithfully);
+    - a start position p matches iff fixed[j] occurs at p+j for every j
+      and ANY alt occurs at p+len(fixed) (exact adjacency; slop is
+      refused engine-side); phrase_tf = number of matching starts;
+    - score = BM25 with idf_sum = sum of idf over the fixed occurrences
+      PLUS sum of idf over ALL expansion terms — Lucene's
+      MultiPhraseQuery/BM25Similarity convention (termStats of every
+      expanded term are summed into one weight), shard-consistent
+      because the full expansion list is passed to every shard.
+
+    Same candidate pruning shape as score_phrase: conjunctive
+    block-range keep-mask over the fixed terms with the alt slot's
+    keep = OR over the alts' block overlaps, then one vectorized
+    (doc, pos) key membership per slot (union key stream for the alt
+    slot). No per-candidate Python."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    alts_here = [a for a in alts
+                 if a in blocks and blocks[a].n_blocks() > 0]
+    if not alts_here:
+        return empty
+    uniq = sorted(set(fixed))
+    if any(t not in blocks or blocks[t].n_blocks() == 0 for t in uniq):
+        return empty
+    if uniq:
+        sizes = {t: int(blocks[t].last.size) for t in uniq}
+        driver = min(uniq, key=lambda t: (sizes[t], t))
+        tb = blocks[driver]
+        keep = np.ones(tb.n_blocks(), bool)
+        for t in uniq:
+            if t == driver:
+                continue
+            ob = blocks[t]
+            i0 = np.searchsorted(ob.last, tb.first, side="left")
+            keep &= (i0 < ob.n_blocks()) & (
+                ob.first[np.clip(i0, 0, ob.n_blocks() - 1)] <= tb.last
+            )
+        akeep = np.zeros(tb.n_blocks(), bool)
+        for a in alts_here:
+            ob = blocks[a]
+            i0 = np.searchsorted(ob.last, tb.first, side="left")
+            akeep |= (i0 < ob.n_blocks()) & (
+                ob.first[np.clip(i0, 0, ob.n_blocks() - 1)] <= tb.last
+            )
+        keep &= akeep
+        if not keep.any():
+            return empty
+        cand, _tf, cand_dl = tb.decode_many(np.flatnonzero(keep))
+        mask = np.ones(cand.size, bool)
+        for t in uniq:
+            if t == driver:
+                continue
+            _tfs, _dls, hit = blocks[t].lookup(cand)
+            mask &= hit
+            if not mask.any():
+                return empty
+        ahit = np.zeros(cand.size, bool)
+        for a in alts_here:
+            _tfs, _dls, hit = blocks[a].lookup(cand)
+            ahit |= hit
+        mask &= ahit
+    else:
+        # bare-prefix phrase ('"fil*"'): candidates = union of the alts'
+        # postings; phrase_tf = total alt occurrences per doc
+        parts_d, parts_l = [], []
+        for a in alts_here:
+            d, _tf, dl = blocks[a].decode_many(
+                np.arange(blocks[a].n_blocks()))
+            parts_d.append(d)
+            parts_l.append(dl)
+        alldoc = np.concatenate(parts_d)
+        alldl = np.concatenate(parts_l)
+        cand, first = np.unique(alldoc, return_index=True)
+        cand_dl = alldl[first]
+        mask = np.ones(cand.size, bool)
+    if allowed is not None:
+        mask &= _in_sorted(cand, allowed)
+    cand = cand[mask]
+    cand_dl = cand_dl[mask]
+    if cand.size == 0:
+        return empty
+
+    base = np.uint64(cand.min())
+    if int(cand.max() - base) >= (1 << 32):
+        raise ValueError(
+            "phrase kernel: candidate doc-id span exceeds 2^32 "
+            "(shard_range too large for packed (doc, pos) keys)"
+        )
+    m = len(fixed) + 1
+    flats = {t: blocks[t].positions_flat(cand) for t in uniq}
+    aparts = [blocks[a].positions_flat(cand) for a in alts_here]
+    for _fd, fp in list(flats.values()) + aparts:
+        if fp.size and int(fp.max()) + m >= (1 << 32):
+            raise ValueError(
+                "phrase kernel: token position exceeds 2^32 in packed "
+                "(doc, pos) keys"
+            )
+
+    def keys(docs: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        return ((docs - base) << np.uint64(32)) | pos
+
+    if fixed:
+        alt_keys = np.concatenate([keys(d, p) for d, p in aparts])
+        alt_keys.sort()
+        alive_doc, alive_pos = flats[fixed[0]]
+        for j, t in enumerate(fixed[1:], 1):
+            if alive_doc.size == 0:
+                return empty
+            hit = np.isin(
+                keys(alive_doc, alive_pos + np.uint64(j)), keys(*flats[t])
+            )
+            alive_doc, alive_pos = alive_doc[hit], alive_pos[hit]
+        if alive_doc.size == 0:
+            return empty
+        hit = np.isin(
+            keys(alive_doc, alive_pos + np.uint64(len(fixed))), alt_keys
+        )
+        alive_doc = alive_doc[hit]
+    else:
+        # one token per position, so distinct alts never share a start
+        alive_doc = np.concatenate([d for d, _p in aparts])
+        alive_doc = alive_doc[_in_sorted(alive_doc, cand)]
+    if alive_doc.size == 0:
+        return empty
+    match_docs, ptf = np.unique(alive_doc, return_counts=True)
+    ptf = ptf.astype(np.float64)
+    dl = cand_dl[np.searchsorted(cand, match_docs)].astype(np.float64)
+
+    # Lucene MultiPhraseQuery weight: fixed occurrences + ALL expansions
+    idf_sum = float(sum(idf[t] for t in fixed)
+                    + sum(idf[a] for a in alts))
+    scores = idf_sum * (ptf * (k1 + 1.0)) / (
+        ptf + k1 * (1.0 - b + b * dl / avgdl)
+    )
+    ids = match_docs.astype(np.int64)
+    if after is not None:
+        am = _after_mask(ids, scores, after)
+        ids, scores = ids[am], scores[am]
+    return _topk(ids, scores, k)
