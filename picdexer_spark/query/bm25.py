@@ -828,6 +828,15 @@ class SearchEngine:
                 ">=": col >= lit, "<=": col <= lit,
                 ">": col > lit, "<": col < lit,
             }[op]
+        if op in ("exists", "!exists"):
+            # KQL `field:*` — the ES exists query (NOT field:* = missing)
+            if f not in self._docs_fields:
+                raise ValueError(
+                    f"unknown filter field {f!r} (docs table has: "
+                    f"{sorted(self._docs_fields)})"
+                )
+            c = F.col(f).isNotNull()
+            return c if op == "exists" else ~c
         if op in ("=", "!="):
             if (not keyword and f in self.analyzed_fields
                     and self._docs_fields.get(f, "").split("(")[0]

@@ -204,6 +204,20 @@ def _match_qualifier(tok: str):
     return None if tok.startswith('"') else _FIELD_RE.match(tok)
 
 
+def _qual_leaf(f: str, v: str, tok: str,
+               negate: bool = False) -> tuple[str, str, str | None]:
+    """`field:value` -> one filter leaf. A bare UNQUOTED `*` value is the
+    KQL exists query (`field:*` — docs where the field is non-null;
+    `NOT field:*` = the ES must_not/missing form). Anything else goes
+    through the exact/analyzed value path with quotedness preserved."""
+    if v == "*":
+        return (f, "!exists" if negate else "exists", None)
+    val, quoted = _unquote_value2(v, tok)
+    if negate:
+        return (f, "!=q" if quoted else "!=", val)
+    return (f, "=q" if quoted else "=", val)
+
+
 def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
     """Full kuery-lite: 'lang:en batch OR vector' ->
     ([batch, vector], disjunctive, [(lang, '=', en)]).
@@ -253,8 +267,7 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
                     "group scored terms with filters)"
                 )
             f, v = m2.groups()
-            val, quoted = _unquote_value2(v, toks[i + 1])
-            leaf = (f, "=q" if quoted else "=", val)
+            leaf = _qual_leaf(f, v, toks[i + 1])
             prev = filters[-1]
             if len(prev) == 2 and isinstance(prev[1], list):
                 prev[1].append(leaf)
@@ -271,8 +284,7 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
                     '(to search the word "not", quote it as a phrase)'
                 )
             f, v = m2.groups()
-            val, quoted = _unquote_value2(v, toks[i + 1])
-            filters.append((f, "!=q" if quoted else "!=", val))
+            filters.append(_qual_leaf(f, v, toks[i + 1], negate=True))
             i += 2
             continue
         if i + 1 < len(toks) and toks[i + 1] in _RANGE_OPS:
@@ -292,8 +304,7 @@ def parse_kuery(q: str) -> tuple[list[str], str, list[tuple[str, str, str]]]:
             raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
-            val, quoted = _unquote_value2(v, t)
-            filters.append((f, "=q" if quoted else "=", val))
+            filters.append(_qual_leaf(f, v, t))
             _last_filter_end = i + 1
         else:
             if not t.startswith('"') and any(ch in t for ch in "<>="):
@@ -451,8 +462,7 @@ def parse_kuery_tree(q: str):
             raise ValueError(f"malformed field qualifier {t!r}")
         if m:
             f, v = m.groups()
-            val, quoted = _unquote_value2(v, t)
-            return ("filter", (f, "=q" if quoted else "=", val))
+            return ("filter", _qual_leaf(f, v, t))
         if any(ch in t for ch in "<>="):
             raise ValueError(
                 f"range operators must be space-separated ({t!r})"

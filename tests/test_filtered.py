@@ -265,3 +265,33 @@ def test_range_and_not_filters_exact(spark, built):
     with pytest.raises(ValueError):
         eng.search_filtered(["w1"], "disjunctive",
                             [("lang", ">=", "de")], 5)  # range on keyword
+
+
+def test_exists_query(spark, tmp_path):
+    """KQL `field:*` is the ES exists query (round 5): docs with the
+    field non-null match; `NOT field:*` is the missing form; the two
+    partition the corpus. Unknown fields refuse."""
+    from picdexer_spark.query.parser import parse_kuery
+
+    pdf = gen_pages(120, seed=9)
+    pdf.loc[pdf.index % 3 == 0, "lang"] = None
+    n_missing = int((pdf.index % 3 == 0).sum())
+    idx = str(tmp_path / "existsidx")
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=64))
+    eng = SearchEngine(spark, idx)
+
+    assert parse_kuery("lang:* w0") == (
+        ["w0"], "disjunctive", [("lang", "exists", None)])
+    assert parse_kuery("NOT lang:*") == (
+        [], "disjunctive", [("lang", "!exists", None)])
+
+    n_with = eng.count([], "disjunctive", [("lang", "exists", None)])
+    n_without = eng.count([], "disjunctive", [("lang", "!exists", None)])
+    assert n_with == 120 - n_missing
+    assert n_without == n_missing
+    # query-string route: filter-only exists is the constant-score path
+    rows = eng.search_query_string("NOT lang:* *", 200).collect()
+    assert len(rows) == n_missing
+    with pytest.raises(ValueError, match="unknown filter field"):
+        eng.count([], "disjunctive", [("nope", "exists", None)])
