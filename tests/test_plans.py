@@ -221,3 +221,19 @@ def test_terms_error_bounds_plan_shape(spark, built):
     assert s.count("BroadcastExchange") >= 2, s
     rows = res.collect()
     assert rows and all(r["doc_count_error"] >= 0 for r in rows)
+
+
+def test_phrase_prefix_plan_pushes_expanded_in_filter(spark, tmp_path):
+    """match_phrase_prefix's postings scan must push the whole expanded
+    term set (fixed + alts) as one In(term) filter to parquet — the same
+    candidate-only scan shape as the flat kernels, ~51 terms instead of
+    a dictionary sweep."""
+    pages = spark.createDataFrame(gen_pages(300, seed=31))
+    idx = str(tmp_path / "ppplan")
+    build_index(spark, pages, idx,
+                IndexConfig(shard_range=128, store_positions=True))
+    eng = SearchEngine(spark, idx)
+    res = eng.match_phrase_prefix(["w0", "w1"], 5)
+    assert has_pushed_filter(res, "In(term"), explain_str(res, "formatted")
+    rows = res.collect()
+    assert rows and all(r["score"] > 0 for r in rows)
