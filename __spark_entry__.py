@@ -287,24 +287,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_filtered_querystring"] = bm25_filtered_querystring
 
-    def bm25_prefix_querystring(s, d):
-        # kuery trailing-* prefix: `s*` expands against the term dictionary
-        # (top_terms_N rewrite, df desc / term asc, capped at 50) and the
-        # expansion scores disjunctively with each term's own idf
-        # (scoring_boolean), OR'd with the bare term
+    def bm25_prefix_range(s, d):
+        # gate-window fold (round 5, the date_hist_multi pattern): two
+        # query-string families in one driver row, tagged by `gate` —
+        # 'prefix': kuery trailing-* prefix (`s*` expands against the term
+        # dictionary, top_terms_N rewrite df desc / term asc capped at 50,
+        # scoring_boolean disjunction OR'd with the bare term);
+        # 'range': KQL range + NOT (`warc_ts >= ts` discover time-picker,
+        # `NOT lang:de` must_not — null-safe) compiled into the cogrouped
+        # filter whitelist, BM25 stats corpus-wide
         eng = SearchEngine(s, _get_index(s, d))
-        res = eng.search_query_string(PREFIX_QSTRING, 10)
-        return res.select("doc_id", F.round("score", 4).alias("score"))
-    q["bm25_prefix_querystring"] = bm25_prefix_querystring
-
-    def bm25_range_querystring(s, d):
-        # KQL range + NOT: `warc_ts >= ts` (discover time-picker) and
-        # `NOT lang:de` (must_not — null-safe) compiled into the cogrouped
-        # filter whitelist; BM25 stats stay corpus-wide
-        eng = SearchEngine(s, _get_index(s, d))
-        res = eng.search_query_string(RANGE_QSTRING, 10)
-        return res.select("doc_id", F.round("score", 4).alias("score"))
-    q["bm25_range_querystring"] = bm25_range_querystring
+        pre = eng.search_query_string(PREFIX_QSTRING, 10).select(
+            F.lit("prefix").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        rng = eng.search_query_string(RANGE_QSTRING, 10).select(
+            F.lit("range").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return pre.unionByName(rng).orderBy(
+            "gate", F.desc("score"), F.asc("doc_id"))
+    q["bm25_prefix_range"] = bm25_prefix_range
 
     def query_filtered_top_langs(s, d):
         # the Kibana query-bar -> dashboard-panels contract: a panel
@@ -471,12 +472,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("cardinality").alias("gate"),
             F.lit("lang_n_distinct").alias("key"),
             F.col("n_distinct").cast("double").alias("value"))
+        # round 5: ES extended_stats — the second-moment family
+        # (POPULATION variance, the ES contract) in the same scan shape.
+        # Hash stability: variance/std are RE-DERIVED closed-form from the
+        # operator's exact integer moments (ssq/n - mean^2) so Spark and
+        # DuckDB produce bit-identical doubles — Welford-style var_pop
+        # accumulation order differs across engines past round(6) at this
+        # magnitude. extended_stats' own var_pop path is pinned exactly in
+        # tests/test_dashboards.py::test_extended_stats_population_variance.
+        ext = dash.extended_stats(dl, "dl", sigma=2.0).selectExpr(
+            "'ext' AS gate",
+            "sum_of_squares / count - avg * avg AS vr",
+            "sqrt(sum_of_squares / count - avg * avg) AS sd",
+            "sum_of_squares AS ssq", "avg AS av",
+        ).selectExpr(
+            "gate",
+            "stack(5, 'sum_sq', ssq, 'variance', vr, 'std_dev', sd, "
+            "'std_upper', av + 2.0d * sd, 'std_lower', av - 2.0d * sd) "
+            "AS (key, value)")
         return (
-            st.unionByName(pct).unionByName(card)
+            st.unionByName(pct).unionByName(card).unionByName(ext)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key")
         )
     q["metric_aggs_multi"] = metric_aggs_multi
+
+    def bucket_aggs_multi(s, d):
+        # round-5 bucket-agg family fold, tagged (gate, key, value):
+        # 'hist'  — ES numeric histogram over token length, interval 50,
+        #           min_doc_count=0 (zero-filled gaps between min and max
+        #           bucket — the contiguous-bar-chart contract);
+        # 'mterms'— ES multi_terms over (lang, 100-token length bucket),
+        #           top-8 by doc_count desc / key tuple asc;
+        # 'thits' — ES top_hits: per-lang top-2 docs by token length desc
+        #           (doc_id asc tie), value = the hit's doc_id
+        docs = _tbl(s, d, "documents")
+        dld = docs.select("doc_id", "lang",
+                          F.size(tokens_col("text")).alias("dl"))
+        hist = dash.histogram_agg(dld, "dl", 50.0).select(
+            F.lit("hist").alias("gate"),
+            F.col("key").cast("long").cast("string").alias("key"),
+            F.col("doc_count").cast("double").alias("value"))
+        mt = dash.multi_terms(
+            dld.select("lang",
+                       (F.floor(F.col("dl") / 100) * 100).alias("lb")),
+            ["lang", "lb"], k=8,
+        ).select(
+            F.lit("mterms").alias("gate"),
+            F.concat_ws("|", "lang", F.col("lb").cast("string")).alias("key"),
+            F.col("doc_count").cast("double").alias("value"))
+        th = dash.top_hits(
+            dld, "lang", [F.desc("dl"), F.asc("doc_id")], k=2,
+            select=["doc_id"],
+        ).select(
+            F.lit("thits").alias("gate"),
+            F.concat_ws("|", "lang", F.col("rk").cast("string")).alias("key"),
+            F.col("doc_id").cast("double").alias("value"))
+        return (
+            hist.unionByName(mt).unionByName(th)
+            .select("gate", "key", F.round("value", 6).alias("value"))
+            .orderBy("gate", "key", "value")
+        )
+    q["bucket_aggs_multi"] = bucket_aggs_multi
 
     def composite_agg_page(s, d):
         # ES composite agg — the scalable export-all-buckets agg: page 2
@@ -950,7 +1007,7 @@ def oracle_sql() -> dict[str, str]:
     # range + NOT ride the same post-scoring slot: warc_ts is
     # 2024-01-01 + doc_id sec by construction, so the >= cut is a doc_id
     # bound; IS DISTINCT FROM mirrors the engine's null-safe must_not
-    o["bm25_range_querystring"] = BM25_SQL_TEMPLATE.format(
+    range_sql = BM25_SQL_TEMPLATE.format(
         terms=sql_terms(QSTRING_TERMS),
         conj_filter=(
             f"JOIN documents USING (doc_id) "
@@ -1267,7 +1324,13 @@ def oracle_sql() -> dict[str, str]:
                       sum(dl)::double AS sm FROM dl),
         qt AS (SELECT quantile_cont(dl, 0.5) AS p50,
                       quantile_cont(dl, 0.9) AS p90,
-                      quantile_cont(dl, 0.99) AS p99 FROM dl)
+                      quantile_cont(dl, 0.99) AS p99 FROM dl),
+        ex AS (SELECT sum(dl::double * dl) AS ssq,
+                      sum(dl::double * dl) / count(dl) - avg(dl) * avg(dl)
+                        AS vr,
+                      sqrt(sum(dl::double * dl) / count(dl)
+                           - avg(dl) * avg(dl)) AS sd,
+                      avg(dl) AS av FROM dl)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT 'stats' AS gate, 'count' AS key, c AS value FROM st
           UNION ALL SELECT 'stats', 'min', mn FROM st
@@ -1277,10 +1340,52 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'pct', '0.5', p50 FROM qt
           UNION ALL SELECT 'pct', '0.9', p90 FROM qt
           UNION ALL SELECT 'pct', '0.99', p99 FROM qt
+          UNION ALL SELECT 'ext', 'sum_sq', ssq FROM ex
+          UNION ALL SELECT 'ext', 'variance', vr FROM ex
+          UNION ALL SELECT 'ext', 'std_dev', sd FROM ex
+          UNION ALL SELECT 'ext', 'std_upper', av + 2.0 * sd FROM ex
+          UNION ALL SELECT 'ext', 'std_lower', av - 2.0 * sd FROM ex
           UNION ALL SELECT 'cardinality', 'lang_n_distinct',
             (SELECT count(DISTINCT lang) FROM documents)::double)
         ORDER BY gate, key
-    """
+"""
+    # round-5 bucket-agg family fold: histogram (zero-filled gaps) +
+    # multi_terms (composite-key top-8) + top_hits (per-lang top-2)
+    o["bucket_aggs_multi"] = """
+        WITH dl AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+          FROM documents),
+        hbkt AS (SELECT (dl // 50) * 50 AS k, count(*) AS n
+                 FROM dl GROUP BY 1),
+        hb AS (SELECT min(k) AS lo, max(k) AS hi FROM hbkt),
+        hist AS (
+          SELECT 'hist' AS gate, gs.k::varchar AS key,
+                 coalesce(hbkt.n, 0)::double AS value
+          FROM (SELECT unnest(generate_series(lo, hi, 50)) AS k FROM hb) gs
+          LEFT JOIN hbkt ON hbkt.k = gs.k),
+        mt AS (
+          SELECT 'mterms' AS gate,
+                 lang || '|' || ((dl // 100) * 100)::varchar AS key,
+                 count(*)::double AS value
+          FROM dl WHERE lang IS NOT NULL
+          GROUP BY lang, (dl // 100) * 100
+          ORDER BY count(*) DESC, lang ASC, (dl // 100) * 100 ASC LIMIT 8),
+        th AS (
+          SELECT 'thits' AS gate, lang || '|' || rk::varchar AS key,
+                 doc_id::double AS value
+          FROM (SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY dl DESC, doc_id ASC)
+                         AS rk
+                FROM dl WHERE lang IS NOT NULL)
+          WHERE rk <= 2)
+        SELECT gate, key, round(value, 6) AS value FROM (
+          SELECT * FROM hist
+          UNION ALL SELECT * FROM mt
+          UNION ALL SELECT * FROM th)
+        ORDER BY gate, key, value
+"""
     # composite agg page 2: grouped keys asc, strictly-greater cursor
     o["composite_agg_page"] = """
         WITH b AS (
@@ -1410,7 +1515,7 @@ def oracle_sql() -> dict[str, str]:
     # prefix expansion computed IN SQL: the same top_terms_50 rewrite the
     # engine pins (df desc, term asc, LIMIT cap) — the oracle validates the
     # dictionary expansion, not just the scoring of a hardcoded term set
-    o["bm25_prefix_querystring"] = f"""
+    prefix_sql = f"""
         WITH tok AS MATERIALIZED (
           SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1440,6 +1545,15 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY tf.doc_id)
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+    # gate-window fold: prefix + range ride ONE driver row, tagged — the
+    # union of the two standalone oracles (each stays a full CTE subquery)
+    o["bm25_prefix_range"] = f"""
+        SELECT * FROM (
+          SELECT 'prefix' AS gate, doc_id, score FROM ({prefix_sql})
+          UNION ALL
+          SELECT 'range' AS gate, doc_id, score FROM ({range_sql})
+        ) ORDER BY gate, score DESC, doc_id ASC
     """
 
     phrase_str = " ".join(PHRASE)

@@ -447,3 +447,119 @@ def composite_agg(
             eq = e if eq is None else eq & e
         counts = counts.filter(cond)
     return counts.orderBy(*[F.asc(n) for n in names]).limit(size)
+
+
+def histogram_agg(
+    df: DataFrame, col: str, interval: float,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES `histogram` aggregation (the numeric sibling of Q2's date
+    histogram; the Kibana vertical-bar viz over a number field): bucket
+    key = floor(value / interval) * interval, ordered key asc.
+
+    min_doc_count=0 is the ES DEFAULT and the part groupBy can't express
+    alone: every empty bucket BETWEEN the min and max observed keys is
+    materialized with doc_count 0 (ES histogram docs — the gap-filling
+    contract that makes bar charts contiguous). Implementation: one
+    partial-agg scan for the observed buckets, then a driver-free
+    `sequence()` explode over the [min_key, max_key] range left-joined
+    against the counts. The sequence is bucket-range-sized (panel-sized,
+    never data-sized); the only data-sized stage is the partial agg.
+    min_doc_count>=1 skips the fill (pure groupBy + filter).
+
+    NULLs are skipped (ES missing-value default). `interval` must be > 0;
+    keys are doubles (ES emits doubles for numeric histograms)."""
+    if interval <= 0:
+        raise ValueError("histogram interval must be > 0")
+    c = F.col(col)
+    key = (F.floor(c / F.lit(float(interval))) * F.lit(float(interval)))
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(key.cast("double").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if min_doc_count >= 1:
+        return counts.filter(F.col("doc_count") >= min_doc_count) \
+            .orderBy("key")
+    # gap fill: integer bucket ordinals avoid double-accumulation drift
+    bounds = counts.agg(
+        F.min(F.round(F.col("key") / interval).cast("long")).alias("lo"),
+        F.max(F.round(F.col("key") / interval).cast("long")).alias("hi"),
+    )
+    grid = bounds.filter(F.col("lo").isNotNull()).select(
+        F.explode(F.sequence("lo", "hi")).alias("ord")
+    ).select((F.col("ord") * F.lit(float(interval))).alias("key"))
+    return (
+        grid.join(counts, "key", "left")
+        .select("key",
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def extended_stats(df: DataFrame, col: str, sigma: float = 2.0) -> DataFrame:
+    """ES `extended_stats` aggregation — stats_agg plus the second-moment
+    family, all in the SAME one map-side-combinable scan: sum_of_squares,
+    variance (POPULATION variance, the ES contract — not sample),
+    std_deviation, and the std_deviation_bounds upper/lower at `sigma`
+    standard deviations (ES default sigma=2). NULLs skipped."""
+    c = F.col(col).cast("double")
+    base = df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("avg"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_of_squares"),
+        F.var_pop(c).alias("variance"),
+        F.stddev_pop(c).alias("std_deviation"),
+    )
+    return base.select(
+        "*",
+        (F.col("avg") + sigma * F.col("std_deviation"))
+        .alias("std_upper"),
+        (F.col("avg") - sigma * F.col("std_deviation"))
+        .alias("std_lower"),
+    )
+
+
+def multi_terms(df: DataFrame, cols: list[str], k: int = 10) -> DataFrame:
+    """ES `multi_terms` aggregation: terms buckets keyed by a TUPLE of
+    fields (the agg ES added because nesting terms-in-terms reorders by
+    the outer count only), top-k by doc_count desc with the full key
+    tuple asc as tie-break. Docs with a NULL in any key field are
+    skipped (ES multi_terms missing default). One partial agg +
+    TakeOrdered(k) — never a global sort."""
+    keyed = df.select(*[F.col(c) for c in cols])
+    for c in cols:
+        keyed = keyed.filter(F.col(c).isNotNull())
+    return (
+        keyed.groupBy(*cols).agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+        .limit(k)
+    )
+
+
+def top_hits(
+    df: DataFrame, group_col: str, sort_cols: list[Column],
+    k: int = 3, select: list[str] | None = None,
+) -> DataFrame:
+    """ES `top_hits` aggregation inside a terms bucket (the Kibana "latest
+    N docs per group" table): for every `group_col` bucket, the top `k`
+    rows by `sort_cols` (caller supplies fully-pinned ordering, e.g.
+    [F.desc("warc_ts"), F.asc("doc_id")]).
+
+    Plan shape: row_number over a partitionBy window + rank filter —
+    Spark's WindowGroupLimit rule pushes the k-limit INTO the window
+    sort below the exchange (verified in tests/test_plans.py for the
+    same shape on ANN top-k), so each partition ships only k rows per
+    group; no global sort, no driver hop."""
+    w = Window.partitionBy(group_col).orderBy(*sort_cols)
+    out_cols = select or [c for c in df.columns]
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, F.col("rk"), *[c for c in out_cols
+                                          if c != group_col])
+    )

@@ -123,3 +123,86 @@ def test_composite_agg_after_arity_refused(spark):
     df = spark.createDataFrame([("de", 1)], "lang string, n int")
     with pytest.raises(ValueError, match="after cursor"):
         composite_agg(df, [("lang", F.col("lang"))], after=("de", 1))
+
+
+# ---- round-5 agg family: histogram / extended_stats / multi_terms / ----
+# ---- top_hits ----------------------------------------------------------
+
+def test_histogram_fills_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.5,), (9.9,), (10.0,), (None,)], "v double")
+    got = [(r["key"], r["doc_count"])
+           for r in __import__("picdexer_spark.operators.dashboards",
+                               fromlist=["histogram_agg"])
+           .histogram_agg(df, "v", 2.0).collect()]
+    # buckets 0,2,8,10 observed; 4 and 6 must be zero-filled (ES
+    # min_doc_count=0 default); NULL skipped
+    assert got == [(0.0, 1), (2.0, 1), (4.0, 0), (6.0, 0),
+                   (8.0, 1), (10.0, 1)]
+
+
+def test_histogram_min_doc_count_1_drops_gaps(spark):
+    from picdexer_spark.operators.dashboards import histogram_agg
+    df = spark.createDataFrame([(1.0,), (9.0,)], "v double")
+    got = [(r["key"], r["doc_count"])
+           for r in histogram_agg(df, "v", 2.0, min_doc_count=1).collect()]
+    assert got == [(0.0, 1), (8.0, 1)]
+
+
+def test_histogram_negative_values_floor_toward_minus_inf(spark):
+    from picdexer_spark.operators.dashboards import histogram_agg
+    df = spark.createDataFrame([(-0.5,), (-3.0,), (1.0,)], "v double")
+    got = [(r["key"], r["doc_count"])
+           for r in histogram_agg(df, "v", 2.0).collect()]
+    # ES floors toward -inf: -0.5 -> -2, -3.0 -> -4
+    assert got == [(-4.0, 1), (-2.0, 1), (0.0, 1)]
+
+
+def test_histogram_refuses_nonpositive_interval(spark):
+    from picdexer_spark.operators.dashboards import histogram_agg
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram_agg(df, "v", 0)
+
+
+def test_extended_stats_population_variance(spark):
+    from picdexer_spark.operators.dashboards import extended_stats
+    import math
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = extended_stats(df, "v", sigma=2.0).first()
+    assert r["count"] == 8 and r["min"] == 2.0 and r["max"] == 9.0
+    assert r["sum"] == sum(vals)
+    assert r["sum_of_squares"] == sum(v * v for v in vals)
+    # ES extended_stats variance is POPULATION variance (n, not n-1)
+    assert abs(r["variance"] - 4.0) < 1e-12
+    assert abs(r["std_deviation"] - 2.0) < 1e-12
+    assert abs(r["std_upper"] - (5.0 + 4.0)) < 1e-12
+    assert abs(r["std_lower"] - (5.0 - 4.0)) < 1e-12
+    assert not math.isnan(r["avg"])
+
+
+def test_multi_terms_orders_and_skips_nulls(spark):
+    from picdexer_spark.operators.dashboards import multi_terms
+    rows = ([("en", "a")] * 3 + [("de", "a")] * 3 + [("en", "b")] * 1
+            + [(None, "x")] + [("fr", None)])
+    df = spark.createDataFrame(rows, "lang string, tag string")
+    got = [(r["lang"], r["tag"], r["doc_count"])
+           for r in multi_terms(df, ["lang", "tag"], k=2).collect()]
+    # 3/3 tie breaks by full key tuple asc: de before en
+    assert got == [("de", "a", 3), ("en", "a", 3)]
+
+
+def test_top_hits_per_bucket_topk(spark):
+    from picdexer_spark.operators.dashboards import top_hits
+    from pyspark.sql import functions as F
+    rows = [("en", 1, 10.0), ("en", 2, 30.0), ("en", 3, 20.0),
+            ("de", 4, 5.0), ("de", 5, 50.0), (None, 6, 1.0)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+    got = [(r["lang"], r["rk"], r["doc_id"])
+           for r in top_hits(df, "lang",
+                             [F.desc("s"), F.asc("doc_id")], k=2,
+                             select=["doc_id"])
+           .orderBy("lang", "rk").collect()]
+    assert got == [("de", 1, 5), ("de", 2, 4),
+                   ("en", 1, 2), ("en", 2, 3)]
