@@ -137,6 +137,9 @@ RANGE_QSTRING = ('warc_ts >= "2024-01-01 00:02:00" NOT lang:de '
                  "Batch, OR vector OR spark")
 RANGE_CUT_DOC_ID = 120
 RANGE_NOT_LANG = "de"
+
+WILDCARD_QSTRING = "v*ctor OR sp*rk"  # KQL value wildcards (round 5)
+WILDCARD_LIKES = ["v%ctor", "sp%rk"]  # the same patterns, SQL LIKE form
 # boolean kuery (round 4): filter-OR group + scored OR-group + required
 # term, all through the parenthesized tree path — groups [[batch, vector],
 # [spark]] within lang IN (en, de)
@@ -306,6 +309,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pre.unionByName(rng).orderBy(
             "gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_prefix_range"] = bm25_prefix_range
+
+    def bm25_msm_wildcard(s, d):
+        # round-5 fold, tagged by `gate`:
+        # 'msm'  — ES bool minimum_should_match=2 over the 3-term
+        #          disjunction (docs matching >= 2 terms; score = BM25 sum
+        #          over ALL matched terms — Lucene MinShouldMatchSumScorer);
+        # 'wild' — KQL value wildcards `v*ctor OR sp*rk`: each pattern
+        #          expands against the dictionary (top_terms_50 df-ranked,
+        #          per-pattern cap), scoring_boolean disjunction
+        eng = SearchEngine(s, _get_index(s, d))
+        msm = eng.search(QSTRING_TERMS, "disjunctive", 10,
+                         min_should_match=2).select(
+            F.lit("msm").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        wild = eng.search_query_string(WILDCARD_QSTRING, 10).select(
+            F.lit("wild").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return msm.unionByName(wild).orderBy(
+            "gate", F.desc("score"), F.asc("doc_id"))
+    q["bm25_msm_wildcard"] = bm25_msm_wildcard
 
     def query_filtered_top_langs(s, d):
         # the Kibana query-bar -> dashboard-panels contract: a panel
@@ -621,7 +644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_df_top"] = term_df_top
 
     # ---- dashboard surface (Q1-Q12 analogues) ----------------------------
-    q["count_all"] = lambda s, d: dash.count_all(_tbl(s, d, "documents"))
+    def counts_multi(s, d):
+        # gate-window fold (round 5): Q1 match-all count + Q11 time-range
+        # per-type count in one tagged row set
+        all_n = dash.count_all(_tbl(s, d, "documents")).select(
+            F.lit("count_all").alias("gate"), F.lit("all").alias("key"),
+            F.col("n"))
+        ev = dash.time_range(_tbl(s, d, "events"), "ts",
+                             "2024-01-10", "2024-01-20")
+        rng = ev.groupBy("event_type").agg(F.count("*").alias("n")).select(
+            F.lit("time_range").alias("gate"),
+            F.col("event_type").alias("key"), F.col("n"))
+        return all_n.unionByName(rng).orderBy("gate", "key")
+    q["counts_multi"] = counts_multi
 
     def date_hist_multi(s, d):
         # Q2 — all three Kibana date-histogram grains (12h / week / year,
@@ -678,11 +713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scripted_field"] = lambda s, d: dash.scripted_url_field(
         _tbl(s, d, "documents").select("doc_id"), "doc_id", "http://files.local"
     )
-
-    def time_range_count(s, d):
-        ev = dash.time_range(_tbl(s, d, "events"), "ts", "2024-01-10", "2024-01-20")
-        return ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    q["time_range_count"] = time_range_count
 
     def sync_on_date(s, d):
         ev = _tbl(s, d, "events")
@@ -1556,6 +1586,52 @@ def oracle_sql() -> dict[str, str]:
         ) ORDER BY gate, score DESC, doc_id ASC
     """
 
+    # round-5 fold: minimum_should_match (>= 2 matched terms, score = sum
+    # over ALL matched — the template's nt counter IS the msm predicate)
+    # + value wildcards (per-pattern top_terms_50 LIKE expansion in SQL)
+    msm_sql = BM25_SQL_TEMPLATE.format(
+        terms=sql_terms(QSTRING_TERMS), conj_filter="WHERE nt >= 2", k=10)
+    wild_expands = "\n          UNION ".join(
+        f"SELECT term FROM (SELECT term FROM dfall WHERE term LIKE "
+        f"'{p}' ORDER BY df DESC, term ASC LIMIT 50)"
+        for p in WILDCARD_LIKES)
+    wild_sql = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        dfall AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        qterms AS (
+          {wild_expands}),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN (SELECT term FROM qterms)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, df FROM dfall
+               WHERE term IN (SELECT term FROM qterms)),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+    o["bm25_msm_wildcard"] = f"""
+        SELECT * FROM (
+          SELECT 'msm' AS gate, doc_id, score FROM ({msm_sql})
+          UNION ALL
+          SELECT 'wild' AS gate, doc_id, score FROM ({wild_sql})
+        ) ORDER BY gate, score DESC, doc_id ASC
+    """
+
     phrase_str = " ".join(PHRASE)
     o["bm25_phrase"] = f'''
         WITH tok AS (
@@ -1694,7 +1770,19 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         GROUP BY term ORDER BY df DESC, term ASC LIMIT 30
     """
-    o["count_all"] = "SELECT count(*) AS n FROM documents"
+    # round-5 fold: Q1 count_all + Q11 time-range count, tagged
+    o["counts_multi"] = """
+        SELECT gate, key, n FROM (
+          SELECT 'count_all' AS gate, 'all' AS key, count(*) AS n
+          FROM documents
+          UNION ALL
+          SELECT 'time_range' AS gate, event_type AS key, count(*) AS n
+          FROM events
+          WHERE ts BETWEEN timestamp '2024-01-10'
+                       AND timestamp '2024-01-20'
+          GROUP BY event_type
+        ) ORDER BY gate, key
+    """
     o["date_hist_pipeline"] = """
         WITH h AS (
           SELECT (floor(epoch(ts) / 43200) * 43200)::bigint AS bucket,
@@ -1774,11 +1862,6 @@ def oracle_sql() -> dict[str, str]:
     o["scripted_field"] = """
         SELECT doc_id, 'http://files.local/key/' || doc_id::varchar AS key_url
         FROM documents
-    """
-    o["time_range_count"] = """
-        SELECT event_type, count(*) AS n FROM events
-        WHERE ts BETWEEN timestamp '2024-01-10' AND timestamp '2024-01-20'
-        GROUP BY event_type
     """
     o["sync_on_date"] = """
         SELECT event_id,

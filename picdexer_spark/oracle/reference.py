@@ -65,9 +65,12 @@ class OracleIndex:
         )
 
     def search(
-        self, terms: list[str], mode: str = "disjunctive", k: int = 10
+        self, terms: list[str], mode: str = "disjunctive", k: int = 10,
+        msm: int = 1,
     ) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score); mode 'conjunctive' (AND) or 'disjunctive' (OR)."""
+        """Top-k (doc_id, score); mode 'conjunctive' (AND) or 'disjunctive'
+        (OR). `msm`: ES minimum_should_match on the disjunction — a doc
+        needs >= msm matched terms; score stays the sum over ALL matched."""
         uniq = sorted(set(terms))
         if not uniq:
             return []
@@ -83,6 +86,12 @@ class OracleIndex:
             candidates = set()
             for t in uniq:
                 candidates |= set(self.postings.get(t, {}))
+            if msm > 1:
+                candidates = {
+                    d for d in candidates
+                    if sum(1 for t in uniq
+                           if d in self.postings.get(t, {})) >= msm
+                }
         else:
             raise ValueError(f"unknown mode {mode!r}")
         scored = []

@@ -25,6 +25,7 @@ BM25 spec pinned in oracle/reference.py; k1=1.2 b=0.75 (ES defaults).
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -154,7 +155,8 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
 
 
 def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
-                  allowed=None, after=None, groups=None, slop=0, alts=None):
+                  allowed=None, after=None, groups=None, slop=0, alts=None,
+                  msm=1):
     if mode == "groups":
         return score_groups(groups, blocks, idf_map, K1, B, avgdl, k_eff,
                             prune=prune, allowed=allowed, after=after)
@@ -169,12 +171,13 @@ def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
                                    avgdl, k_eff, allowed=allowed,
                                    after=after)
     return score_disjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
-                             prune=prune, allowed=allowed, after=after)
+                             prune=prune, allowed=allowed, after=after,
+                             msm=msm)
 
 
 def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
                        tomb_counts=None, after=None, groups=None, slop=0,
-                       alts=None):
+                       alts=None, msm=1):
     """Per-shard exact top-k_eff scorer. `tomb_counts` maps shard_id -> its
     tombstone COUNT (metadata-sized): each shard over-fetches
     k + |its tombstones|, and the caller anti-joins the chained `deletes`
@@ -190,14 +193,15 @@ def _make_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k_eff, prune, after=after,
-                                    groups=groups, slop=slop, alts=alts)
+                                    groups=groups, slop=slop, alts=alts,
+                                    msm=msm)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
 
 
 def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
-                                after=None, groups=None, slop=0):
+                                after=None, groups=None, slop=0, msm=1):
     """Cogrouped scorer: (candidate blocks of one shard, allowed doc_ids of
     the same shard) -> exact top-k over the allowed set only. The whitelist
     is applied INSIDE the kernels before top-k selection (a post-filter
@@ -217,7 +221,8 @@ def _make_filtered_shard_scorer(terms, idf_map, k, mode, avgdl, prune,
         blocks = _blocks_from_pdf(left)
         ids, scores = _score_blocks(mode, asc, ordered, blocks, idf_map,
                                     avgdl, k, prune, allowed=allowed,
-                                    after=after, groups=groups, slop=slop)
+                                    after=after, groups=groups, slop=slop,
+                                    msm=msm)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return score_shard
@@ -319,6 +324,7 @@ class SearchEngine:
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
         slop: int = 0,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
 
@@ -343,6 +349,15 @@ class SearchEngine:
             after = (float(after[0]), int(after[1]))
         if slop < 0 or (slop and mode != "phrase"):
             raise ValueError("slop is only valid (>= 0) for phrase queries")
+        # ES bool minimum_should_match: >= m of the should terms must
+        # match; score stays the BM25 sum over ALL matched terms (Lucene
+        # MinShouldMatchSumScorer). Only meaningful on a disjunction —
+        # conj/phrase/groups already encode their own match requirement.
+        if min_should_match < 1:
+            raise ValueError("min_should_match must be >= 1")
+        if min_should_match > 1 and mode != "disjunctive":
+            raise ValueError(
+                "min_should_match only applies to disjunctive queries")
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -385,6 +400,10 @@ class SearchEngine:
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
+        # a doc can only match PRESENT terms, so msm > |present| is
+        # unsatisfiable (ES: an absent optional clause never matches)
+        if min_should_match > len(present):
+            return self._empty()
         idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
@@ -396,7 +415,8 @@ class SearchEngine:
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
                                     self.avgdl_scoring, prune, self._tomb_counts,
-                                    after=after, groups=groups, slop=slop)
+                                    after=after, groups=groups, slop=slop,
+                                    msm=min_should_match)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
         if self._tomb_counts:
             # drop tombstoned docs distributed-side (deletes stays a DF;
@@ -455,6 +475,43 @@ class SearchEngine:
             self.term_stats.filter(F.col("term").startswith(prefix))
             .select("term")
             .orderBy(F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms matching a `*`-wildcard pattern (`te*st`,
+        `*fix`, `fo*a*r`), the `max_expansions` highest-df ones (ties ->
+        term asc) — the same Lucene top_terms_N rewrite contract as
+        :meth:`expand_prefix`, extended to the ES/KQL value wildcard.
+        The pattern is matched verbatim (no analysis; the parser already
+        lowercased and charset-checked it).
+
+        Scale shape: the literal prefix BEFORE the first `*` is pushed to
+        the term-dictionary parquet scan as StringStartsWith (row groups
+        outside the prefix range never load); the full pattern then
+        filters via JVM `rlike`. A leading-`*` pattern has no pushable
+        prefix and sweeps the dictionary — the same documented cost ES
+        pays for allow_leading_wildcard."""
+        n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
+            else max_expansions
+        parts = pattern.split("*")
+        rx = "^" + ".*".join(re.escape(p) for p in parts) + "$"
+        if self._df_cache is not None:
+            pat = re.compile(rx)
+            hits = [(t, d) for t, d in self._df_cache.items()
+                    if pat.match(t)]
+            hits.sort(key=lambda td: (-td[1], td[0]))
+            return [t for t, _ in hits[:n]]
+        dfq = self.term_stats
+        if parts[0]:
+            dfq = dfq.filter(F.col("term").startswith(parts[0]))
+        rows = (
+            dfq.filter(F.col("term").rlike(rx))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
             .limit(n)
             .collect()
         )
@@ -642,8 +699,10 @@ class SearchEngine:
             for g in groups:
                 exp: set[str] = set()
                 for t in g:
-                    if t.endswith("*"):
+                    if t.endswith("*") and "*" not in t[:-1]:
                         exp.update(self.expand_prefix(t[:-1]))
+                    elif "*" in t:
+                        exp.update(self.expand_wildcard(t))
                     elif "~" in t:
                         stem, d = t.rsplit("~", 1)
                         exp.update(self.expand_fuzzy(stem, int(d)))
@@ -685,12 +744,15 @@ class SearchEngine:
             # parser carries the slop in the mode string
             slop = int(mode.split("~", 1)[1])
             mode = "phrase"
-        if any(t.endswith("*") or "~" in t for t in terms):
-            # parser guarantees prefix/fuzzy only reach here in OR context
+        if any("*" in t or "~" in t for t in terms):
+            # parser guarantees prefix/wildcard/fuzzy only reach here in
+            # OR context
             exp: set[str] = set()
             for t in terms:
-                if t.endswith("*"):
+                if t.endswith("*") and "*" not in t[:-1]:
                     exp.update(self.expand_prefix(t[:-1]))
+                elif "*" in t:
+                    exp.update(self.expand_wildcard(t))
                 elif "~" in t:
                     stem, d = t.rsplit("~", 1)
                     exp.update(self.expand_fuzzy(stem, int(d)))
@@ -892,6 +954,7 @@ class SearchEngine:
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
         slop: int = 0,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -907,12 +970,18 @@ class SearchEngine:
         selection, so results are exact at any filter selectivity."""
         if not filters:
             return self.search(terms, mode, k, prune, after=after,
-                               groups=groups, slop=slop)
+                               groups=groups, slop=slop,
+                               min_should_match=min_should_match)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
         if slop < 0 or (slop and mode != "phrase"):
             raise ValueError("slop is only valid (>= 0) for phrase queries")
+        if min_should_match < 1:
+            raise ValueError("min_should_match must be >= 1")
+        if min_should_match > 1 and mode != "disjunctive":
+            raise ValueError(
+                "min_should_match only applies to disjunctive queries")
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -965,6 +1034,8 @@ class SearchEngine:
         present = [t for t in uniq if t in dfs]
         if not present:
             return self._empty()
+        if min_should_match > len(present):
+            return self._empty()  # unsatisfiable, see search()
         idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
 
         allowed = live.filter(cond).select(
@@ -981,7 +1052,8 @@ class SearchEngine:
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
                                              self.avgdl_scoring, prune,
                                              after=after, groups=groups,
-                                             slop=slop)
+                                             slop=slop,
+                                             msm=min_should_match)
         per_shard = (
             cand.groupBy("shard_id")
             .cogroup(allowed.groupBy("shard_id"))

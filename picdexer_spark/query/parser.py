@@ -33,7 +33,11 @@ rewrite — see SearchEngine.expand_prefix). Prefixes are OR-context only:
 with `AND` or inside a phrase they are refused, not guessed. A bare `*`
 is kuery match-all — it contributes no scored term (so `lang:en *` is
 the filter-only constant-score path). A `*` anywhere else in a word
-(mid-word wildcard) is refused.
+(`te*st`, `*fix` — the KQL value wildcard) is a WILDCARD term (round 5):
+unanalyzed beyond lowercasing, dictionary-charset + stars only,
+OR-context only; the engine expands it against the term dictionary
+(SearchEngine.expand_wildcard, the same top_terms_N scoring_boolean
+rewrite as prefix).
 """
 
 from __future__ import annotations
@@ -54,6 +58,7 @@ _TOKEN_RE = re.compile(r'[^\s":]+:"[^"]*"|"[^"]*"|\S+')
 
 
 _FUZZY_RE = re.compile(r"^(.*?)~([12]?)$", re.DOTALL)
+_WILDCARD_RE = re.compile(r"^[a-z0-9*]+$")
 
 
 def _analyze_words(words: list[str], mode: str) -> list[str]:
@@ -79,10 +84,28 @@ def _analyze_words(words: list[str], mode: str) -> list[str]:
                 )
             terms.append(stem[0] + "*")
         elif "*" in w:
-            raise ValueError(
-                f"mid-word wildcard {w!r} is not supported (trailing-* "
-                "prefix only)"
-            )
+            # KQL value wildcard (`te*st`, `*fix`, `fo*a*r`): the pattern
+            # is NOT analyzed (Lucene wildcard contract — lowercased
+            # only), so it must already be one clean dictionary-charset
+            # token with stars. OR-context only, like prefix/fuzzy; the
+            # engine expands it against the term dictionary
+            # (SearchEngine.expand_wildcard, top_terms_N + scoring
+            # boolean — the same documented rewrite as prefix).
+            if mode != "disjunctive":
+                raise ValueError(
+                    "wildcard terms are only supported in OR context"
+                )
+            pat = w.lower()
+            if not _WILDCARD_RE.match(pat):
+                raise ValueError(
+                    f"wildcard {w!r} must be letters/digits and `*` only"
+                )
+            if not pat.strip("*"):
+                raise ValueError(
+                    f"wildcard {w!r} has no literal characters "
+                    "(bare `*` is match-all)"
+                )
+            terms.append(pat)
         elif "~" in w:
             m = _FUZZY_RE.match(w)
             if not m or "~" in m.group(1) or not m.group(1):

@@ -328,10 +328,21 @@ def score_disjunctive(
     prune: bool = True,
     allowed: np.ndarray | None = None,
     after: tuple | None = None,
+    msm: int = 1,
 ):
     """Exact disjunctive (OR) top-k. `allowed`: optional sorted doc_id
     whitelist, see score_conjunctive; `after`: optional search_after
     cursor, see _after_mask.
+
+    `msm`: ES bool `minimum_should_match` — a doc qualifies only if it
+    matches at least `msm` of the should terms; its score stays the BM25
+    sum over ALL its matched terms (not just msm of them), the Lucene
+    MinShouldMatchSumScorer contract. msm=1 is plain OR; msm=len(terms)
+    equals conjunctive (delegated driver-side before reaching here).
+    Block-max pruning stays exact under msm: dropping sub-msm docs never
+    raises any surviving doc's score, so every segment ub remains an
+    upper bound; segments overlapped by fewer than msm distinct terms
+    are additionally skipped outright (they cannot contain a match).
 
     prune=True: block-max segment pruning (doc-range segments whose summed
     ub cannot beat the running kth score are skipped — wins whenever term
@@ -343,7 +354,7 @@ def score_disjunctive(
     """
     asc = [t for t in sorted(terms) if t in blocks and blocks[t].n_blocks() > 0]
     empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
-    if not asc:
+    if not asc or msm > len(asc):
         return empty
 
     if not prune:
@@ -353,13 +364,18 @@ def score_disjunctive(
             ids, tfs, dls = tb.decode_many(np.arange(tb.n_blocks()))
             if ids.size:
                 parts.append((t, ids, tfs, dls))
-        if not parts:
+        if not parts or msm > len(parts):
             return empty
         all_ids = np.unique(np.concatenate([p[1] for p in parts]))
         scores = np.zeros(all_ids.size, np.float64)
+        nmatch = np.zeros(all_ids.size, np.int64)
         for t, ids, tfs, dls in parts:  # asc term order (pinned summation)
             pos = np.searchsorted(all_ids, ids)
             scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+            nmatch[pos] += 1
+        if msm > 1:
+            keep = nmatch >= msm
+            all_ids, scores = all_ids[keep], scores[keep]
         if allowed is not None:
             keep = _in_sorted(all_ids, allowed)
             all_ids, scores = all_ids[keep], scores[keep]
@@ -416,13 +432,18 @@ def score_disjunctive(
             j0, j1 = np.searchsorted(ids, [np.uint64(lo), np.uint64(hi + 1)])
             if j1 > j0:
                 parts.append((t, ids[j0:j1], tfs[j0:j1], dls[j0:j1]))
-        if not parts:
-            continue
+        if len(parts) < msm:
+            continue  # a match needs >= msm distinct terms in the segment
         all_ids = np.unique(np.concatenate([p[1] for p in parts]))
         scores = np.zeros(all_ids.size, np.float64)
+        nmatch = np.zeros(all_ids.size, np.int64)
         for t, ids, tfs, dls in parts:  # parts already in asc term order
             pos = np.searchsorted(all_ids, ids)
             scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+            nmatch[pos] += 1
+        if msm > 1:
+            keep = nmatch >= msm
+            all_ids, scores = all_ids[keep], scores[keep]
         if allowed is not None:
             keep = _in_sorted(all_ids, allowed)
             all_ids, scores = all_ids[keep], scores[keep]

@@ -40,8 +40,10 @@ def test_parser_prefix_boundaries():
     assert parse_kuery("lang:en *") == ([], "disjunctive",
                                         [("lang", "=", "en")])
     # '"part filter*"' is match_phrase_prefix since round 5 (own tests in
-    # test_phrase_prefix.py); these remain refusals
-    for bad in ("ma*ch", "a AND b*", '"part fil*ter"', '"part *"', "**"):
+    # test_phrase_prefix.py) and 'ma*ch' is a VALUE WILDCARD since round 5
+    # (own tests in test_wildcard.py); these remain refusals
+    assert parse_query_string("ma*ch") == (["ma*ch"], "disjunctive")
+    for bad in ("a AND b*", '"part fil*ter"', '"part *"', "**"):
         with pytest.raises(ValueError):
             parse_kuery(bad)
     with pytest.raises(ValueError):
