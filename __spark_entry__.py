@@ -140,6 +140,13 @@ RANGE_NOT_LANG = "de"
 
 WILDCARD_QSTRING = "v*ctor OR sp*rk"  # KQL value wildcards (round 5)
 WILDCARD_LIKES = ["v%ctor", "sp%rk"]  # the same patterns, SQL LIKE form
+
+# multi-field BM25 (round 5): the url field scores with its OWN stats
+# (df/docCount/avgdl over the analyzed doc:// urls); multi_match combines
+# the per-field scores (most_fields = sum, best_fields = dis_max + tie)
+URLFIELD_TERMS = ["doc", "000000000007"]
+MM_TERMS = ["spark", "000000000011"]
+MM_TIE = 0.3
 # boolean kuery (round 4): filter-OR group + scored OR-group + required
 # term, all through the parenthesized tree path — groups [[batch, vector],
 # [spark]] within lang IN (en, de)
@@ -329,6 +336,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return msm.unionByName(wild).orderBy(
             "gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_msm_wildcard"] = bm25_msm_wildcard
+
+    def bm25_multifield(s, d):
+        # round-5 multi-field fold, tagged by `gate`:
+        # 'url'     — BM25 scored on the url FIELD alone (namespaced
+        #             postings, per-field df/docCount/avgdl — Lucene
+        #             multi-field statistics);
+        # 'mm_most' — ES multi_match most_fields over (text, url):
+        #             score = sum of the per-field BM25 scores;
+        # 'mm_best' — best_fields (dis_max): max + 0.3 * others
+        eng = SearchEngine(s, _get_index(s, d))
+        u = eng.search(URLFIELD_TERMS, "disjunctive", 10,
+                       field="url").select(
+            F.lit("url").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        most = eng.multi_match(MM_TERMS, 10, "most_fields").select(
+            F.lit("mm_most").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        best = eng.multi_match(MM_TERMS, 10, "best_fields",
+                               tie_breaker=MM_TIE).select(
+            F.lit("mm_best").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return u.unionByName(most).unionByName(best).orderBy(
+            "gate", F.desc("score"), F.asc("doc_id"))
+    q["bm25_multifield"] = bm25_multifield
 
     def query_filtered_top_langs(s, d):
         # the Kibana query-bar -> dashboard-panels contract: a panel
@@ -710,9 +741,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sorted_projection"] = sorted_projection
 
-    q["scripted_field"] = lambda s, d: dash.scripted_url_field(
-        _tbl(s, d, "documents").select("doc_id"), "doc_id", "http://files.local"
-    )
+    def derived_fields_multi(s, d):
+        # gate-window fold (round 5): the two derived-string-field ops in
+        # one tagged row set — 'scripted' = Q10 scripted url field
+        # (key_url per doc, n = doc_id), 'folder' = B9 path->Folder terms
+        # (n = bucket count)
+        sf = dash.scripted_url_field(
+            _tbl(s, d, "documents").select("doc_id"), "doc_id",
+            "http://files.local",
+        ).select(F.lit("scripted").alias("gate"),
+                 F.col("key_url").alias("key"),
+                 F.col("doc_id").cast("long").alias("n"))
+        docs = _tbl(s, d, "documents").selectExpr(
+            "doc_id",
+            "'/corpus/' || source || '/' || cast(doc_id AS STRING) || "
+            "'.html' AS path",
+        )
+        ft = (
+            docs.select(geo.folder_of("path").alias("folder"))
+            .groupBy("folder").agg(F.count("*").alias("n"))
+            .select(F.lit("folder").alias("gate"),
+                    F.col("folder").alias("key"), F.col("n"))
+        )
+        return sf.unionByName(ft).orderBy("gate", "key")
+    q["derived_fields_multi"] = derived_fields_multi
 
     def sync_on_date(s, d):
         ev = _tbl(s, d, "events")
@@ -755,18 +807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dms.unionAll(grid)
     q["geo_multi"] = geo_multi
 
-    def folder_terms(s, d):
-        docs = _tbl(s, d, "documents").selectExpr(
-            "doc_id",
-            "'/corpus/' || source || '/' || cast(doc_id AS STRING) || '.html' AS path",
-        )
-        return (
-            docs.select(geo.folder_of("path").alias("folder"))
-            .groupBy("folder")
-            .agg(F.count("*").alias("n"))
-            .orderBy("folder")
-        )
-    q["folder_terms"] = folder_terms
 
     q["point_lookup"] = lambda s, d: dash.point_lookup(
         _tbl(s, d, "documents"), "doc_id", 42
@@ -1632,6 +1672,89 @@ def oracle_sql() -> dict[str, str]:
         ) ORDER BY gate, score DESC, doc_id ASC
     """
 
+    # round-5 multi-field fold: the url field scores with ITS OWN BM25
+    # statistics over the analyzed doc:// urls (reconstructed in SQL the
+    # same way the analyzed-field oracle does); multi_match joins the
+    # per-field score sets FULL OUTER and combines
+    url_scored = """
+        WITH utok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   lower('doc://' || lpad(doc_id::varchar, 12, '0')),
+                   '[a-z0-9]+')) AS term
+          FROM documents),
+        udl AS (SELECT doc_id, count(*) AS dl FROM utok GROUP BY doc_id),
+        ust AS (SELECT (SELECT count(*) FROM udl) AS n_docs,
+                       (SELECT coalesce(sum(dl), 0) FROM udl) AS total_len),
+        utf AS (SELECT doc_id, term, count(*) AS tf FROM utok
+                WHERE term IN ({terms}) GROUP BY doc_id, term),
+        udf AS (SELECT term, count(DISTINCT doc_id) AS df FROM utok
+                WHERE term IN ({terms}) GROUP BY term)
+        SELECT utf.doc_id,
+               sum( ln(1 + (ust.n_docs - udf.df + 0.5) / (udf.df + 0.5))
+                    * (utf.tf * 2.2)
+                    / (utf.tf + 1.2 * (1 - 0.75 + 0.75 * udl.dl
+                                       / (ust.total_len::double
+                                          / ust.n_docs))) ) AS s
+        FROM utf JOIN udf USING (term) JOIN udl USING (doc_id)
+        CROSS JOIN ust
+        GROUP BY utf.doc_id
+    """
+    text_scored = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({terms}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term IN ({terms}) GROUP BY term)
+        SELECT tf.doc_id,
+               sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                      / (st.total_len::double
+                                         / st.n_docs))) ) AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+    """
+    u_top = (f"SELECT doc_id, round(s, 4) AS score "
+             f"FROM ({url_scored.format(terms=sql_terms(URLFIELD_TERMS))}) "
+             f"ORDER BY s DESC, doc_id ASC LIMIT 10")
+    mm_join = f"""
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(a.s, 0) AS ts, coalesce(b.s, 0) AS us
+        FROM ({text_scored.format(terms=sql_terms(MM_TERMS))}) a
+        FULL OUTER JOIN ({url_scored.format(terms=sql_terms(MM_TERMS))}) b
+          ON a.doc_id = b.doc_id
+    """
+    mm_most_top = f"""
+        SELECT doc_id, round(ts + us, 4) AS score FROM ({mm_join})
+        ORDER BY ts + us DESC, doc_id ASC LIMIT 10
+    """
+    mm_best_top = f"""
+        SELECT doc_id,
+               round(greatest(ts, us)
+                     + {MM_TIE} * (ts + us - greatest(ts, us)), 4) AS score
+        FROM ({mm_join})
+        ORDER BY greatest(ts, us)
+                 + {MM_TIE} * (ts + us - greatest(ts, us)) DESC,
+                 doc_id ASC
+        LIMIT 10
+    """
+    o["bm25_multifield"] = f"""
+        SELECT * FROM (
+          SELECT 'url' AS gate, doc_id, score FROM ({u_top})
+          UNION ALL
+          SELECT 'mm_most' AS gate, doc_id, score FROM ({mm_most_top})
+          UNION ALL
+          SELECT 'mm_best' AS gate, doc_id, score FROM ({mm_best_top})
+        ) ORDER BY gate, score DESC, doc_id ASC
+    """
+
     phrase_str = " ".join(PHRASE)
     o["bm25_phrase"] = f'''
         WITH tok AS (
@@ -1859,9 +1982,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, floor(epoch(ts))::bigint AS ts_epoch, event_type, user_id
         FROM events ORDER BY ts_epoch DESC, event_id ASC LIMIT 100
     """
-    o["scripted_field"] = """
-        SELECT doc_id, 'http://files.local/key/' || doc_id::varchar AS key_url
-        FROM documents
+    # round-5 fold: scripted url field + path->Folder terms, tagged
+    o["derived_fields_multi"] = """
+        SELECT gate, key, n FROM (
+          SELECT 'scripted' AS gate,
+                 'http://files.local/key/' || doc_id::varchar AS key,
+                 doc_id AS n
+          FROM documents
+          UNION ALL
+          SELECT 'folder' AS gate, '/corpus/' || source AS key,
+                 count(*) AS n
+          FROM documents GROUP BY 2
+        ) ORDER BY gate, key
     """
     o["sync_on_date"] = """
         SELECT event_id,
@@ -1945,11 +2077,6 @@ def oracle_sql() -> dict[str, str]:
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         GROUP BY 3, 4
     """
-    o["folder_terms"] = """
-        SELECT '/corpus/' || source AS folder, count(*) AS n
-        FROM documents GROUP BY 1 ORDER BY 1
-    """
-
     # ---- multimodal: REAL PPM decode/resize, reconstructed in SQL --------
     # the payload is pure ASCII, so the varchar the oracle builds is
     # byte-identical to the engine's binary column (md5/length agree)

@@ -69,7 +69,11 @@ from picdexer_spark.index.codec import (
     segmented_delta_decode,
     varint_decode,
 )
-from picdexer_spark.sources.catalog import POSTINGS_SCHEMA, IndexCatalog
+from picdexer_spark.sources.catalog import (
+    POSTINGS_SCHEMA,
+    URL_FIELD_NS,
+    IndexCatalog,
+)
 
 
 @dataclass
@@ -86,6 +90,17 @@ class IndexConfig:
     #: data) — enables phrase queries; costs extra shuffle volume + index
     #: bytes (roughly the corpus token count in varints), so it is opt-in
     store_positions: bool = False
+    #: index the `url` column as a SECOND scored text field (the ES
+    #: multi-field mapping: every string field is `text` + `.keyword`,
+    #: reference internal/setup/assets/picdexer.json:67-93). Url tokens
+    #: ride the SAME posting pipeline namespaced `\x1furl\x1f<token>`
+    #: (the \x1f sentinel is outside the analyzer charset, so no user
+    #: term or prefix can collide) with the url token count as their dl,
+    #: giving the field its own tf/df/length norm — Lucene's per-field
+    #: statistics — at ~2% extra build cost (urls are ~2-5 tokens vs
+    #: ~200 content tokens). Enables SearchEngine.search(field="url")
+    #: and multi_match.
+    index_url_field: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -278,6 +293,18 @@ def assign_doc_ids(
 #: (term, shard). pos_deltas_enc holds ONLY the position deltas (per-posting
 #: counts are the tfs — no separate lens stream needed until the final
 #: pos_enc format is assembled reducer-side).
+#: the stats table schema, shared by the three writers (full build,
+#: incremental append patch, delete_by_query patch) so the columns can
+#: never drift apart
+STATS_PA_SCHEMA = pa.schema(
+    [("n_docs", pa.int64()), ("total_len", pa.int64()),
+     ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
+     ("import_id", pa.string()), ("next_doc_id", pa.int64()),
+     ("shard_range", pa.int64()), ("positions", pa.bool_()),
+     ("url_field", pa.bool_()), ("url_total_len", pa.int64()),
+     ("url_n_docs", pa.int64())]
+)
+
 PARTIAL_SCHEMA = (
     "term string, shard_id long, first_doc long, n int,"
     " doc_ids_enc binary, tfs_enc binary, dls_enc binary,"
@@ -518,6 +545,21 @@ def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     toks = docs.select(
         "doc_id", "doc_len", tokens_col("text").alias("tokens")
     )
+    if cfg.index_url_field:
+        # url-field postings ride the SAME partial-encode + single
+        # exchange: tokens namespaced `\x1furl\x1f<tok>`, dl = the URL
+        # token count (per-field length norm — Lucene's per-field stats).
+        # The union adds no exchange; the url token stream is ~2% of the
+        # content stream.
+        utok = tokens_col("url")
+        utoks = docs.select(
+            "doc_id",
+            F.size(utok).cast("long").alias("doc_len"),
+            F.transform(
+                utok, lambda t: F.concat(F.lit(URL_FIELD_NS), t)
+            ).alias("tokens"),
+        ).filter(F.size(utok) > 0)
+        toks = toks.unionByName(utoks)
     partials = toks.mapInArrow(
         _make_arrow_partial_encoder(cfg.shard_range, cfg.store_positions),
         PARTIAL_SCHEMA,
@@ -719,10 +761,31 @@ def build_index(
             .collect()
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    def _url_stats_job():
+        # per-field corpus statistics for the url field (docCount +
+        # sumTotalTermFreq in Lucene terms): one column-pruned scan of
+        # the written docs' url column, interleaved with the other two
+        # metadata jobs
+        r = docs_written.agg(
+            F.coalesce(
+                F.sum(F.size(tokens_col("url"))), F.lit(0)
+            ).alias("ul"),
+            F.count(
+                F.when(F.size(tokens_col("url")) > 0, F.lit(1))
+            ).alias("un"),
+        ).first()
+        return int(r["ul"]), int(r["un"])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ts_future = pool.submit(_term_stats_job)
+        url_future = (
+            pool.submit(_url_stats_job) if cfg.index_url_field else None
+        )
         shard_post_rows = _shard_metrics_job()
         ts_future.result()
+        url_total_len, url_n_docs = (
+            url_future.result() if url_future else (0, 0)
+        )
     n_posting_rows = sum(r["block_rows"] for r in shard_post_rows)
 
     # lineage (ImportID tagging per input partition, reference:
@@ -747,13 +810,14 @@ def build_index(
             "next_doc_id": [int(cfg.id_offset + n_docs)],
             "shard_range": [int(cfg.shard_range)],
             "positions": [bool(cfg.store_positions)],
+            # per-field stats for the url text field (0/0/False when the
+            # build skips url postings; engines read with .get so parent
+            # snapshots from before round 5 stay readable)
+            "url_field": [bool(cfg.index_url_field)],
+            "url_total_len": [int(url_total_len)],
+            "url_n_docs": [int(url_n_docs)],
         },
-        schema=pa.schema(
-            [("n_docs", pa.int64()), ("total_len", pa.int64()),
-             ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
-             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
-             ("shard_range", pa.int64()), ("positions", pa.bool_())]
-        ),
+        schema=STATS_PA_SCHEMA,
     )
 
     posts_by_shard = {r["shard_id"]: r for r in shard_post_rows}

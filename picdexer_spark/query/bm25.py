@@ -41,7 +41,7 @@ from picdexer_spark.query.wand import (
     score_phrase,
     score_phrase_prefix,
 )
-from picdexer_spark.sources.catalog import IndexCatalog
+from picdexer_spark.sources.catalog import URL_FIELD_NS, IndexCatalog
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -280,18 +280,44 @@ class SearchEngine:
         # self.avgdl) remain what dashboards and aggs report.
         self.n_docs_scoring = self.n_docs
         self.avgdl_scoring = self.avgdl
+        # per-field statistics for the url text field (round 5): live for
+        # dashboards, tombstone-adjusted below for scoring — the same
+        # maxDoc/sumTotalTermFreq contract as the content field
+        self.has_url_field = bool(st_d.get("url_field") or False)
+        self.url_n_docs = int(st_d.get("url_n_docs") or 0)
+        self.url_total_len = int(st_d.get("url_total_len") or 0)
+        self.url_avgdl = (
+            self.url_total_len / self.url_n_docs if self.url_n_docs else 0.0
+        )
+        self.url_n_docs_scoring = self.url_n_docs
+        self.url_avgdl_scoring = self.url_avgdl
         n_tomb_total = sum(self._tomb_counts.values())
         if n_tomb_total:
-            tomb_len = int(
+            from picdexer_spark.functions.tokenize import tokens_col
+
+            ulen = F.size(tokens_col("url")).cast("long")
+            trow = (
                 self.cat.read(spark, "docs", self.snapshot_id)
                 .join(self.deletes, "doc_id", "semi")
-                .agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"))
-                .first()["s"]
+                .agg(
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"),
+                    F.coalesce(F.sum(ulen), F.lit(0)).alias("us"),
+                    F.count(F.when(ulen > 0, F.lit(1))).alias("un"),
+                )
+                .first()
             )
+            tomb_len = int(trow["s"])
             self.n_docs_scoring = self.n_docs + n_tomb_total
             self.avgdl_scoring = (
                 (int(st_d["total_len"]) + tomb_len) / self.n_docs_scoring
             )
+            if self.has_url_field:
+                self.url_n_docs_scoring = self.url_n_docs + int(trow["un"])
+                if self.url_n_docs_scoring:
+                    self.url_avgdl_scoring = (
+                        (self.url_total_len + int(trow["us"]))
+                        / self.url_n_docs_scoring
+                    )
         # small vocabularies: pull df stats to the driver once, saving one
         # Spark job per query; a web-scale vocab (hundreds of millions of
         # terms) stays a distributed filtered lookup
@@ -315,6 +341,26 @@ class SearchEngine:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _field_stats(self, field: str | None) -> tuple[str, int, float]:
+        """(term namespace, n_docs_scoring, avgdl_scoring) for a SCORED
+        field. The content field is the default; `url` resolves to the
+        `\\x1furl\\x1f` posting namespace with the field's own docCount
+        and average length (Lucene per-field statistics — ES scores each
+        text field of a multi-field mapping independently)."""
+        if field in (None, "text"):
+            return "", self.n_docs_scoring, self.avgdl_scoring
+        if field == "url":
+            if not self.has_url_field:
+                raise ValueError(
+                    "this snapshot was built without url-field postings "
+                    "(IndexConfig.index_url_field)"
+                )
+            return (URL_FIELD_NS, self.url_n_docs_scoring,
+                    self.url_avgdl_scoring)
+        raise ValueError(
+            f"unknown scored field {field!r} (scored fields: text, url)"
+        )
+
     def search(
         self,
         terms: list[str],
@@ -325,6 +371,7 @@ class SearchEngine:
         groups: list[list[str]] | None = None,
         slop: int = 0,
         min_should_match: int = 1,
+        field: str | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
 
@@ -358,6 +405,13 @@ class SearchEngine:
         if min_should_match > 1 and mode != "disjunctive":
             raise ValueError(
                 "min_should_match only applies to disjunctive queries")
+        # field-scoped scoring: namespace the terms up front — everything
+        # downstream (df lookups, kernels, pruning) is namespace-blind
+        ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        if ns:
+            terms = [ns + t for t in terms]
+            if groups is not None:
+                groups = [[ns + t for t in g] for g in groups]
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -404,7 +458,7 @@ class SearchEngine:
         # unsatisfiable (ES: an absent optional clause never matches)
         if min_should_match > len(present):
             return self._empty()
-        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
+        idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
@@ -414,7 +468,7 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
-                                    self.avgdl_scoring, prune, self._tomb_counts,
+                                    avgdl_sc, prune, self._tomb_counts,
                                     after=after, groups=groups, slop=slop,
                                     msm=min_should_match)
         per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
@@ -501,13 +555,18 @@ class SearchEngine:
         rx = "^" + ".*".join(re.escape(p) for p in parts) + "$"
         if self._df_cache is not None:
             pat = re.compile(rx)
+            # leading-star patterns sweep the dictionary — keep them out
+            # of the url-field namespace (`*ark` must not match
+            # \x1furl\x1fspark)
             hits = [(t, d) for t, d in self._df_cache.items()
-                    if pat.match(t)]
+                    if not t.startswith("\x1f") and pat.match(t)]
             hits.sort(key=lambda td: (-td[1], td[0]))
             return [t for t, _ in hits[:n]]
         dfq = self.term_stats
         if parts[0]:
             dfq = dfq.filter(F.col("term").startswith(parts[0]))
+        else:
+            dfq = dfq.filter(~F.col("term").startswith("\x1f"))
         rows = (
             dfq.filter(F.col("term").rlike(rx))
             .select("term", "df")
@@ -578,7 +637,12 @@ class SearchEngine:
         zero-padded UCS4 matrix with no per-term Python loop."""
         va = getattr(self, "_vocab_arrays_cache", None)
         if va is None:
-            items = sorted(self._df_cache.items())
+            # field-namespaced terms (\x1furl\x1f...) are NOT part of the
+            # content dictionary: without this exclusion `urlabc~2` would
+            # fuzzy-expand into the url namespace (two \x1f insertions)
+            # and score url postings with content-field statistics
+            items = sorted(it for it in self._df_cache.items()
+                           if not it[0].startswith("\x1f"))
             t_arr = np.array([t for t, _ in items])
             mat = t_arr.view(np.int32).reshape(len(t_arr), -1)
             lens = np.char.str_len(t_arr).astype(np.int64)
@@ -631,6 +695,8 @@ class SearchEngine:
         lo, hi = len(term) - max_edits, len(term) + max_edits
         rows = (
             self.term_stats.filter(F.length("term").between(lo, hi))
+            # content dictionary only — see the _vocab_arrays exclusion
+            .filter(~F.col("term").startswith("\x1f"))
             .select(
                 "term", "df",
                 F.levenshtein(F.lit(term), F.col("term"),
@@ -955,6 +1021,7 @@ class SearchEngine:
         groups: list[list[str]] | None = None,
         slop: int = 0,
         min_should_match: int = 1,
+        field: str | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -971,7 +1038,8 @@ class SearchEngine:
         if not filters:
             return self.search(terms, mode, k, prune, after=after,
                                groups=groups, slop=slop,
-                               min_should_match=min_should_match)
+                               min_should_match=min_should_match,
+                               field=field)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
@@ -982,6 +1050,11 @@ class SearchEngine:
         if min_should_match > 1 and mode != "disjunctive":
             raise ValueError(
                 "min_should_match only applies to disjunctive queries")
+        ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        if ns:
+            terms = [ns + t for t in terms]
+            if groups is not None:
+                groups = [[ns + t for t in g] for g in groups]
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
         if mode == "groups":
@@ -1036,7 +1109,7 @@ class SearchEngine:
             return self._empty()
         if min_should_match > len(present):
             return self._empty()  # unsatisfiable, see search()
-        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
+        idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
 
         allowed = live.filter(cond).select(
             F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),
@@ -1050,7 +1123,7 @@ class SearchEngine:
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
-                                             self.avgdl_scoring, prune,
+                                             avgdl_sc, prune,
                                              after=after, groups=groups,
                                              slop=slop,
                                              msm=min_should_match)
@@ -1068,6 +1141,8 @@ class SearchEngine:
         filters: list = (),
         groups: list[list[str]] | None = None,
         slop: int = 0,
+        field: str | None = None,
+        with_scores: bool = False,
     ) -> DataFrame:
         """ALL live doc_ids matching the query — the Kibana query-bar →
         dashboard-panels contract (a panel aggregates over every matching
@@ -1082,9 +1157,19 @@ class SearchEngine:
 
         mode "groups" (+ `groups`, the CNF clauses of a boolean kuery —
         see :meth:`search`): a parenthesized query-bar query drives the
-        dashboard panels exactly like a flat one."""
+        dashboard panels exactly like a flat one.
+
+        `field`: scored field to match on (see :meth:`_field_stats`).
+        `with_scores=True` returns DataFrame[doc_id, score] — the FULL
+        scored match set, still never globally sorted or collected (the
+        multi_match combiner consumes this shape)."""
         if (groups is not None) != (mode == "groups"):
             raise ValueError("`groups` is required for (exactly) mode='groups'")
+        ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        if ns:
+            terms = [ns + t for t in terms]
+            if groups is not None:
+                groups = [[ns + t for t in g] for g in groups]
         if mode == "groups":
             groups = [sorted(set(g)) for g in groups if g]
             if not groups:
@@ -1099,19 +1184,25 @@ class SearchEngine:
             )
         cond = self._filter_cond(filters) if filters else None
         live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        out_cols = ["doc_id", "score"] if with_scores else ["doc_id"]
+        empty_schema = ("doc_id long, score double" if with_scores
+                        else "doc_id long")
         uniq = sorted(set(terms))
         if not uniq:
             base = live.filter(cond) if cond is not None else live
+            if with_scores:
+                # match_all is constant-score (Lucene _score = 1.0)
+                return base.select("doc_id", F.lit(1.0).alias("score"))
             return base.select("doc_id")
         dfs = self.term_dfs(uniq)
         if mode in ("conjunctive", "phrase") and any(
             t not in dfs for t in uniq
         ):
-            return self.spark.createDataFrame([], "doc_id long")
+            return self.spark.createDataFrame([], empty_schema)
         if mode == "groups":
             gpres = [[t for t in g if t in dfs] for g in groups]
             if any(not g for g in gpres):
-                return self.spark.createDataFrame([], "doc_id long")
+                return self.spark.createDataFrame([], empty_schema)
             if len(gpres) == 1:
                 mode, groups = "disjunctive", None
             elif all(len(g) == 1 for g in gpres):
@@ -1121,8 +1212,8 @@ class SearchEngine:
                 groups = gpres
         present = [t for t in uniq if t in dfs]
         if not present:
-            return self.spark.createDataFrame([], "doc_id long")
-        idf_map = {t: idf(self.n_docs_scoring, dfs[t]) for t in present}
+            return self.spark.createDataFrame([], empty_schema)
+        idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
@@ -1136,20 +1227,20 @@ class SearchEngine:
                 "doc_id",
             )
             scorer = _make_filtered_shard_scorer(
-                scorer_terms, idf_map, self.shard_range, mode, self.avgdl_scoring,
+                scorer_terms, idf_map, self.shard_range, mode, avgdl_sc,
                 prune=False, groups=groups, slop=slop)
             per_shard = (
                 cand.groupBy("shard_id")
                 .cogroup(allowed.groupBy("shard_id"))
                 .applyInPandas(scorer, RESULT_SCHEMA)
             )
-            return per_shard.select("doc_id")  # whitelist is already live
+            return per_shard.select(*out_cols)  # whitelist is already live
         scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
-                                    mode, self.avgdl_scoring, prune=False,
+                                    mode, avgdl_sc, prune=False,
                                     groups=groups, slop=slop)
         per_shard = cand.groupBy("shard_id").applyInPandas(
             scorer, RESULT_SCHEMA)
-        out = per_shard.select("doc_id")
+        out = per_shard.select(*out_cols)
         if self._tomb_counts:
             out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
         return out
@@ -1162,6 +1253,66 @@ class SearchEngine:
         match_ids — per-task work bounded by shard_range, count reduced
         distributed-side."""
         return self.match_ids(terms, mode, filters, groups=groups).count()
+
+    def multi_match(
+        self,
+        terms: list[str],
+        k: int = 10,
+        match_type: str = "most_fields",
+        tie_breaker: float = 0.0,
+        fields: tuple[str, ...] = ("text", "url"),
+    ) -> DataFrame:
+        """ES `multi_match` over the snapshot's scored fields (the
+        multi-field mapping contract, reference picdexer.json:67-93 —
+        every string field is text + .keyword, and Kibana's default
+        query targets all text fields):
+
+        - 'most_fields': bool-should of per-field match queries — a doc
+          matching ANY field matches, score = SUM of its field scores;
+        - 'best_fields': dis_max — score = MAX field score +
+          `tie_breaker` * (sum of the others). tie_breaker=0 is pure
+          dis_max (the ES default), 1.0 equals most_fields.
+
+        Each field scores with its OWN BM25 statistics (df, docCount,
+        avgdl — Lucene per-field stats via the namespaced postings).
+
+        Plan shape: one exact per-shard kernel pass per field (full
+        scored match sets, work bounded by shard_range), union -> ONE
+        doc_id shuffle of the candidate-sized sets -> TakeOrdered(k).
+        Nothing data-sized reaches the driver."""
+        if match_type not in ("most_fields", "best_fields"):
+            raise ValueError(
+                f"unknown multi_match type {match_type!r} "
+                "(most_fields / best_fields)"
+            )
+        if not (0.0 <= tie_breaker <= 1.0):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        if len(set(fields)) != len(fields) or not fields:
+            raise ValueError("fields must be non-empty and distinct")
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty()
+        parts = [
+            self.match_ids(uniq, "disjunctive", field=f_, with_scores=True)
+            for f_ in fields
+        ]
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        agg = unioned.groupBy("doc_id").agg(
+            F.sum("score").alias("s_sum"), F.max("score").alias("s_max")
+        )
+        if match_type == "most_fields":
+            score = F.col("s_sum")
+        else:
+            score = F.col("s_max") + F.lit(float(tie_breaker)) * (
+                F.col("s_sum") - F.col("s_max")
+            )
+        return (
+            agg.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def filters_agg(self, named_queries: dict[str, str]) -> DataFrame:
         """ES `filters` aggregation (the Kibana "split by filters" bucket

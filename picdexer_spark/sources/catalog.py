@@ -39,6 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 TABLES = ("docs", "postings", "term_stats", "stats", "metrics", "lineage",
           "deletes")
 
+#: term-namespace prefix for url-field postings (ES multi-field mapping:
+#: the url column is a second scored text field — see
+#: IndexConfig.index_url_field). `\x1f` is outside the analyzer charset
+#: ([a-z0-9]), so no user term, prefix, wildcard or fuzzy expansion can
+#: collide with a namespaced term; engine-side dictionary operations
+#: (suggest/expand_*) additionally filter the namespace out explicitly.
+URL_FIELD_NS = "\x1furl\x1f"
+
 #: append-only tables: a snapshot holds only its DELTA rows; reads union the
 #: parent chain (the Iceberg manifest-list pattern — incremental commits
 #: never rewrite history). term_stats/stats are small and written in full

@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
+from picdexer_spark.functions.tokenize import tokens_col
 from picdexer_spark.index.build import (
+    STATS_PA_SCHEMA,
     BuildResult,
     IndexConfig,
     _write_small_table,
@@ -132,6 +134,9 @@ def build_incremental(
         F.col("text_md5").alias("old_md5"),
         F.col("doc_id").alias("old_doc_id"),
         F.col("doc_len").alias("old_len"),
+        # url token count of the OLD doc: tombstoning it must back its
+        # contribution out of the url-field stats too
+        F.size(tokens_col("url")).cast("long").alias("old_url_len"),
     )
     # persist: both the tombstone collect and the delta build consume this
     # (without it the extract + dedup + doc-store join pipeline runs twice)
@@ -151,25 +156,34 @@ def build_incremental(
         F.col("old_md5").isNotNull()
         & F.col("new_md5").isNotNull()
         & (F.col("new_md5") != F.col("old_md5"))
-    ).select("old_doc_id", "old_len")
+    ).select("old_doc_id", "old_len", "old_url_len")
     trow = tomb.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum("old_len"), F.lit(0)).alias("len_sum"),
+        F.coalesce(F.sum("old_url_len"), F.lit(0)).alias("url_len_sum"),
+        F.count(F.when(F.col("old_url_len") > 0, F.lit(1)))
+        .alias("url_n"),
     ).first()
     n_tomb = int(trow["n"])
     tomb_len = int(trow["len_sum"])
+    tomb_url_len = int(trow["url_len_sum"])
+    tomb_url_n = int(trow["url_n"])
     fresh_pages = fresh.select(
         "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
         "text", "lang",
     )
 
     store_pos = bool(committed.get("positions") or False)
+    # like positions/shard_range, whether url-field postings exist is a
+    # property of the committed INDEX, not of this batch's cfg
+    url_field = bool(committed.get("url_field") or False)
     delta_cfg = IndexConfig(
         shard_range=shard_range,
         block_size=cfg.block_size,
         import_id=cfg.import_id,
         id_offset=next_id,
         store_positions=store_pos,
+        index_url_field=url_field,
     )
     # write the delta snapshot WITHOUT committing, patch in whole-index
     # stats + tombstones, then commit atomically with the parent pointer
@@ -201,13 +215,23 @@ def build_incremental(
     shutil.rmtree(final)
     os.rename(tmp, final)
 
-    # stats: parent + delta - tombstoned (LIVE corpus statistics)
+    # stats: parent + delta - tombstoned (LIVE corpus statistics), the
+    # url-field pair merged with the same arithmetic
     n_docs = n_committed + res.n_docs - n_tomb
     delta_stats = spark.read.parquet(os.path.join(snap_dir, "stats")).first()
+    delta_d = delta_stats.asDict()
     total_len = (int(committed["total_len"]) + int(delta_stats["total_len"])
                  - tomb_len)
     dropped = int(committed["docs_dropped"]) + res.docs_dropped
     avgdl = (total_len / n_docs) if n_docs else 0.0
+    url_total_len = url_n_docs = 0
+    if url_field:
+        url_total_len = (int(committed.get("url_total_len") or 0)
+                         + int(delta_d.get("url_total_len") or 0)
+                         - tomb_url_len)
+        url_n_docs = (int(committed.get("url_n_docs") or 0)
+                      + int(delta_d.get("url_n_docs") or 0)
+                      - tomb_url_n)
     shutil.rmtree(os.path.join(snap_dir, "stats"))
     _write_small_table(
         os.path.join(snap_dir, "stats"),
@@ -220,13 +244,11 @@ def build_incremental(
             "next_doc_id": [next_id + res.n_docs],
             "shard_range": [shard_range],
             "positions": [store_pos],
+            "url_field": [url_field],
+            "url_total_len": [url_total_len],
+            "url_n_docs": [url_n_docs],
         },
-        schema=pa.schema(
-            [("n_docs", pa.int64()), ("total_len", pa.int64()),
-             ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
-             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
-             ("shard_range", pa.int64()), ("positions", pa.bool_())]
-        ),
+        schema=STATS_PA_SCHEMA,
     )
 
     cat.commit(res.snapshot_id, [source_id], parent=parent)
@@ -253,6 +275,7 @@ def compact(
         cfg = IndexConfig(
             shard_range=int(committed.get("shard_range") or IndexConfig().shard_range),
             store_positions=bool(committed.get("positions") or False),
+            index_url_field=bool(committed.get("url_field") or False),
         )
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
@@ -265,7 +288,8 @@ def compact(
         spark, pages, index_dir,
         IndexConfig(shard_range=cfg.shard_range, block_size=cfg.block_size,
                     import_id=f"compact-{parent}",
-                    store_positions=cfg.store_positions),
+                    store_positions=cfg.store_positions,
+                    index_url_field=cfg.index_url_field),
         sources=[], commit=False,
     )
     cat.commit(res.snapshot_id, [], parent=None)
@@ -363,12 +387,18 @@ def delete_by_query(
     eng = SearchEngine(spark, index_dir, snapshot_id=parent)
     matched = eng.match_ids(terms, mode, list(filters))
     live = cat.read_live_docs(spark, parent)
-    tomb = live.join(matched, "doc_id", "semi").select("doc_id", "doc_len")
+    tomb = live.join(matched, "doc_id", "semi").select(
+        "doc_id", "doc_len",
+        F.size(tokens_col("url")).cast("long").alias("url_len"),
+    )
     row = tomb.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum("doc_len"), F.lit(0)).alias("len_sum"),
+        F.coalesce(F.sum("url_len"), F.lit(0)).alias("url_len_sum"),
+        F.count(F.when(F.col("url_len") > 0, F.lit(1))).alias("url_n"),
     ).first()
     n_del, len_sum = int(row["n"]), int(row["len_sum"])
+    del_url_len, del_url_n = int(row["url_len_sum"]), int(row["url_n"])
     if n_del == 0:
         return 0
 
@@ -390,6 +420,7 @@ def delete_by_query(
     n_docs = int(committed["n_docs"]) - n_del
     total_len = int(committed["total_len"]) - len_sum
     avgdl = (total_len / n_docs) if n_docs else 0.0
+    url_field = bool(committed.get("url_field") or False)
     _write_small_table(
         os.path.join(snap_dir, "stats"),
         {
@@ -401,13 +432,17 @@ def delete_by_query(
             "next_doc_id": [_next_doc_id(spark, cat, committed)],
             "shard_range": [int(committed.get("shard_range") or 0)],
             "positions": [bool(committed.get("positions") or False)],
+            "url_field": [url_field],
+            "url_total_len": [
+                (int(committed.get("url_total_len") or 0) - del_url_len)
+                if url_field else 0
+            ],
+            "url_n_docs": [
+                (int(committed.get("url_n_docs") or 0) - del_url_n)
+                if url_field else 0
+            ],
         },
-        schema=pa.schema(
-            [("n_docs", pa.int64()), ("total_len", pa.int64()),
-             ("avgdl", pa.float64()), ("docs_dropped", pa.int64()),
-             ("import_id", pa.string()), ("next_doc_id", pa.int64()),
-             ("shard_range", pa.int64()), ("positions", pa.bool_())]
-        ),
+        schema=STATS_PA_SCHEMA,
     )
     cat.commit(snapshot_id, [], parent=parent)
     return n_del

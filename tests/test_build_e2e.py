@@ -82,7 +82,10 @@ def test_doc_stats_match_oracle(spark, built, corpus):
 def test_term_stats_match_oracle(spark, built, corpus):
     _, _, oracle = corpus
     index_dir, _ = built
-    ts = IndexCatalog(index_dir).read(spark, "term_stats").collect()
+    ts = [r for r in
+          IndexCatalog(index_dir).read(spark, "term_stats").collect()
+          if not r["term"].startswith("\x1f")]  # content field only; the
+    # url-field namespace is pinned in test_build_parity/test_multifield
     assert len(ts) == len(oracle.postings)
     for r in ts:
         assert r["df"] == oracle.df(r["term"]), r["term"]
@@ -108,6 +111,8 @@ def test_postings_match_oracle(spark, built, corpus):
     rows = IndexCatalog(index_dir).read(spark, "postings").collect()
     by_term = {}
     for r in rows:
+        if r["term"].startswith("\x1f"):
+            continue  # url-field postings: test_build_parity pins them
         by_term.setdefault(r["term"], []).append(r)
     assert set(by_term) == set(oracle.postings)
     for term, trows in by_term.items():

@@ -61,7 +61,24 @@ def test_posting_pipeline_bit_identical_to_reference(
     cat = IndexCatalog(idx)
     posts = cat.read(spark, "postings").toPandas()
     docs = cat.read(spark, "docs")
-    ref = _reference_blocks(tf_stream(docs, 128, store_pos).toPandas(),
+    # round 5: the build also indexes the url field (namespaced terms, url
+    # token count as dl, own position space) — the reference encoding is
+    # the SAME tf stream run over a url-projected docs frame, namespaced
+    # in pandas, concatenated before blocking
+    from pyspark.sql import functions as F
+
+    from picdexer_spark.functions.tokenize import tokens_col
+    from picdexer_spark.sources.catalog import URL_FIELD_NS
+
+    docs_url = docs.select(
+        "doc_id",
+        F.col("url").alias("text"),
+        F.size(tokens_col("url")).cast("long").alias("doc_len"),
+    ).filter(F.col("doc_len") > 0)
+    tf_text = tf_stream(docs, 128, store_pos).toPandas()
+    tf_url = tf_stream(docs_url, 128, store_pos).toPandas()
+    tf_url["term"] = URL_FIELD_NS + tf_url["term"]
+    ref = _reference_blocks(pd.concat([tf_text, tf_url], ignore_index=True),
                             store_pos)
 
     key = ["term", "shard_id", "block_no"]
