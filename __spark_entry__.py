@@ -544,8 +544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stack(5, 'sum_sq', ssq, 'variance', vr, 'std_dev', sd, "
             "'std_upper', av + 2.0d * sd, 'std_lower', av - 2.0d * sd) "
             "AS (key, value)")
+        # round 5: ES percentile_ranks — the exact CDF form (100 *
+        # count(v <= x) / count, one scan for all cut values; the
+        # t-digest interpolation divergence is pinned in the operator)
+        pr = dash.percentile_ranks(dl, "dl", (100.0, 500.0)).select(
+            F.lit("pctrank").alias("gate"),
+            F.col("value").cast("long").cast("string").alias("key"),
+            F.col("rank").alias("value"))
         return (
             st.unionByName(pct).unionByName(card).unionByName(ext)
+            .unionByName(pr)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key")
         )
@@ -582,8 +590,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("thits").alias("gate"),
             F.concat_ws("|", "lang", F.col("rk").cast("string")).alias("key"),
             F.col("doc_id").cast("double").alias("value"))
+        # 'rare'   — ES rare_terms: long-tail 100-token length buckets
+        #            (doc_count <= 3), count asc / key asc;
+        # 'missing'— ES missing agg over lang;
+        # 'tmetric'— ES terms ordered by a SUB-AGGREGATION (top-5 langs
+        #            by avg token length desc — exact, not the sharded
+        #            approximation ES documents)
+        lb_col = (F.floor(F.col("dl") / 100) * 100).alias("lb")
+        rare = dash.rare_terms(
+            dld.select(lb_col), "lb", max_doc_count=3,
+        ).select(
+            F.lit("rare").alias("gate"),
+            F.col("key").cast("long").cast("string").alias("key"),
+            F.col("doc_count").cast("double").alias("value"))
+        miss = dash.missing_agg(docs, "lang").select(
+            F.lit("missing").alias("gate"),
+            F.lit("lang").alias("key"),
+            F.col("doc_count").cast("double").alias("value"))
+        tm = dash.terms_by_metric(dld, "lang", "dl", "avg", k=5).select(
+            F.lit("tmetric").alias("gate"),
+            F.col("key"),
+            F.col("metric").alias("value"))
         return (
-            hist.unionByName(mt).unionByName(th)
+            hist.unionByName(mt).unionByName(th).unionByName(rare)
+            .unionByName(miss).unionByName(tm)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -1415,6 +1445,12 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'ext', 'std_dev', sd FROM ex
           UNION ALL SELECT 'ext', 'std_upper', av + 2.0 * sd FROM ex
           UNION ALL SELECT 'ext', 'std_lower', av - 2.0 * sd FROM ex
+          UNION ALL SELECT 'pctrank', '100',
+            100.0 * (SELECT count(*) FILTER (dl <= 100.0) FROM dl)
+                  / (SELECT count(dl) FROM dl)
+          UNION ALL SELECT 'pctrank', '500',
+            100.0 * (SELECT count(*) FILTER (dl <= 500.0) FROM dl)
+                  / (SELECT count(dl) FROM dl)
           UNION ALL SELECT 'cardinality', 'lang_n_distinct',
             (SELECT count(DISTINCT lang) FROM documents)::double)
         ORDER BY gate, key
@@ -1449,11 +1485,28 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dl DESC, doc_id ASC)
                          AS rk
                 FROM dl WHERE lang IS NOT NULL)
-          WHERE rk <= 2)
+          WHERE rk <= 2),
+        rare AS (
+          SELECT 'rare' AS gate, k::varchar AS key, n::double AS value
+          FROM (SELECT (dl // 100) * 100 AS k, count(*) AS n
+                FROM dl GROUP BY 1)
+          WHERE n <= 3),
+        miss AS (
+          SELECT 'missing' AS gate, 'lang' AS key,
+                 count(*) FILTER (lang IS NULL)::double AS value
+          FROM documents),
+        tm AS (
+          SELECT 'tmetric' AS gate, lang AS key, avg(dl) AS value
+          FROM dl WHERE lang IS NOT NULL
+          GROUP BY lang
+          ORDER BY avg(dl) DESC, lang ASC LIMIT 5)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
-          UNION ALL SELECT * FROM th)
+          UNION ALL SELECT * FROM th
+          UNION ALL SELECT * FROM rare
+          UNION ALL SELECT * FROM miss
+          UNION ALL SELECT * FROM tm)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor

@@ -563,3 +563,90 @@ def top_hits(
         .select(group_col, F.col("rk"), *[c for c in out_cols
                                           if c != group_col])
     )
+
+
+def rare_terms(df: DataFrame, col: str, max_doc_count: int = 1,
+               limit: int = 100) -> DataFrame:
+    """ES `rare_terms` aggregation — the LONG-TAIL complement of terms
+    (buckets whose doc_count <= max_doc_count, ordered count asc then
+    key asc). ES implements it with a CuckooFilter sweep because its
+    coordinator cannot hold all keys; the Spark partial agg + filter IS
+    the exact distributed formulation of the same plan (the filter runs
+    post-agg, map-side combined, nothing key-cardinality-sized reaches
+    the driver). NULL keys are skipped. `limit` caps the returned
+    buckets (ES max_buckets guard), deterministic under the pinned
+    (count asc, key asc) order."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc("key"))
+        .limit(limit)
+    )
+
+
+def missing_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES `missing` aggregation: the count of docs with no value for the
+    field (one map-side-combinable scan)."""
+    return df.agg(
+        F.count(F.when(F.col(col).isNull(), F.lit(1))).alias("doc_count")
+    )
+
+
+def terms_by_metric(
+    df: DataFrame, key_col: str, metric_col: str,
+    metric: str = "avg", k: int = 10, ascending: bool = False,
+) -> DataFrame:
+    """ES terms agg ORDERED BY A SUB-AGGREGATION (`"order": {"m": "desc"}`
+    with `m` an avg/min/max/sum metric agg) — the Kibana "order by
+    metric" terms viz. One partial agg computes doc_count AND the metric
+    per key; TakeOrdered(k) on (metric, key asc). ES documents this
+    ordering as potentially inaccurate on sharded terms; the Spark
+    formulation aggregates exactly before ranking, so it returns the
+    TRUE top-k — the accuracy ES wishes it had, at the cost ES avoids
+    (a full key-space partial agg, map-side combined — still nothing
+    driver-sized)."""
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    if metric not in fns:
+        raise ValueError(f"unsupported order metric {metric!r}")
+    m = fns[metric](F.col(metric_col)).alias("metric")
+    order = F.asc("metric") if ascending else F.desc("metric")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("doc_count"), m)
+        .orderBy(order, F.asc("key"))
+        .limit(k)
+    )
+
+
+def percentile_ranks(df: DataFrame, col: str,
+                     values: tuple = (100.0, 500.0)) -> DataFrame:
+    """ES `percentile_ranks` agg: for each given value, the percentage of
+    observed values <= it. ES computes this on a t-digest (approximate);
+    here the exact CDF — `100 * count(v <= x) / count(v)` — in ONE scan
+    for all requested values (a conditional-count column per value,
+    map-side combined). Pinned divergence: no t-digest interpolation
+    BETWEEN observations; at 100 TB the same plan runs on a sampled or
+    sketched column. NULLs are excluded from both numerator and
+    denominator (ES missing default). Returns (value, rank)."""
+    c = F.col(col)
+    aggs = [F.count(c).alias("_n")] + [
+        F.count(F.when(c <= F.lit(float(v)), F.lit(1))).alias(f"_le{i}")
+        for i, v in enumerate(values)
+    ]
+    base = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(v)).alias("value"),
+            (F.lit(100.0) * F.col(f"_le{i}") / F.col("_n")).alias("rank"),
+        )
+        for i, v in enumerate(values)
+    ])
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.value", "p.rank")
+    )

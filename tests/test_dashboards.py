@@ -206,3 +206,48 @@ def test_top_hits_per_bucket_topk(spark):
            .orderBy("lang", "rk").collect()]
     assert got == [("de", 1, 5), ("de", 2, 4),
                    ("en", 1, 2), ("en", 2, 3)]
+
+
+def test_rare_terms_tail_only(spark):
+    from picdexer_spark.operators.dashboards import rare_terms
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] + [("d",)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["key"], r["doc_count"])
+           for r in rare_terms(df, "k", max_doc_count=2).collect()]
+    assert got == [("c", 1), ("d", 1), ("b", 2)]
+    with pytest.raises(ValueError):
+        rare_terms(df, "k", max_doc_count=0)
+
+
+def test_missing_agg_counts_nulls_only(spark):
+    from picdexer_spark.operators.dashboards import missing_agg
+    df = spark.createDataFrame([("x",), (None,), ("",), (None,)],
+                               "k string")
+    assert missing_agg(df, "k").first()["doc_count"] == 2
+
+
+def test_terms_by_metric_orders_by_subagg(spark):
+    from picdexer_spark.operators.dashboards import terms_by_metric
+    rows = [("en", 10.0), ("en", 20.0), ("de", 100.0), ("fr", 50.0),
+            (None, 999.0)]
+    df = spark.createDataFrame(rows, "lang string, v double")
+    got = [(r["key"], r["doc_count"], r["metric"])
+           for r in terms_by_metric(df, "lang", "v", "avg", k=2).collect()]
+    assert got == [("de", 1, 100.0), ("fr", 1, 50.0)]
+    got_min = [(r["key"], r["metric"])
+               for r in terms_by_metric(df, "lang", "v", "min", k=3,
+                                        ascending=True).collect()]
+    assert got_min == [("en", 10.0), ("fr", 50.0), ("de", 100.0)]
+    with pytest.raises(ValueError):
+        terms_by_metric(df, "lang", "v", "median")
+
+
+def test_percentile_ranks_exact_cdf(spark):
+    from picdexer_spark.operators.dashboards import percentile_ranks
+    vals = [1.0, 2.0, 3.0, 4.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["value"]: r["rank"]
+           for r in percentile_ranks(df, "v", (2.0, 3.5, 0.5)).collect()}
+    assert got[2.0] == pytest.approx(50.0)   # 2 of 4 non-null <= 2.0
+    assert got[3.5] == pytest.approx(75.0)
+    assert got[0.5] == pytest.approx(0.0)
