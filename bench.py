@@ -430,6 +430,13 @@ def main() -> None:
     t0 = time.time()
     eng.search_batch(batch).collect()
     queries["bm25_batch_6q"] = round(time.time() - t0, 3)
+    # round 5: multi_match most_fields across (text, url) — per-field
+    # FULL scored match sets (head term w5 on content, a site token on
+    # url) + the doc_id combine shuffle; the heaviest single-query shape
+    # the engine exposes
+    t0 = time.time()
+    eng.multi_match(["w5", "site3"], 10, "most_fields").collect()
+    queries["multi_match_most"] = round(time.time() - t0, 3)
     spark.stop()
     shutil.rmtree(index_dir, ignore_errors=True)
 
