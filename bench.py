@@ -201,17 +201,25 @@ from picdexer_spark.query.bm25 import SearchEngine
 from picdexer_spark.session import get_spark
 
 n_docs, cpus, shard_range = (int(a) for a in sys.argv[1:4])
+# EQUAL-WORK control: the round-5 tree indexes the url field by default,
+# which pre-r5 trees cannot do — an A/B on defaults would compare
+# different outputs. Pin the build to content-only on both sides (the
+# kwarg doesn't exist on old trees = already content-only there).
+try:
+    ab_cfg = IndexConfig(shard_range=shard_range, index_url_field=False)
+except TypeError:
+    ab_cfg = IndexConfig(shard_range=shard_range)
 spark = get_spark(f"ab-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=4 * cpus,
                   extra_conf={"spark.sql.adaptive.enabled": "false"})
 fix = materialize_pages(n_docs, seed=42)
 pages = spark.read.parquet(os.path.join(fix, "pages"))
 wdir = tempfile.mkdtemp(prefix="ab_warm_")
-build_index(spark, pages, wdir, IndexConfig(shard_range=shard_range))
+build_index(spark, pages, wdir, ab_cfg)
 shutil.rmtree(wdir, ignore_errors=True)
 idx = tempfile.mkdtemp(prefix="ab_idx_")
 t0 = time.time()
-build_index(spark, pages, idx, IndexConfig(shard_range=shard_range))
+build_index(spark, pages, idx, ab_cfg)
 t_build = time.time() - t0
 spark.stop()
 spark = get_spark(f"ab-q-{cpus}", master=f"local[{cpus}]",
@@ -297,7 +305,8 @@ def corpus_docs(sf_dir: str) -> int:
 
 
 def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
-              warmup: bool = True, warmup_docs: int | None = None) -> float:
+              warmup: bool = True, warmup_docs: int | None = None,
+              both_fields: bool = False):
     """Build the index over the synthetic corpus; returns build seconds.
 
     `warmup_docs` caps the throwaway warmup build's size (JIT/codegen/
@@ -340,6 +349,21 @@ def run_build(cpus: int, n_docs: int, index_dir: str, shard_range: int,
                     IndexConfig(shard_range=shard_range))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    if both_fields:
+        # like-for-like point for cross-round comparison: the round-5
+        # default build indexes TWO fields (content + url); this extra
+        # timed build measures the pre-r5 work (content only) in the
+        # same warmed session, so build deltas vs earlier rounds can be
+        # attributed to the added field rather than read as regression
+        d1 = tempfile.mkdtemp(prefix="bench_1f_")
+        t0 = time.time()
+        build_index(spark, pages, d1,
+                    IndexConfig(shard_range=shard_range,
+                                index_url_field=False))
+        t_1field = time.time() - t0
+        shutil.rmtree(d1, ignore_errors=True)
+        spark.stop()
+        return best, t_1field
     spark.stop()
     return best
 
@@ -393,8 +417,10 @@ def main() -> None:
     t_total0 = time.time()
 
     index_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    t_build = run_build(cpus, n_docs, index_dir, args.shard_range)
+    t_build, t_build_1f = run_build(cpus, n_docs, index_dir,
+                                    args.shard_range, both_fields=True)
     queries["index_build"] = round(t_build, 3)
+    queries["index_build_1field"] = round(t_build_1f, 3)
     docs_per_sec = n_docs / t_build
 
     # HOST-GATE the query block like the scaling slots (r4 lesson: the

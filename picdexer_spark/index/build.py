@@ -546,11 +546,17 @@ def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
         "doc_id", "doc_len", tokens_col("text").alias("tokens")
     )
     if cfg.index_url_field:
-        # url-field postings ride the SAME partial-encode + single
-        # exchange: tokens namespaced `\x1furl\x1f<tok>`, dl = the URL
-        # token count (per-field length norm — Lucene's per-field stats).
-        # The union adds no exchange; the url token stream is ~2% of the
-        # content stream.
+        # url-FIELD postings (the ES multi-field mapping made scored):
+        # the url token stream rides the SAME partial encode and the
+        # SAME single exchange — terms namespaced `\x1furl\x1f<tok>`,
+        # dl = the url token count (per-field length norm, Lucene
+        # per-field statistics), positions = url token ordinals. The
+        # union adds no exchange and the url runs are ~2% of the posting
+        # bytes. The WRITE then splits the two fields into separate
+        # table directories (build_index partitionBy) — web urls carry
+        # near-unique id tokens, so a url dictionary folded into the
+        # content table doubled the block-row count and cost
+        # content-term queries a measured ~20% in scan-past overhead.
         utok = tokens_col("url")
         utoks = docs.select(
             "doc_id",
@@ -705,13 +711,29 @@ def build_index(
     # path its `term IN (...)` row-group pruning instead of global range
     # layout. salt = doc-range shard defuses head-term skew.
     postings = encode_postings(docs_written, cfg)
+    # ONE write job, directory-partitioned by field: field=text/ IS the
+    # `postings` table, field=url/ the `postings_url` table (catalog
+    # table_path maps the names to the subdirectories). One exchange,
+    # one job — and each field's query scan touches only its own files.
+    field_col = (
+        F.when(F.col("term").startswith(URL_FIELD_NS), F.lit("url"))
+        .otherwise(F.lit("text"))
+        if cfg.index_url_field else F.lit("text")
+    )
     (
-        postings.write.mode("overwrite")
+        postings.withColumn("field", field_col)
+        .write.mode("overwrite").partitionBy("field")
         .option("parquet.bloom.filter.enabled#term", "true")
         .option("parquet.bloom.filter.expected.ndv#term", "100000")
         .parquet(os.path.join(snap_dir, "postings"))
     )
-    postings_written = spark.read.parquet(os.path.join(snap_dir, "postings"))
+    # an EMPTY build (e.g. a delta batch that was pure redelivery) writes
+    # no partition directories at all — fall back to an empty frame
+    p_text = os.path.join(snap_dir, "postings", "field=text")
+    postings_written = (
+        spark.read.parquet(p_text) if os.path.isdir(p_text)
+        else spark.createDataFrame([], POSTINGS_SCHEMA)
+    )
     timer.mark("postings_write")
 
     # global doc stats came out of the id-counting pass (no doc-store scan);
@@ -739,9 +761,15 @@ def build_index(
 
     def _term_stats_job():
         # df/cf roll up from posting-block METADATA — no second tokenize
-        # pass, no decode: df = sum(n), cf = sum(sum_tf) per term
+        # pass, no decode: df = sum(n), cf = sum(sum_tf) per term. The
+        # url-field blocks contribute their namespaced terms, so ONE
+        # term_stats table serves both fields' df lookups.
+        ts_src = postings_written
+        p_url = os.path.join(snap_dir, "postings", "field=url")
+        if cfg.index_url_field and os.path.isdir(p_url):
+            ts_src = ts_src.unionByName(spark.read.parquet(p_url))
         (
-            postings_written.groupBy("term")
+            ts_src.groupBy("term")
             .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
             .write.mode("overwrite")
             .parquet(os.path.join(snap_dir, "term_stats"))

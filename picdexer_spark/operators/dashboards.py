@@ -650,3 +650,97 @@ def percentile_ranks(df: DataFrame, col: str,
         base.select(F.explode(pairs).alias("p"))
         .select("p.value", "p.rank")
     )
+
+
+#: auto_date_histogram rounding ladder, FIXED-second intervals (the ES
+#: ladder's second/minute/hour/day steps verbatim; its calendar month /
+#: year steps are pinned to 30-day / 365-day fixed widths — calendar
+#: rounding needs a timezone calendar the oracle comparison can't share;
+#: divergence documented, not guessed)
+AUTO_HIST_LADDER = (
+    1, 5, 10, 30,                       # seconds
+    60, 300, 600, 1800,                 # minutes
+    3600, 3 * 3600, 12 * 3600,          # hours
+    86400, 7 * 86400,                   # days
+    30 * 86400, 90 * 86400,             # "months" (fixed, pinned)
+    365 * 86400, 5 * 365 * 86400,       # "years" (fixed, pinned)
+    10 * 365 * 86400,
+)
+
+
+def auto_date_histogram(df: DataFrame, ts_col: str,
+                        buckets: int = 10) -> DataFrame:
+    """ES `auto_date_histogram`: the agg picks its own interval — the
+    SMALLEST ladder step whose bucket count over [min(ts), max(ts)] is
+    <= `buckets` (the Kibana "auto" time axis). Two scans total: one
+    min/max epoch aggregate, then the histogram groupBy with the chosen
+    interval broadcast-joined in as a scalar (no driver round-trip, no
+    collect). Buckets with no docs are absent (min_doc_count=1, the ES
+    auto_date_histogram behavior — unlike `histogram_agg` it never
+    zero-fills). Returns (interval_sec, bucket, n) with bucket = epoch
+    seconds floored to the interval."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    ep = epoch_seconds(F.col(ts_col))
+    bounds = df.filter(F.col(ts_col).isNotNull()).agg(
+        F.min(ep).alias("lo"), F.max(ep).alias("hi")
+    )
+    ladder = F.array(*[F.lit(int(i)) for i in AUTO_HIST_LADDER])
+    chosen = bounds.select(
+        F.coalesce(
+            F.filter(
+                ladder,
+                lambda i: (F.floor(F.col("hi") / i)
+                           - F.floor(F.col("lo") / i)
+                           + 1) <= F.lit(buckets),
+            )[0],
+            # span wider than buckets x the coarsest step: take the
+            # coarsest (ES caps the same way at its ladder top)
+            F.lit(int(AUTO_HIST_LADDER[-1])),
+        ).alias("interval_sec")
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .crossJoin(F.broadcast(chosen))
+        .groupBy(
+            "interval_sec",
+            (F.floor(ep / F.col("interval_sec"))
+             * F.col("interval_sec")).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def bucket_sort(df: DataFrame, sort_cols: list[Column],
+                from_: int = 0, size: int | None = None) -> DataFrame:
+    """ES `bucket_sort` pipeline agg: re-order the PARENT agg's buckets
+    by any of their columns and truncate with from/size (the Kibana
+    "sort buckets by metric, show a page" table). The bucket series is
+    panel-sized, so the single global row_number window is the ES
+    coordinator reduction, not a data funnel."""
+    if from_ < 0 or (size is not None and size < 0):
+        raise ValueError("from_/size must be non-negative")
+    w = Window.orderBy(*sort_cols)
+    out = df.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") > from_)
+    if size is not None:
+        out = out.filter(F.col("_rk") <= from_ + size)
+    return out.drop("_rk")
+
+
+def max_bucket(df: DataFrame, key_col: str, val_col: str,
+               minimum: bool = False) -> DataFrame:
+    """ES `max_bucket` / `min_bucket` sibling pipeline agg: the extreme
+    bucket VALUE plus the KEYS of every bucket attaining it (ES returns
+    a keys LIST on ties). One aggregate over the panel-sized bucket
+    series; keys sorted for determinism. (`avg_bucket` / `sum_bucket` /
+    `stats_bucket` are :func:`stats_agg` applied to the bucket series —
+    no separate operator needed.)"""
+    agg = F.min(F.col(val_col)) if minimum else F.max(F.col(val_col))
+    ext = df.agg(agg.alias("value"))
+    return (
+        df.join(F.broadcast(ext), F.col(val_col) == F.col("value"))
+        .groupBy("value")
+        .agg(F.sort_array(F.collect_list(F.col(key_col))).alias("keys"))
+    )

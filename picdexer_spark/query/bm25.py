@@ -291,6 +291,12 @@ class SearchEngine:
         )
         self.url_n_docs_scoring = self.url_n_docs
         self.url_avgdl_scoring = self.url_avgdl
+        #: per-field posting tables (Lucene's per-field terms dictionary):
+        #: url blocks live apart so content scans never read past them
+        self.postings_url = (
+            self.cat.read(spark, "postings_url", self.snapshot_id)
+            if self.has_url_field else None
+        )
         n_tomb_total = sum(self._tomb_counts.values())
         if n_tomb_total:
             from picdexer_spark.functions.tokenize import tokens_col
@@ -464,7 +470,8 @@ class SearchEngine:
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")  # proximity payload only when needed
-        cand = self.postings.filter(F.col("term").isin(present)) \
+        src = self.postings_url if ns else self.postings
+        cand = src.filter(F.col("term").isin(present)) \
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_shard_scorer(scorer_terms, idf_map, k, mode,
@@ -1119,7 +1126,8 @@ class SearchEngine:
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")
-        cand = self.postings.filter(F.col("term").isin(present)) \
+        cand = (self.postings_url if ns else self.postings) \
+            .filter(F.col("term").isin(present)) \
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         scorer = _make_filtered_shard_scorer(scorer_terms, idf_map, k, mode,
@@ -1218,7 +1226,8 @@ class SearchEngine:
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")
-        cand = self.postings.filter(F.col("term").isin(present)) \
+        cand = (self.postings_url if ns else self.postings) \
+            .filter(F.col("term").isin(present)) \
             .select(*pay_cols)
         scorer_terms = list(terms) if mode == "phrase" else present
         if cond is not None:

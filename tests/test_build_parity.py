@@ -59,12 +59,11 @@ def test_posting_pipeline_bit_identical_to_reference(
         IndexConfig(shard_range=128, store_positions=store_pos),
     )
     cat = IndexCatalog(idx)
-    posts = cat.read(spark, "postings").toPandas()
     docs = cat.read(spark, "docs")
-    # round 5: the build also indexes the url field (namespaced terms, url
-    # token count as dl, own position space) — the reference encoding is
-    # the SAME tf stream run over a url-projected docs frame, namespaced
-    # in pandas, concatenated before blocking
+    # round 5: the build also indexes the url field into a SEPARATE
+    # per-field table (Lucene per-field terms dictionary) — the
+    # reference encoding for it is the SAME tf stream run over a
+    # url-projected docs frame, namespaced in pandas
     from pyspark.sql import functions as F
 
     from picdexer_spark.functions.tokenize import tokens_col
@@ -75,25 +74,28 @@ def test_posting_pipeline_bit_identical_to_reference(
         F.col("url").alias("text"),
         F.size(tokens_col("url")).cast("long").alias("doc_len"),
     ).filter(F.col("doc_len") > 0)
-    tf_text = tf_stream(docs, 128, store_pos).toPandas()
     tf_url = tf_stream(docs_url, 128, store_pos).toPandas()
     tf_url["term"] = URL_FIELD_NS + tf_url["term"]
-    ref = _reference_blocks(pd.concat([tf_text, tf_url], ignore_index=True),
-                            store_pos)
-
-    key = ["term", "shard_id", "block_no"]
-    got = posts.sort_values(key).reset_index(drop=True)
-    want = ref[posts.columns].sort_values(key).reset_index(drop=True)
-    assert got.shape == want.shape
-    for c in posts.columns:
-        if c in ENC_COLS:
-            for x, y in zip(got[c], want[c]):
-                if x is None or y is None:
-                    assert x is None and y is None, c
-                else:
-                    assert bytes(x) == bytes(y), c
-        else:
-            assert (got[c] == want[c]).all(), c
+    sides = [
+        (cat.read(spark, "postings").toPandas(),
+         tf_stream(docs, 128, store_pos).toPandas()),
+        (cat.read(spark, "postings_url").toPandas(), tf_url),
+    ]
+    for posts, tf_pdf in sides:
+        ref = _reference_blocks(tf_pdf, store_pos)
+        key = ["term", "shard_id", "block_no"]
+        got = posts.sort_values(key).reset_index(drop=True)
+        want = ref[posts.columns].sort_values(key).reset_index(drop=True)
+        assert got.shape == want.shape
+        for c in posts.columns:
+            if c in ENC_COLS:
+                for x, y in zip(got[c], want[c]):
+                    if x is None or y is None:
+                        assert x is None and y is None, c
+                    else:
+                        assert bytes(x) == bytes(y), c
+            else:
+                assert (got[c] == want[c]).all(), c
 
 
 @given(

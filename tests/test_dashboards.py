@@ -251,3 +251,63 @@ def test_percentile_ranks_exact_cdf(spark):
     assert got[2.0] == pytest.approx(50.0)   # 2 of 4 non-null <= 2.0
     assert got[3.5] == pytest.approx(75.0)
     assert got[0.5] == pytest.approx(0.0)
+
+
+def test_auto_date_histogram_picks_smallest_fitting_interval(spark):
+    from picdexer_spark.operators.dashboards import auto_date_histogram
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # span 0..95 min -> 10-bucket target needs >= 1800s (30 min gives
+    # buckets 0..3 = 4 <= 10; 600s gives 10 buckets ALSO <= 10 -> the
+    # smallest fitting is 600s exactly)
+    rows = [(base + dt.timedelta(minutes=m),) for m in (0, 10, 95)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = auto_date_histogram(df, "ts", buckets=10).collect()
+    assert all(r["interval_sec"] == 600 for r in got)
+    assert [(r["bucket"] // 600) % 1000 for r in got] and len(got) == 3
+    # tighter target forces a coarser step
+    got2 = auto_date_histogram(df, "ts", buckets=2).collect()
+    assert all(r["interval_sec"] == 3600 for r in got2)
+    assert len(got2) == 2
+    with pytest.raises(ValueError):
+        auto_date_histogram(df, "ts", buckets=0)
+
+
+def test_auto_date_histogram_counts_match_manual(spark):
+    from picdexer_spark.operators.dashboards import (
+        auto_date_histogram, date_histogram,
+    )
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    rows = [(base + dt.timedelta(hours=h),) for h in range(0, 100, 7)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = auto_date_histogram(df, "ts", buckets=12).collect()
+    iv = got[0]["interval_sec"]
+    assert iv == 43200  # 100h span / 12 buckets -> 12h steps
+    manual = {r["bucket"]: r["n"]
+              for r in date_histogram(df, "ts", "12h").collect()}
+    assert {r["bucket"]: r["n"] for r in got} == manual
+
+
+def test_bucket_sort_pages_buckets(spark):
+    from picdexer_spark.operators.dashboards import bucket_sort
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 1), ("d", 7)], "k string, n long")
+    got = [r["k"] for r in
+           bucket_sort(df, [F.desc("n"), F.asc("k")],
+                       from_=1, size=2).collect()]
+    assert got == ["d", "a"]
+    assert "_rk" not in bucket_sort(df, [F.asc("k")]).columns
+    with pytest.raises(ValueError):
+        bucket_sort(df, [F.asc("k")], from_=-1)
+
+
+def test_max_bucket_returns_tied_keys(spark):
+    from picdexer_spark.operators.dashboards import max_bucket
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1)], "k string, n long")
+    r = max_bucket(df, "k", "n").first()
+    assert r["value"] == 9 and r["keys"] == ["b", "c"]
+    r2 = max_bucket(df, "k", "n", minimum=True).first()
+    assert r2["value"] == 1 and r2["keys"] == ["d"]
