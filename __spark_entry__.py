@@ -611,9 +611,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("tmetric").alias("gate"),
             F.col("key"),
             F.col("metric").alias("value"))
+        # 'autohist' — ES auto_date_histogram over events.ts (the agg
+        #              picks its own ladder interval for <= 12 buckets;
+        #              the chosen interval rides an extra 'interval' row);
+        # 'bsort'   — ES bucket_sort: lang count buckets by n desc,
+        #             page from=1 size=2;
+        # 'maxb'    — ES max_bucket: extreme bucket value + tied keys
+        ev = _tbl(s, d, "events")
+        ah = dash.auto_date_histogram(ev, "ts", buckets=12)
+        ahr = ah.select(
+            F.lit("autohist").alias("gate"),
+            F.col("bucket").cast("string").alias("key"),
+            F.col("n").cast("double").alias("value"))
+        ahi = ah.limit(1).select(
+            F.lit("autohist").alias("gate"),
+            F.lit("interval").alias("key"),
+            F.col("interval_sec").cast("double").alias("value"))
+        lcounts = (docs.filter(F.col("lang").isNotNull())
+                   .groupBy("lang").agg(F.count("*").alias("n")))
+        bs = dash.bucket_sort(
+            lcounts, [F.desc("n"), F.asc("lang")], from_=1, size=2,
+        ).select(F.lit("bsort").alias("gate"),
+                 F.col("lang").alias("key"),
+                 F.col("n").cast("double").alias("value"))
+        mb = dash.max_bucket(lcounts, "lang", "n").select(
+            F.lit("maxb").alias("gate"),
+            F.concat(F.lit("max:"), F.array_join("keys", ",")).alias("key"),
+            F.col("value").cast("double").alias("value"))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
-            .unionByName(miss).unionByName(tm)
+            .unionByName(miss).unionByName(tm).unionByName(ahr)
+            .unionByName(ahi).unionByName(bs).unionByName(mb)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -1499,14 +1527,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'tmetric' AS gate, lang AS key, avg(dl) AS value
           FROM dl WHERE lang IS NOT NULL
           GROUP BY lang
-          ORDER BY avg(dl) DESC, lang ASC LIMIT 5)
+          ORDER BY avg(dl) DESC, lang ASC LIMIT 5),
+        evb AS (SELECT floor(epoch(ts))::bigint AS es FROM events),
+        bnd AS (SELECT min(es) AS lo, max(es) AS hi FROM evb),
+        lad AS (SELECT i FROM (VALUES (1),(5),(10),(30),(60),(300),(600),
+                (1800),(3600),(10800),(43200),(86400),(604800),(2592000),
+                (7776000),(31536000),(157680000),(315360000)) t(i)),
+        pick AS (SELECT min(i) AS iv FROM lad, bnd
+                 WHERE (hi // i) - (lo // i) + 1 <= 12),
+        ah AS (
+          SELECT 'autohist' AS gate, ((es // iv) * iv)::varchar AS key,
+                 count(*)::double AS value
+          FROM evb CROSS JOIN pick GROUP BY 2),
+        ahi AS (
+          SELECT 'autohist' AS gate, 'interval' AS key, iv::double AS value
+          FROM pick),
+        lc AS (SELECT lang, count(*) AS n FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
+        bs AS (
+          SELECT 'bsort' AS gate, lang AS key, n::double AS value
+          FROM (SELECT lang, n, row_number() OVER
+                  (ORDER BY n DESC, lang ASC) AS rk FROM lc)
+          WHERE rk > 1 AND rk <= 3),
+        mb AS (
+          SELECT 'maxb' AS gate,
+                 'max:' || string_agg(lang, ',' ORDER BY lang) AS key,
+                 max(n)::double AS value
+          FROM lc WHERE n = (SELECT max(n) FROM lc))
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
           UNION ALL SELECT * FROM th
           UNION ALL SELECT * FROM rare
           UNION ALL SELECT * FROM miss
-          UNION ALL SELECT * FROM tm)
+          UNION ALL SELECT * FROM tm
+          UNION ALL SELECT * FROM ah
+          UNION ALL SELECT * FROM ahi
+          UNION ALL SELECT * FROM bs
+          UNION ALL SELECT * FROM mb)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor

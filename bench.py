@@ -267,8 +267,17 @@ def run_ab_vs_ref(ref: str, n_docs: int, cpus: int,
         f.write(AB_PROBE)
     sides = {"new": repo, "old": wt}
     out: dict[str, list[dict]] = {"new": [], "old": []}
+    gates: list[dict] = []
+    ab_gate = float(os.environ.get("BENCH_AB_GATE", "0.88"))
     try:
         for side in ("new", "old", "old", "new"):
+            # host-gate each slot like the scaling slots (r5 lesson: a
+            # throttle window longer than one slot defeats the
+            # interleave — one run recorded a 135 s slot beside a 13 s
+            # one; min-per-side can't cancel a half-run-long stall)
+            scale, deferred = wait_host_healthy(ab_gate)
+            gates.append({"side": side, "host_scale": scale,
+                          "deferred": deferred})
             r = subprocess.run(
                 [sys.executable, probe, str(n_docs), str(cpus),
                  str(shard_range)],
@@ -286,6 +295,7 @@ def run_ab_vs_ref(ref: str, n_docs: int, cpus: int,
     return {
         "ref": ref, "n_docs": n_docs, "cpus": cpus,
         "order": "new,old,old,new (min per side)",
+        "slot_gates": gates,
         "runs": out,
         "build_t_old": best["old"]["t_build"],
         "build_t_new": best["new"]["t_build"],
