@@ -53,24 +53,29 @@ class OracleIndex:
         df = self.df(term)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def score_one(self, term: str, doc_id: int) -> float:
+    def score_one(self, term: str, doc_id: int,
+                  boost: float = 1.0) -> float:
         tf = self.postings.get(term, {}).get(doc_id)
         if not tf:
             return 0.0
         dl = self.doc_len[doc_id]
+        # boost folds into idf FIRST (then * tf_norm) — the same float
+        # op order as the engine's boosted idf_map (bm25._idf_map)
+        bidf = self.idf(term) * boost if boost != 1.0 else self.idf(term)
         return (
-            self.idf(term)
+            bidf
             * (tf * (K1 + 1.0))
             / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
         )
 
     def search(
         self, terms: list[str], mode: str = "disjunctive", k: int = 10,
-        msm: int = 1,
+        msm: int = 1, boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score); mode 'conjunctive' (AND) or 'disjunctive'
         (OR). `msm`: ES minimum_should_match on the disjunction — a doc
-        needs >= msm matched terms; score stays the sum over ALL matched."""
+        needs >= msm matched terms; score stays the sum over ALL matched.
+        `boosts`: per-term weight map (query_string `term^N`)."""
         uniq = sorted(set(terms))
         if not uniq:
             return []
@@ -94,11 +99,12 @@ class OracleIndex:
                 }
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        boosts = boosts or {}
         scored = []
         for d in candidates:
             s = 0.0
             for t in uniq:  # ascending term order — pinned summation order
-                s += self.score_one(t, d)
+                s += self.score_one(t, d, boosts.get(t, 1.0))
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]

@@ -347,6 +347,27 @@ class SearchEngine:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _idf_map(self, present: list[str], dfs: dict[str, int],
+                 n_docs_sc: int, ns: str,
+                 boosts: dict[str, float] | None) -> dict[str, float]:
+        """Per-term idf, with optional `term^N` boosts folded in (keys
+        are UN-namespaced analyzed terms; the map is applied after field
+        namespacing so callers never see the namespace)."""
+        if not boosts:
+            return {t: idf(n_docs_sc, dfs[t]) for t in present}
+        bm = {ns + t: float(b) for t, b in boosts.items()} if ns \
+            else {t: float(b) for t, b in boosts.items()}
+        for t, b in bm.items():
+            if not (b > 0.0):
+                raise ValueError(f"boost must be > 0 ({t!r}: {b})")
+        out = {}
+        for t in present:
+            v = idf(n_docs_sc, dfs[t])
+            if t in bm:
+                v = v * bm[t]
+            out[t] = v
+        return out
+
     def _field_stats(self, field: str | None) -> tuple[str, int, float]:
         """(term namespace, n_docs_scoring, avgdl_scoring) for a SCORED
         field. The content field is the default; `url` resolves to the
@@ -378,8 +399,16 @@ class SearchEngine:
         slop: int = 0,
         min_should_match: int = 1,
         field: str | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
+
+        `boosts`: optional per-term weight map (analyzed term -> boost,
+        the Lucene BoostQuery / query_string `term^N` construct). A
+        boosted term's contribution is `boost * idf * tf_norm` — the
+        boost folds into the term's idf BEFORE the kernels run, so every
+        block upper bound inherits it and pruning stays exact. Terms
+        absent from the map weigh 1.0; boosts must be > 0.
 
         mode "phrase": `terms` is the phrase IN ORDER; docs must contain
         the exact adjacent sequence (Lucene match_phrase, slop 0 — needs an
@@ -464,7 +493,7 @@ class SearchEngine:
         # unsatisfiable (ES: an absent optional clause never matches)
         if min_should_match > len(present):
             return self._empty()
-        idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
+        idf_map = self._idf_map(present, dfs, n_docs_sc, ns, boosts)
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
@@ -572,6 +601,49 @@ class SearchEngine:
         dfq = self.term_stats
         if parts[0]:
             dfq = dfq.filter(F.col("term").startswith(parts[0]))
+        else:
+            dfq = dfq.filter(~F.col("term").startswith("\x1f"))
+        rows = (
+            dfq.filter(F.col("term").rlike(rx))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms fully matching a regexp (`sp[ae]rk`,
+        `batc.+`), the `max_expansions` highest-df ones (ties -> term
+        asc) — the Lucene regexp query under the same top_terms_N
+        rewrite as :meth:`expand_prefix`. The pattern is implicitly
+        anchored to the WHOLE term (Lucene RegexpQuery contract) and is
+        not analyzed (the parser already lowercased and charset-checked
+        it to the Python-re/Java-regex-common subset).
+
+        Scale shape: the literal prefix before the first metacharacter
+        is pushed to the term-dictionary parquet scan as
+        StringStartsWith; the anchored pattern then filters via JVM
+        `rlike`. A pattern with no literal prefix sweeps the dictionary
+        — the same documented cost as a leading-star wildcard."""
+        n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
+            else max_expansions
+        rx = f"^(?:{pattern})$"
+        if self._df_cache is not None:
+            pat = re.compile(rx)
+            hits = [(t, d) for t, d in self._df_cache.items()
+                    if not t.startswith("\x1f") and pat.match(t)]
+            hits.sort(key=lambda td: (-td[1], td[0]))
+            return [t for t, _ in hits[:n]]
+        lit = re.match(r"^[a-z0-9]*", pattern).group(0)
+        if len(lit) < len(pattern) and pattern[len(lit)] in "*+?{":
+            # a quantifier binds the preceding literal char — it is not
+            # part of the guaranteed prefix (`sp*` matches plain `s`)
+            lit = lit[:-1]
+        dfq = self.term_stats
+        if lit:
+            dfq = dfq.filter(F.col("term").startswith(lit))
         else:
             dfq = dfq.filter(~F.col("term").startswith("\x1f"))
         rows = (
@@ -772,7 +844,9 @@ class SearchEngine:
             for g in groups:
                 exp: set[str] = set()
                 for t in g:
-                    if t.endswith("*") and "*" not in t[:-1]:
+                    if len(t) >= 3 and t.startswith("/") and t.endswith("/"):
+                        exp.update(self.expand_regexp(t[1:-1]))
+                    elif t.endswith("*") and "*" not in t[:-1]:
                         exp.update(self.expand_prefix(t[:-1]))
                     elif "*" in t:
                         exp.update(self.expand_wildcard(t))
@@ -817,12 +891,41 @@ class SearchEngine:
             # parser carries the slop in the mode string
             slop = int(mode.split("~", 1)[1])
             mode = "phrase"
-        if any("*" in t or "~" in t for t in terms):
-            # parser guarantees prefix/wildcard/fuzzy only reach here in
-            # OR context
+        # `term^N` boost markers (parser-validated: plain single-token
+        # words, flat queries only) split off into a weight map BEFORE
+        # multi-term expansion; a term cannot carry two different weights
+        boosts: dict[str, float] = {}
+        if any("^" in t for t in terms):
+            stripped: list[str] = []
+            for t in terms:
+                if "^" in t:
+                    stem, b = t.rsplit("^", 1)
+                    bf = float(b)
+                    if boosts.get(stem, bf) != bf:
+                        raise ValueError(
+                            f"term {stem!r} carries two different boosts"
+                        )
+                    boosts[stem] = bf
+                    stripped.append(stem)
+                else:
+                    stripped.append(t)
+            dup = [t for t in boosts if stripped.count(t) > 1]
+            if dup:
+                raise ValueError(
+                    f"term(s) {dup} appear both boosted and plain "
+                    "(duplicate clauses are refused, not guessed)"
+                )
+            terms = stripped
+        if any("*" in t or "~" in t or
+               (len(t) >= 3 and t.startswith("/") and t.endswith("/"))
+               for t in terms):
+            # parser guarantees prefix/wildcard/fuzzy/regexp only reach
+            # here in OR context
             exp: set[str] = set()
             for t in terms:
-                if t.endswith("*") and "*" not in t[:-1]:
+                if len(t) >= 3 and t.startswith("/") and t.endswith("/"):
+                    exp.update(self.expand_regexp(t[1:-1]))
+                elif t.endswith("*") and "*" not in t[:-1]:
                     exp.update(self.expand_prefix(t[:-1]))
                 elif "*" in t:
                     exp.update(self.expand_wildcard(t))
@@ -837,8 +940,9 @@ class SearchEngine:
                 return self._empty()
         if filters:
             return self.search_filtered(terms, mode, filters, k, prune,
-                                        slop=slop)
-        return self.search(terms, mode, k, prune, slop=slop)
+                                        slop=slop, boosts=boosts or None)
+        return self.search(terms, mode, k, prune, slop=slop,
+                           boosts=boosts or None)
 
     #: docs-table column types a kuery filter may target, by capability.
     #: Mirrors the ES mapping contract (reference
@@ -1029,6 +1133,7 @@ class SearchEngine:
         slop: int = 0,
         min_should_match: int = 1,
         field: str | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score) over docs matching ALL `filters` —
         (field, value) exact matches, or (field, op, value) with op in
@@ -1046,7 +1151,7 @@ class SearchEngine:
             return self.search(terms, mode, k, prune, after=after,
                                groups=groups, slop=slop,
                                min_should_match=min_should_match,
-                               field=field)
+                               field=field, boosts=boosts)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         cond = self._filter_cond(filters)  # validates fields/ops/values
@@ -1116,7 +1221,7 @@ class SearchEngine:
             return self._empty()
         if min_should_match > len(present):
             return self._empty()  # unsatisfiable, see search()
-        idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
+        idf_map = self._idf_map(present, dfs, n_docs_sc, ns, boosts)
 
         allowed = live.filter(cond).select(
             F.expr(f"doc_id div {self.shard_range}").alias("shard_id"),

@@ -59,6 +59,11 @@ _TOKEN_RE = re.compile(r'[^\s":]+:"[^"]*"|"[^"]*"|\S+')
 
 _FUZZY_RE = re.compile(r"^(.*?)~([12]?)$", re.DOTALL)
 _WILDCARD_RE = re.compile(r"^[a-z0-9*]+$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$", re.DOTALL)
+# Lucene regexp charset subset that means the same thing compiled by
+# Python `re` (driver vocab cache) and Java regex (`rlike` pushdown):
+# literals, char classes, alternation, grouping, ., *, +, ?, {m,n}
+_REGEXP_BODY_RE = re.compile(r"^[a-z0-9.*+?|()\[\]{},\-]+$")
 
 
 def _analyze_words(words: list[str], mode: str) -> list[str]:
@@ -72,6 +77,61 @@ def _analyze_words(words: list[str], mode: str) -> list[str]:
     for w in words:
         if w == "*":
             continue  # kuery match-all: no scored term
+        if "^" in w:
+            # query_string per-term boost (`spark^2`, `spark^0.5`): the
+            # boosted word is analyzed like any bare word; the marker
+            # survives as `term^N` and the engine folds it into the
+            # term's idf (Lucene BoostQuery — boost scales the weight,
+            # so block-max pruning stays exact). Plain single-token
+            # words only: a boost glued to a prefix/wildcard/fuzzy/
+            # regexp marker is refused, not guessed.
+            m = _BOOST_RE.match(w)
+            if not m or "^" in m.group(1):
+                raise ValueError(
+                    f"unsupported boost syntax {w!r} (use word^N)"
+                )
+            stem_part, boost = m.groups()
+            if float(boost) <= 0:
+                raise ValueError(f"boost must be > 0 ({w!r})")
+            if any(c in stem_part for c in "*~") or (
+                    stem_part.startswith("/") and stem_part.endswith("/")):
+                raise ValueError(
+                    "boosts are only supported on plain analyzed words"
+                )
+            stem = tokenize_py(stem_part)
+            if len(stem) != 1:
+                raise ValueError(
+                    f"boosted word {w!r} must analyze to exactly one term"
+                )
+            terms.append(f"{stem[0]}^{boost}")
+            continue
+        if len(w) >= 3 and w.startswith("/") and w.endswith("/"):
+            # ES query_string regexp term (`/sp[ae]rk/`, `/batc.+/`):
+            # the pattern is NOT analyzed (Lucene regexp contract —
+            # lowercased only) and implicitly anchored to the whole
+            # term; the engine expands it against the term dictionary
+            # (SearchEngine.expand_regexp, the same top_terms_N
+            # scoring_boolean rewrite as prefix/wildcard). OR-context
+            # only. The charset is the subset that compiles identically
+            # under Python re and Java regex (no anchors/backrefs/
+            # escapes), refused otherwise.
+            if mode != "disjunctive":
+                raise ValueError(
+                    "regexp terms are only supported in OR context"
+                )
+            body = w[1:-1].lower()
+            if not _REGEXP_BODY_RE.match(body):
+                raise ValueError(
+                    f"regexp {w!r} uses characters outside the supported "
+                    "subset (lowercase literals and . * + ? | ( ) [ ] "
+                    "{ } , -)"
+                )
+            try:
+                re.compile(body)
+            except re.error as e:
+                raise ValueError(f"bad regexp {w!r}: {e}") from None
+            terms.append(f"/{body}/")
+            continue
         if w.endswith("*") and "*" not in w[:-1]:
             if mode != "disjunctive":
                 raise ValueError(
@@ -140,17 +200,17 @@ def _phrase_inner(inner: str) -> tuple[list[str], str]:
                 'a phrase prefix needs the `*` glued to the last word '
                 '("part fil*")'
             )
-        if "*" in stem_part or "~" in stem_part:
+        if "*" in stem_part or "~" in stem_part or "^" in stem_part:
             raise ValueError(
-                "wildcards/fuzzy inside a phrase are not supported"
+                "wildcards/fuzzy/boosts inside a phrase are not supported"
             )
         toks = tokenize_py(stem_part)
         if not toks:
             raise ValueError("phrase prefix analyzed to no tokens")
         return toks, "phrase_prefix"
-    if "*" in inner or "~" in inner:
+    if "*" in inner or "~" in inner or "^" in inner:
         raise ValueError(
-            "wildcards/fuzzy inside a phrase are not supported"
+            "wildcards/fuzzy/boosts inside a phrase are not supported"
         )
     return tokenize_py(inner), "phrase"
 
@@ -598,6 +658,13 @@ def _compile_tree(root):
     seen: set[str] = set()
     for g in groups:
         for t in g:
+            if "^" in t:
+                # a boosted clause inside a CNF group would need
+                # per-group weight bookkeeping the sum kernel doesn't
+                # carry — refuse, not guess (boosts are flat-query only)
+                raise ValueError(
+                    "boosts are not supported inside boolean groups"
+                )
             if t in seen:
                 raise ValueError(
                     f"term {t!r} appears in more than one boolean group "
