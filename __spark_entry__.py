@@ -711,26 +711,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round("score", 4).alias("score"))
     q["bm25_phrase_prefix"] = bm25_phrase_prefix
 
-    def tf_pairs(s, d):
+    def result_shaping_multi(s, d):
+        # gate-window fold (round 5): the four ES result-shaping surfaces
+        # (query/shaping.py) in one tagged row set — field collapse on
+        # lang, phrase rescore over a 30-doc window, function_score
+        # field_value_factor(doc_len, ln1p, multiply), and the discover
+        # sort clause (warc_ts desc, scores untracked)
+        eng = SearchEngine(s, _get_index(s, d))
+        c = eng.collapse(DISJ_TERMS, "lang", 5).select(
+            F.lit("collapse").alias("part"), F.col("lang").alias("key"),
+            "doc_id", F.round("score", 4).alias("score"))
+        r = eng.rescore(DISJ_TERMS, PHRASE, window_size=30, k=10,
+                        query_weight=0.7, rescore_query_weight=1.5).select(
+            F.lit("rescore").alias("part"),
+            F.lit(None).cast("string").alias("key"),
+            "doc_id", F.round("score", 4).alias("score"))
+        fs = eng.function_score(DISJ_TERMS, "doc_len", 10, modifier="ln1p",
+                                boost_mode="multiply").select(
+            F.lit("fscore").alias("part"),
+            F.lit(None).cast("string").alias("key"),
+            "doc_id", F.round("score", 4).alias("score"))
+        so = eng.sort_by_field(DISJ_TERMS, "warc_ts", 10,
+                               ascending=False).select(
+            F.lit("sort").alias("part"),
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("key"),
+            "doc_id", F.lit(None).cast("double").alias("score"))
+        return c.unionByName(r).unionByName(fs).unionByName(so)
+    q["result_shaping_multi"] = result_shaping_multi
+
+    def term_stats_multi(s, d):
+        # gate-window fold (round 5): raw per-doc tf pairs + corpus df
+        # top-30 (the index build's two statistics passes) in one tagged
+        # row set
         docs = _tbl(s, d, "documents")
-        return (
+        tf = (
             docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
             .filter(F.col("term").isin(TF_TERMS))
             .groupBy("doc_id", "term")
-            .agg(F.count("*").alias("tf"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("tf").alias("gate"), "doc_id", "term", "n")
         )
-    q["tf_pairs"] = tf_pairs
-
-    def term_df_top(s, d):
-        docs = _tbl(s, d, "documents")
-        return (
+        df = (
             docs.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
             .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
             .limit(30)
+            .select(F.lit("df").alias("gate"),
+                    F.lit(None).cast("long").alias("doc_id"), "term", "n")
         )
-    q["term_df_top"] = term_df_top
+        return tf.unionByName(df)
+    q["term_stats_multi"] = term_stats_multi
 
     # ---- dashboard surface (Q1-Q12 analogues) ----------------------------
     def counts_multi(s, d):
@@ -1992,17 +2023,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     '''
-    o["tf_pairs"] = f"""
-        SELECT doc_id, term, count(*) AS tf FROM (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-          FROM documents)
-        WHERE term IN ({sql_terms(TF_TERMS)}) GROUP BY doc_id, term
+    # round-5 fold: raw tf pairs + corpus df top-30, tagged
+    o["term_stats_multi"] = f"""
+        SELECT gate, doc_id, term, n FROM (
+          SELECT 'tf' AS gate, doc_id, term, count(*) AS n FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents)
+          WHERE term IN ({sql_terms(TF_TERMS)}) GROUP BY doc_id, term
+          UNION ALL
+          SELECT 'df' AS gate, NULL::BIGINT AS doc_id, term, n FROM (
+            SELECT term, count(DISTINCT doc_id) AS n FROM (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 30)
+        )
     """
-    o["term_df_top"] = """
-        SELECT term, count(DISTINCT doc_id) AS df FROM (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-          FROM documents)
-        GROUP BY term ORDER BY df DESC, term ASC LIMIT 30
+    # round-5 fold: the four result-shaping surfaces over the DISJ_TERMS
+    # match set — collapse(lang) top-5, phrase-rescore(window 30,
+    # qw 0.7/rw 1.5) top-10, field_value_factor(doc_len, ln1p, multiply)
+    # top-10 over the FULL match set, sort(warc_ts desc) top-10
+    _shape_phrase = " ".join(PHRASE)
+    o["result_shaping_multi"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        flat AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term FROM tok),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM flat
+               WHERE term IN ({sql_terms(DISJ_TERMS)}) GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+               WHERE term IN ({sql_terms(DISJ_TERMS)}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                        / (st.total_len::double / st.n_docs)))
+                    ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id),
+        ranked AS (
+          SELECT sc.doc_id, sc.s, d.lang,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY sc.s DESC, sc.doc_id ASC) AS rn
+          FROM scored sc JOIN documents d USING (doc_id)),
+        clps AS (
+          SELECT 'collapse' AS part, lang AS key, doc_id,
+                 round(s, 4) AS score
+          FROM ranked WHERE rn = 1
+          ORDER BY s DESC, doc_id ASC LIMIT 5),
+        base AS (SELECT doc_id, s FROM scored
+                 ORDER BY s DESC, doc_id ASC LIMIT 30),
+        ptdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+                 WHERE term IN ({sql_terms(PHRASE)}) GROUP BY term),
+        pidf AS (SELECT sum(ln(1 + (st.n_docs - ptdf.df + 0.5)
+                               / (ptdf.df + 0.5))) AS idf_sum
+                 FROM ptdf CROSS JOIN st),
+        ppf AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   [array_to_string(toks[i:i+1], ' ')
+                    FOR i IN range(1, len(toks))],
+                   g -> g = '{_shape_phrase}')) AS ptf
+          FROM tok),
+        pscored AS (
+          SELECT ppf.doc_id,
+                 pidf.idf_sum * (ppf.ptf * 2.2)
+                 / (ppf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                     / (st.total_len::double / st.n_docs)))
+                 AS ps
+          FROM ppf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN pidf
+          WHERE ppf.ptf > 0),
+        resc AS (
+          SELECT 'rescore' AS part, NULL::VARCHAR AS key, b.doc_id,
+                 round(0.7 * b.s + coalesce(1.5 * p.ps, 0.0), 4) AS score
+          FROM base b LEFT JOIN pscored p USING (doc_id)
+          ORDER BY 0.7 * b.s + coalesce(1.5 * p.ps, 0.0) DESC, b.doc_id ASC
+          LIMIT 10),
+        fsc AS (
+          SELECT 'fscore' AS part, NULL::VARCHAR AS key, sc.doc_id,
+                 round(sc.s * ln(1 + dl.dl), 4) AS score
+          FROM scored sc JOIN dl USING (doc_id)
+          ORDER BY sc.s * ln(1 + dl.dl) DESC, sc.doc_id ASC LIMIT 10),
+        srt AS (
+          SELECT 'sort' AS part,
+                 strftime(TIMESTAMP '2024-01-01' + to_seconds(doc_id),
+                          '%Y-%m-%d %H:%M:%S') AS key,
+                 doc_id, NULL::DOUBLE AS score
+          FROM scored ORDER BY doc_id DESC LIMIT 10)
+        SELECT part, key, doc_id, score FROM clps
+        UNION ALL SELECT part, key, doc_id, score FROM resc
+        UNION ALL SELECT part, key, doc_id, score FROM fsc
+        UNION ALL SELECT part, key, doc_id, score FROM srt
     """
     # round-5 fold: Q1 count_all + Q11 time-range count, tagged
     o["counts_multi"] = """

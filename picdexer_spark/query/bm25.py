@@ -1808,6 +1808,38 @@ class SearchEngine:
         finally:
             m.unpersist()
 
+    # ---- result shaping (ES collapse / rescore / function_score / sort
+    # clause) — thin delegates, see query/shaping.py for the pinned
+    # semantics and plan shapes --------------------------------------
+
+    def collapse(self, terms, collapse_field, k=10, mode="disjunctive",
+                 filters=()):
+        from picdexer_spark.query import shaping
+        return shaping.collapse_top_k(self, terms, collapse_field, k,
+                                      mode, filters)
+
+    def rescore(self, terms, phrase_terms, window_size=50, k=10,
+                mode="disjunctive", query_weight=1.0,
+                rescore_query_weight=1.0):
+        from picdexer_spark.query import shaping
+        return shaping.rescore_phrase(self, terms, phrase_terms,
+                                      window_size, k, mode, query_weight,
+                                      rescore_query_weight)
+
+    def function_score(self, terms, field, k=10, mode="disjunctive",
+                       filters=(), factor=1.0, modifier="ln1p",
+                       boost_mode="multiply", missing=1.0):
+        from picdexer_spark.query import shaping
+        return shaping.function_score(self, terms, field, k, mode,
+                                      filters, factor, modifier,
+                                      boost_mode, missing)
+
+    def sort_by_field(self, terms, sort_field, k=10, mode="disjunctive",
+                      filters=(), ascending=False):
+        from picdexer_spark.query import shaping
+        return shaping.sort_by_field(self, terms, sort_field, k, mode,
+                                     filters, ascending)
+
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True,
                     after=None):
         """Collected [(doc_id, score)], the oracle-comparable form.
