@@ -551,9 +551,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("pctrank").alias("gate"),
             F.col("value").cast("long").cast("string").alias("key"),
             F.col("rank").alias("value"))
+        # round 5 wave 3: ES weighted_avg (weight = doc_id%7+1, a
+        # deterministic per-doc weight both engines synthesize) and ES
+        # median_absolute_deviation (exact interpolated form)
+        dld = docs.select(
+            F.size(tokens_col("text")).alias("dl"),
+            ((F.col("doc_id") % 7) + 1).alias("w"))
+        wa = dash.weighted_avg(dld, "dl", "w").select(
+            F.lit("wavg").alias("gate"), F.lit("dl_w").alias("key"),
+            F.col("weighted_avg").alias("value"))
+        mad = dash.median_absolute_deviation(dl, "dl").select(
+            F.lit("mad").alias("gate"), F.lit("dl").alias("key"),
+            F.col("mad").alias("value"))
         return (
             st.unionByName(pct).unionByName(card).unionByName(ext)
-            .unionByName(pr)
+            .unionByName(pr).unionByName(wa).unionByName(mad)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key")
         )
@@ -638,10 +650,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("maxb").alias("gate"),
             F.concat(F.lit("max:"), F.array_join("keys", ",")).alias("key"),
             F.col("value").cast("double").alias("value"))
+        # 'adjmx' — ES adjacency_matrix over three overlapping named
+        #           filters (single + pairwise-intersection doc counts,
+        #           'a&b' keys sorted-name order, empty pairs absent)
+        adj = dash.adjacency_matrix(dld, {
+            "en": F.col("lang") == "en",
+            "even": F.col("doc_id") % 2 == 0,
+            "long": F.col("dl") >= 100,
+        }).select(F.lit("adjmx").alias("gate"), "key",
+                  F.col("doc_count").cast("double").alias("value"))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
+            .unionByName(adj)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -797,11 +819,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = out.unionAll(p)
         return out.orderBy("grain", "bucket")
     q["date_hist_multi"] = date_hist_multi
-    # Kibana pipeline aggs on the weekly histogram: derivative,
-    # cumulative_sum, moving_fn(window 3) — computed on the parent
-    # histogram's buckets, the ES pipeline-agg contract
-    q["date_hist_pipeline"] = lambda s, d: dash.date_histogram_pipeline(
-        _tbl(s, d, "events"), "ts", "12h")
+    # Kibana pipeline aggs on the 12h histogram: derivative,
+    # cumulative_sum, moving_fn(window 3) — plus (round 5 wave 3)
+    # serial_diff(lag 2), a bucket_script ratio (n / cum_n), and a
+    # bucket_selector (cum_n > 100) applied LAST, the ES order (pipeline
+    # values compute on the full series, the selector then drops
+    # buckets)
+    def date_hist_pipeline(s, d):
+        h = dash.date_histogram_pipeline(_tbl(s, d, "events"), "ts", "12h")
+        h = dash.serial_diff(h, "n", lag=2)
+        h = dash.bucket_script(
+            h, {"ratio_n": F.col("n").cast("double") / F.col("cum_n")})
+        return dash.bucket_selector(h, F.col("cum_n") > 100) \
+            .orderBy("bucket")
+    q["date_hist_pipeline"] = date_hist_pipeline
 
     def top_terms_other(s, d):
         docs = _tbl(s, d, "documents").select(tokens_col("text").alias("toks"))
@@ -817,9 +848,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_grid"] = lambda s, d: dash.value_grid(_tbl(s, d, "events"), "value", 0)
     # ES `range` agg (Kibana Range viz): named half-open buckets + tails,
     # empty buckets kept with n=0 (the range agg returns every configured
-    # bucket, unlike terms/histogram)
-    q["range_buckets"] = lambda s, d: dash.range_buckets(
-        _tbl(s, d, "events"), "value", [50.0, 150.0, 400.0, 1000.0])
+    # bucket, unlike terms/histogram); round 5 wave 3 folds the ES
+    # `date_range` agg (same contract on timestamps, keys = the edge
+    # strings) into the same gate, tagged
+    def range_buckets(s, d):
+        ev = _tbl(s, d, "events")
+        num = dash.range_buckets(
+            ev, "value", [50.0, 150.0, 400.0, 1000.0],
+        ).select(F.lit("range").alias("gate"), "key", "n")
+        dr = dash.date_range_buckets(
+            ev, "ts", ["2024-01-10", "2024-01-20"],
+        ).select(F.lit("drange").alias("gate"), "key", "n")
+        return num.unionByName(dr)
+    q["range_buckets"] = range_buckets
 
     def sorted_projection(s, d):
         ev = _tbl(s, d, "events")
@@ -893,7 +934,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cell_lon").cast("double").alias("lon"),
             F.col("n").cast("long").alias("n"),
         )
-        return dms.unionAll(grid)
+        # round 5 wave 3: ES geo_bounds (2 rows: max corner / min
+        # corner) + geo_centroid (planar mean + point count)
+        gb = geo.geo_bounds(pt, "lat", "lon")
+        bmax = gb.select(
+            F.lit("bounds_max").alias("arm"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.round("top", 6).alias("lat"),
+            F.round("right", 6).alias("lon"),
+            F.lit(None).cast("long").alias("n"))
+        bmin = gb.select(
+            F.lit("bounds_min").alias("arm"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.round("bottom", 6).alias("lat"),
+            F.round("left", 6).alias("lon"),
+            F.lit(None).cast("long").alias("n"))
+        cent = geo.geo_centroid(pt, "lat", "lon").select(
+            F.lit("centroid").alias("arm"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            F.col("count").alias("n"))
+        return dms.unionAll(grid).unionAll(bmax).unionAll(bmin) \
+            .unionAll(cent)
     q["geo_multi"] = geo_multi
 
 
@@ -1489,7 +1552,12 @@ def oracle_sql() -> dict[str, str]:
                         AS vr,
                       sqrt(sum(dl::double * dl) / count(dl)
                            - avg(dl) * avg(dl)) AS sd,
-                      avg(dl) AS av FROM dl)
+                      avg(dl) AS av FROM dl),
+        dlw AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+                 (doc_id % 7) + 1 AS w
+          FROM documents),
+        md AS (SELECT quantile_cont(dl, 0.5) AS m FROM dl)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT 'stats' AS gate, 'count' AS key, c AS value FROM st
           UNION ALL SELECT 'stats', 'min', mn FROM st
@@ -1510,6 +1578,12 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'pctrank', '500',
             100.0 * (SELECT count(*) FILTER (dl <= 500.0) FROM dl)
                   / (SELECT count(dl) FROM dl)
+          UNION ALL SELECT 'wavg', 'dl_w',
+            (SELECT sum(dl::double * w) / sum(w) FROM dlw
+             WHERE dl IS NOT NULL)
+          UNION ALL SELECT 'mad', 'dl',
+            (SELECT quantile_cont(abs(dl - m), 0.5)
+             FROM dl CROSS JOIN md)
           UNION ALL SELECT 'cardinality', 'lang_n_distinct',
             (SELECT count(DISTINCT lang) FROM documents)::double)
         ORDER BY gate, key
@@ -1584,7 +1658,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'maxb' AS gate,
                  'max:' || string_agg(lang, ',' ORDER BY lang) AS key,
                  max(n)::double AS value
-          FROM lc WHERE n = (SELECT max(n) FROM lc))
+          FROM lc WHERE n = (SELECT max(n) FROM lc)),
+        af AS (
+          SELECT doc_id, lang = 'en' AS f_en, doc_id % 2 = 0 AS f_even,
+                 dl >= 100 AS f_long
+          FROM dl),
+        adj AS (
+          SELECT 'adjmx' AS gate, key, value FROM (
+            SELECT 'en' AS key, count(*)::double AS value FROM af
+            WHERE f_en
+            UNION ALL SELECT 'even', count(*)::double FROM af WHERE f_even
+            UNION ALL SELECT 'long', count(*)::double FROM af WHERE f_long
+            UNION ALL SELECT 'en&even', count(*)::double FROM af
+            WHERE f_en AND f_even
+            UNION ALL SELECT 'en&long', count(*)::double FROM af
+            WHERE f_en AND f_long
+            UNION ALL SELECT 'even&long', count(*)::double FROM af
+            WHERE f_even AND f_long)
+          WHERE value > 0)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
@@ -1595,7 +1686,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM ah
           UNION ALL SELECT * FROM ahi
           UNION ALL SELECT * FROM bs
-          UNION ALL SELECT * FROM mb)
+          UNION ALL SELECT * FROM mb
+          UNION ALL SELECT * FROM adj)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor
@@ -2136,15 +2228,20 @@ def oracle_sql() -> dict[str, str]:
         WITH h AS (
           SELECT (floor(epoch(ts) / 43200) * 43200)::bigint AS bucket,
                  count(*) AS n
-          FROM events GROUP BY 1)
-        SELECT bucket, n,
-               (n - lag(n) OVER (ORDER BY bucket))::bigint AS delta_n,
-               (sum(n) OVER (ORDER BY bucket
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               )::bigint AS cum_n,
-               avg(n) OVER (ORDER BY bucket
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_n
-        FROM h ORDER BY bucket
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT bucket, n,
+                 (n - lag(n) OVER (ORDER BY bucket))::bigint AS delta_n,
+                 (sum(n) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 )::bigint AS cum_n,
+                 avg(n) OVER (ORDER BY bucket
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_n,
+                 (n - lag(n, 2) OVER (ORDER BY bucket))::bigint AS sdiff2_n
+          FROM h)
+        SELECT bucket, n, delta_n, cum_n, mavg3_n, sdiff2_n,
+               n::double / cum_n AS ratio_n
+        FROM p WHERE cum_n > 100 ORDER BY bucket
     """
     o["date_hist_multi"] = """
         SELECT '12h' AS grain,
@@ -2192,13 +2289,25 @@ def oracle_sql() -> dict[str, str]:
         WITH b(key, ord, lo, hi) AS (VALUES
           ('*-50', 0, NULL, 50.0), ('50-150', 1, 50.0, 150.0),
           ('150-400', 2, 150.0, 400.0), ('400-1000', 3, 400.0, 1000.0),
-          ('1000-*', 4, 1000.0, NULL))
-        SELECT b.key,
+          ('1000-*', 4, 1000.0, NULL)),
+        db(key, ord, lo, hi) AS (VALUES
+          ('*-2024-01-10', 0, NULL, timestamp '2024-01-10'),
+          ('2024-01-10-2024-01-20', 1,
+           timestamp '2024-01-10', timestamp '2024-01-20'),
+          ('2024-01-20-*', 2, timestamp '2024-01-20', NULL))
+        SELECT 'range' AS gate, b.key,
                (SELECT count(*) FROM events e
                 WHERE e.value IS NOT NULL
                   AND (b.lo IS NULL OR e.value >= b.lo)
                   AND (b.hi IS NULL OR e.value < b.hi))::bigint AS n
-        FROM b ORDER BY b.ord
+        FROM b
+        UNION ALL
+        SELECT 'drange', db.key,
+               (SELECT count(*) FROM events e
+                WHERE e.ts IS NOT NULL
+                  AND (db.lo IS NULL OR e.ts >= db.lo)
+                  AND (db.hi IS NULL OR e.ts < db.hi))::bigint AS n
+        FROM db
     """
     o["value_grid"] = """
         SELECT round(value, 0) AS cell, count(*) AS n
@@ -2302,6 +2411,18 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         GROUP BY 3, 4
+        UNION ALL
+        SELECT 'bounds_max', NULL::BIGINT, round(max(lat), 6),
+               round(max(lon), 6), NULL::BIGINT
+        FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
+        UNION ALL
+        SELECT 'bounds_min', NULL::BIGINT, round(min(lat), 6),
+               round(min(lon), 6), NULL::BIGINT
+        FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
+        UNION ALL
+        SELECT 'centroid', NULL::BIGINT, round(avg(lat), 6),
+               round(avg(lon), 6), count(*)::BIGINT
+        FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
     """
     # ---- multimodal: REAL PPM decode/resize, reconstructed in SQL --------
     # the payload is pure ASCII, so the varchar the oracle builds is

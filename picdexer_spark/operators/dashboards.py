@@ -744,3 +744,146 @@ def max_bucket(df: DataFrame, key_col: str, val_col: str,
         .groupBy("value")
         .agg(F.sort_array(F.collect_list(F.col(key_col))).alias("keys"))
     )
+
+
+def serial_diff(df: DataFrame, val_col: str, lag: int = 1,
+                order_col: str = "bucket") -> DataFrame:
+    """ES `serial_diff` pipeline agg: value minus the value `lag`
+    buckets earlier in the ordered parent series (lag=1 is the
+    derivative; lag=period removes seasonality — the ES docs' use).
+    The first `lag` buckets are NULL (ES emits no value there). Runs on
+    the panel-sized bucket series, one coordinator window."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        f"sdiff{lag}_{val_col}",
+        F.col(val_col) - F.lag(val_col, lag).over(w),
+    )
+
+
+def bucket_script(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """ES `bucket_script` pipeline agg: a per-bucket arithmetic script
+    over the bucket's own metric columns (the Kibana "math on two
+    metrics" panel, e.g. ratio = clicks / views). Pure projection —
+    stays inside the parent agg's whole-stage codegen, no shuffle, no
+    window. A NULL input yields NULL (the ES skip gap policy)."""
+    out = df
+    for name, c in exprs.items():
+        out = out.withColumn(name, c)
+    return out
+
+
+def bucket_selector(df: DataFrame, cond: Column) -> DataFrame:
+    """ES `bucket_selector` pipeline agg: keep only buckets where the
+    boolean script holds ("show terms with count > N"). NULL evaluates
+    to dropped — the same outcome as the ES skip gap policy, where a
+    bucket with a missing script input never returns true."""
+    return df.filter(cond)
+
+
+def weighted_avg(df: DataFrame, value_col: str,
+                 weight_col: str) -> DataFrame:
+    """ES `weighted_avg` metric agg: sum(value*weight) / sum(weight) in
+    ONE map-side-combinable scan. Rows where either side is NULL are
+    skipped entirely (the ES default when no `missing` is configured:
+    a doc lacking value or weight is ignored)."""
+    v, w = F.col(value_col), F.col(weight_col)
+    ok = v.isNotNull() & w.isNotNull()
+    return df.filter(ok).agg(
+        (F.sum(v * w) / F.sum(w)).alias("weighted_avg")
+    )
+
+
+def median_absolute_deviation(df: DataFrame, col: str) -> DataFrame:
+    """ES `median_absolute_deviation` metric agg:
+    median(|x - median(x)|), the outlier-robust spread measure. ES
+    computes both medians on t-digest sketches; this is the EXACT
+    linear-interpolated form (the same exact-vs-approx stance as
+    :func:`percentiles` — at 100 TB swap both `percentile` calls for
+    `percentile_approx`, same plan shape). Two scans by necessity (the
+    inner median is a data-dependent scalar); the 1-row median
+    broadcast-joins into the second scan — nothing reaches the driver."""
+    med = df.agg(F.expr(f"percentile({col}, 0.5)").alias("med"))
+    return (
+        df.select(F.col(col)).filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(med))
+        .agg(F.expr(f"percentile(abs({col} - med), 0.5)").alias("mad"))
+    )
+
+
+def date_range_buckets(df: DataFrame, ts_col: str,
+                       edges: list[str]) -> DataFrame:
+    """ES `date_range` aggregation: named half-open [from, to) buckets
+    over a date field plus the two unbounded tails, keyed by the edge
+    strings ("*-2024-01-10", "2024-01-10-2024-01-20", ...) — the
+    :func:`range_buckets` contract on timestamps. Every configured
+    bucket is returned, empty ones with n=0. One scan, one
+    map-side-combinable groupBy."""
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    lows = [None] + list(edges)
+    highs = list(edges) + [None]
+    keys = [
+        ("*" if lo is None else lo) + "-" + ("*" if hi is None else hi)
+        for lo, hi in zip(lows, highs)
+    ]
+    c = F.col(ts_col)
+    expr = None
+    for k, lo, hi in zip(keys, lows, highs):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi).cast("timestamp"))
+        expr = F.when(cond, F.lit(k)) if expr is None \
+            else expr.when(cond, F.lit(k))
+    counted = (
+        df.filter(c.isNotNull())
+        .groupBy(expr.alias("key")).agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    all_keys = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                                     "key string, ord int")
+    return (
+        all_keys.join(counted, "key", "left")
+        .select("key", F.coalesce("n", F.lit(0)).alias("n"), "ord")
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+def adjacency_matrix(df: DataFrame,
+                     filters: dict[str, Column]) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: doc counts for each named
+    filter and each pairwise intersection, keyed "a" and "a&b" (pair
+    keys in sorted-name order, the ES convention; ES caps filters at
+    100 for the same quadratic-keys reason this should stay small).
+    ONE scan: each row builds its matched-name array with JVM
+    conditionals, pairs expand via array transforms (no UDF, no
+    self-join), then one map-side-combinable groupBy. Intersections
+    with no docs are absent — the ES contract (empty buckets are not
+    returned)."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    names = sorted(filters)
+    matched = F.array_compact(F.array(
+        *[F.when(filters[n], F.lit(n)) for n in names]
+    ))
+    # per row: [a, a&b, a&c, b, b&c, c] for matched [a, b, c]
+    keys = F.flatten(F.transform(
+        matched,
+        lambda x, i: F.concat(
+            F.array(x),
+            F.transform(
+                F.slice(matched, i + F.lit(2),
+                        F.greatest(F.size(matched) - i - 1, F.lit(0))),
+                lambda y: F.concat_ws("&", x, y),
+            ),
+        ),
+    ))
+    return (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key").agg(F.count("*").alias("doc_count"))
+        .orderBy("key")
+    )

@@ -94,3 +94,32 @@ def folder_of(col: Column | str) -> Column:
     return F.when(
         ~c.contains("/"), F.lit(".")
     ).otherwise(F.substring(c, 1, F.greatest(idx, F.lit(1))))
+
+
+def geo_bounds(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES `geo_bounds` metric agg: the smallest box covering every
+    point — (top, bottom) = max/min lat, (left, right) = min/max lon.
+    This is the wrap_longitude=false form; a dateline-crossing wrapped
+    box is not modeled (ES only wraps when asked). Rows missing either
+    coordinate are skipped (the ES missing-geo-field behavior). ONE
+    map-side-combinable scan."""
+    pts = df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    return pts.agg(
+        F.max(lat_col).alias("top"),
+        F.min(lat_col).alias("bottom"),
+        F.min(lon_col).alias("left"),
+        F.max(lon_col).alias("right"),
+    )
+
+
+def geo_centroid(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES `geo_centroid` metric agg: arithmetic mean of lat and lon
+    plus the point count (ES returns both). ES averages in planar
+    lat/lon space exactly like this (its docs call out the
+    flat-projection caveat); no spherical mean. One scan."""
+    pts = df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    return pts.agg(
+        F.avg(lat_col).alias("lat"),
+        F.avg(lon_col).alias("lon"),
+        F.count("*").alias("count"),
+    )

@@ -1,0 +1,186 @@
+"""Round-5 wave-3 agg operators, each pinned against a brute-force
+python reference:
+
+- serial_diff: lag-N differencing, first N buckets NULL;
+- bucket_script / bucket_selector: per-bucket arithmetic + predicate
+  drop (selector after pipeline values, the ES order);
+- weighted_avg: sum(v*w)/sum(w), NULL value or weight skips the row;
+- median_absolute_deviation: exact interpolated median(|x - median|);
+- date_range_buckets: named [from, to) buckets + tails, empties kept,
+  NULL timestamps dropped;
+- adjacency_matrix: singles + pairwise-intersection counts, 'a&b'
+  sorted-name keys, empty intersections absent;
+- geo_bounds / geo_centroid: box corners and planar mean.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from picdexer_spark.operators import dashboards as dash
+from picdexer_spark.operators import geo
+
+
+# --------------------------------------------------- pipeline agg trio
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    rows = [(b, n) for b, n in zip(range(0, 100, 10),
+                                   [5, 12, 3, 40, 7, 7, 21, 9, 30, 2])]
+    return spark.createDataFrame(rows, "bucket long, n long")
+
+
+def test_serial_diff(hist):
+    got = {r["bucket"]: r["sdiff2_n"]
+           for r in dash.serial_diff(hist, "n", lag=2).collect()}
+    ns = [5, 12, 3, 40, 7, 7, 21, 9, 30, 2]
+    for i, b in enumerate(range(0, 100, 10)):
+        want = None if i < 2 else ns[i] - ns[i - 2]
+        assert got[b] == want, b
+
+
+def test_serial_diff_refuses_bad_lag(hist):
+    with pytest.raises(ValueError):
+        dash.serial_diff(hist, "n", lag=0)
+
+
+def test_bucket_script_and_selector(hist):
+    h = dash.bucket_script(
+        hist, {"double_n": F.col("n") * 2,
+               "frac": F.col("n") / F.lit(10.0)})
+    rows = {r["bucket"]: r for r in h.collect()}
+    assert rows[30]["double_n"] == 80 and rows[30]["frac"] == 4.0
+    kept = dash.bucket_selector(h, F.col("n") > 10).collect()
+    assert sorted(r["bucket"] for r in kept) == [10, 30, 60, 80]
+
+
+def test_bucket_selector_null_drops(spark):
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)],
+                               "bucket long, n long")
+    kept = dash.bucket_selector(df, F.col("n") > 5).collect()
+    assert sorted(r["bucket"] for r in kept) == [1, 3]
+
+
+# ------------------------------------------------------- weighted_avg
+
+def test_weighted_avg_matches_bruteforce(spark):
+    rows = [(10.0, 1.0), (20.0, 3.0), (None, 5.0), (40.0, None),
+            (5.0, 2.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = dash.weighted_avg(df, "v", "w").collect()[0]["weighted_avg"]
+    ok = [(v, w) for v, w in rows if v is not None and w is not None]
+    want = sum(v * w for v, w in ok) / sum(w for _, w in ok)
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+# --------------------------------------- median_absolute_deviation
+
+def _interp_median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    mid = (n - 1) / 2
+    lo, hi = xs[math.floor(mid)], xs[math.ceil(mid)]
+    return lo + (hi - lo) * (mid - math.floor(mid))
+
+
+def test_mad_matches_bruteforce(spark):
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0]
+    df = spark.createDataFrame([(x,) for x in xs] + [(None,)],
+                               "x double")
+    got = dash.median_absolute_deviation(df, "x").collect()[0]["mad"]
+    med = _interp_median(xs)
+    want = _interp_median([abs(x - med) for x in xs])
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+# ------------------------------------------------- date_range_buckets
+
+def test_date_range_buckets(spark):
+    rows = [("2024-01-05 00:00:00",), ("2024-01-12 12:00:00",),
+            ("2024-01-15 00:00:00",), ("2024-02-01 00:00:00",),
+            ("2024-01-10 00:00:00",),  # boundary: lands in the middle
+            (None,)]
+    df = spark.createDataFrame(rows, "ts string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [(r["key"], r["n"]) for r in
+           dash.date_range_buckets(df, "ts",
+                                   ["2024-01-10", "2024-01-20"]).collect()]
+    assert got == [("*-2024-01-10", 1),
+                   ("2024-01-10-2024-01-20", 3),
+                   ("2024-01-20-*", 1)]
+
+
+def test_date_range_keeps_empty_buckets(spark):
+    df = spark.createDataFrame([("2024-06-01 00:00:00",)], "ts string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [(r["key"], r["n"]) for r in
+           dash.date_range_buckets(df, "ts",
+                                   ["2024-01-01", "2024-02-01"]).collect()]
+    assert got == [("*-2024-01-01", 0), ("2024-01-01-2024-02-01", 0),
+                   ("2024-02-01-*", 1)]
+
+
+def test_date_range_refuses_unsorted(spark):
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
+    with pytest.raises(ValueError):
+        dash.date_range_buckets(df, "ts", ["2024-02-01", "2024-01-01"])
+
+
+# -------------------------------------------------- adjacency_matrix
+
+def test_adjacency_matrix_matches_bruteforce(spark):
+    rows = [(i, "en" if i % 3 == 0 else "de", i * 7 % 50)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    filters = {"en": F.col("lang") == "en",
+               "evenid": F.col("doc_id") % 2 == 0,
+               "hi": F.col("v") >= 25}
+    got = {r["key"]: r["doc_count"] for r in
+           dash.adjacency_matrix(df, filters).collect()}
+    preds = {"en": lambda r: r[1] == "en",
+             "evenid": lambda r: r[0] % 2 == 0,
+             "hi": lambda r: r[2] >= 25}
+    names = sorted(preds)
+    want = {}
+    for i, a in enumerate(names):
+        n = sum(1 for r in rows if preds[a](r))
+        if n:
+            want[a] = n
+        for b in names[i + 1:]:
+            n = sum(1 for r in rows if preds[a](r) and preds[b](r))
+            if n:
+                want[f"{a}&{b}"] = n
+    assert got == want and len(want) == 6
+
+
+def test_adjacency_matrix_omits_empty_pairs(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "de")],
+                               "doc_id long, lang string")
+    got = {r["key"] for r in dash.adjacency_matrix(df, {
+        "en": F.col("lang") == "en",
+        "de": F.col("lang") == "de",
+    }).collect()}
+    assert got == {"en", "de"}  # no 'de&en' row — disjoint filters
+
+
+def test_adjacency_matrix_refuses_empty(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        dash.adjacency_matrix(df, {})
+
+
+# ----------------------------------------------- geo bounds/centroid
+
+def test_geo_bounds_and_centroid(spark):
+    pts = [(10.0, -20.0), (30.5, 40.0), (-5.0, 0.0), (None, 7.0),
+           (12.0, None)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    b = geo.geo_bounds(df, "lat", "lon").collect()[0]
+    assert (b["top"], b["bottom"], b["left"], b["right"]) == \
+        (30.5, -5.0, -20.0, 40.0)
+    c = geo.geo_centroid(df, "lat", "lon").collect()[0]
+    ok = [(la, lo) for la, lo in pts if la is not None and lo is not None]
+    assert c["count"] == 3
+    assert c["lat"] == pytest.approx(sum(p[0] for p in ok) / 3)
+    assert c["lon"] == pytest.approx(sum(p[1] for p in ok) / 3)
