@@ -960,9 +960,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_multi"] = geo_multi
 
 
-    q["point_lookup"] = lambda s, d: dash.point_lookup(
-        _tbl(s, d, "documents"), "doc_id", 42
-    ).select("doc_id", "lang", "source", "n_chars")
+    def doc_inspect_multi(s, d):
+        # gate-window fold (round 5): Q9 point lookup (doc 42, key/value
+        # rows) + the ES _explain score breakdown (doc 45 holds all
+        # three DISJ terms — tf/df/idf/score per term, the kernels'
+        # exact formula) in one tagged row set
+        doc = dash.point_lookup(_tbl(s, d, "documents"), "doc_id", 42) \
+            .selectExpr(
+                "'doc' AS part",
+                "stack(3, 'lang', lang, 'source', source, "
+                "'n_chars', cast(n_chars AS STRING)) AS (key, sval)") \
+            .withColumn("nval", F.lit(None).cast("double"))
+        eng = SearchEngine(s, _get_index(s, d))
+        ex = eng.explain(DISJ_TERMS, 45).selectExpr(
+            "'explain' AS part",
+            "stack(4, term || ':tf', cast(tf AS DOUBLE), "
+            "term || ':df', cast(df AS DOUBLE), "
+            "term || ':idf', idf, term || ':score', score) AS (key, nval)"
+        ).withColumn("sval", F.lit(None).cast("string"))
+        return (
+            doc.select("part", "key", "sval", "nval")
+            .unionByName(ex.select("part", "key", "sval", "nval"))
+            .select("part", "key", "sval", F.round("nval", 6).alias("nval"))
+            .orderBy("part", "key")
+        )
+    q["doc_inspect_multi"] = doc_inspect_multi
 
     # ---- training-data pipeline ops --------------------------------------
     def doc_features(s, d):
@@ -2337,8 +2359,48 @@ def oracle_sql() -> dict[str, str]:
                'click' AS sync_key
         FROM events WHERE event_type = 'click'
     """
-    o["point_lookup"] = """
-        SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
+    # round-5 fold: point lookup (doc 42) + _explain breakdown (doc 45)
+    o["doc_inspect_multi"] = f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        t45 AS (SELECT term, count(*) AS tf FROM flat
+                WHERE doc_id = 45 AND term IN ({sql_terms(DISJ_TERMS)})
+                GROUP BY term),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+                WHERE term IN ({sql_terms(DISJ_TERMS)}) GROUP BY term),
+        d45 AS (SELECT dl FROM dl WHERE doc_id = 45),
+        ex AS (
+          SELECT t45.term, t45.tf, dfq.df,
+                 ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   AS idf,
+                 ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (t45.tf * 2.2)
+                   / (t45.tf + 1.2 * (1 - 0.75 + 0.75 * d45.dl
+                                      / (st.total_len::double / st.n_docs)))
+                   AS score
+          FROM t45 JOIN dfq USING (term) CROSS JOIN d45 CROSS JOIN st)
+        SELECT part, key, sval, round(nval, 6) AS nval FROM (
+          SELECT 'doc' AS part, 'lang' AS key, lang AS sval,
+                 NULL::double AS nval
+          FROM documents WHERE doc_id = 42
+          UNION ALL SELECT 'doc', 'source', source, NULL::double
+          FROM documents WHERE doc_id = 42
+          UNION ALL SELECT 'doc', 'n_chars', n_chars::varchar, NULL::double
+          FROM documents WHERE doc_id = 42
+          UNION ALL SELECT 'explain', term || ':tf', NULL::varchar,
+                    tf::double FROM ex
+          UNION ALL SELECT 'explain', term || ':df', NULL::varchar,
+                    df::double FROM ex
+          UNION ALL SELECT 'explain', term || ':idf', NULL::varchar, idf
+          FROM ex
+          UNION ALL SELECT 'explain', term || ':score', NULL::varchar,
+                    score FROM ex)
+        ORDER BY part, key
     """
     # stopword literal shared by the quality / lang-ID feature columns
     STOPS = ("['the','of','and','a','to','in','is','it','for','on',"

@@ -1368,6 +1368,91 @@ class SearchEngine:
         distributed-side."""
         return self.match_ids(terms, mode, filters, groups=groups).count()
 
+    def explain(self, terms: list[str], doc_id: int,
+                field: str | None = None,
+                boosts: dict[str, float] | None = None) -> DataFrame:
+        """ES `_explain` API: the per-term BM25 score breakdown for ONE
+        document — one row per query term that occurs in the doc with
+        (term, tf, dl, df, idf, boost, score), where
+
+            score = boost * idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+
+        exactly the kernels' formula (idf over n_docs_scoring — a
+        tombstone-inflated N explains the same way it scores). Terms the
+        doc lacks get no row (ES: "no matching term" sub-explanations
+        carry no score); a deleted or absent doc yields 0 rows (ES
+        returns found=false). Total _score = sum(score) over the rows.
+
+        Plan shape: the postings scan is pruned to the doc's single
+        shard AND to blocks whose [first_doc, last_doc] span the doc —
+        three pushed parquet predicates — so one Arrow batch decodes
+        tf/dl for one candidate regardless of posting-list length; the
+        per-term stats ride a |q|-row broadcast join."""
+        ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        qs = sorted({ns + t for t in terms})
+        out_schema = ("term string, tf long, dl long, df long, "
+                      "idf double, boost double, score double")
+        if not qs:
+            return self.spark.createDataFrame([], out_schema)
+        dfs = self.term_dfs(qs)
+        present = [t for t in qs if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], out_schema)
+        idf_map = self._idf_map(present, dfs, n_docs_sc, ns, boosts)
+        d = int(doc_id)
+        shard = d // self.shard_range
+        cand = (self.postings_url if ns else self.postings).filter(
+            F.col("term").isin(present) & (F.col("shard_id") == shard)
+            & (F.col("first_doc") <= d) & (F.col("last_doc") >= d)
+        ).select("term", "first_doc", "last_doc", "max_tf", "min_dl",
+                 "doc_ids_enc", "tfs_enc", "dls_enc")
+
+        def decode(it):
+            want = np.array([d], np.uint64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                blocks = _blocks_from_pdf(pdf)
+                t_out, tf_out, dl_out = [], [], []
+                for t, blk in blocks.items():
+                    tf, dl, hit = blk.lookup(want)
+                    if hit[0]:
+                        t_out.append(t)
+                        tf_out.append(int(tf[0]))
+                        dl_out.append(int(dl[0]))
+                if t_out:
+                    yield pd.DataFrame({
+                        "term": t_out,
+                        "tf": np.array(tf_out, np.int64),
+                        "dl": np.array(dl_out, np.int64),
+                    })
+
+        hits = cand.mapInPandas(decode, "term string, tf long, dl long")
+        # |q|-row per-term stats; idf_map already folds boosts in, so
+        # recover the raw idf for display and keep boost separate
+        stats = self.spark.createDataFrame(
+            [(t, int(dfs[t]), idf(n_docs_sc, dfs[t]),
+              idf_map[t] / idf(n_docs_sc, dfs[t]))
+             for t in present],
+            "term string, df long, idf double, boost double",
+        )
+        tf_c, dl_c = F.col("tf").cast("double"), F.col("dl").cast("double")
+        norm = tf_c * (K1 + 1.0) / (
+            tf_c + K1 * (1.0 - B + B * dl_c / F.lit(float(avgdl_sc))))
+        out = (
+            hits.join(F.broadcast(stats), "term")
+            .withColumn("score",
+                        F.col("boost") * F.col("idf") * norm)
+        )
+        if self._tomb_counts:
+            out = out.join(
+                F.broadcast(self.deletes),
+                F.lit(d) == self.deletes["doc_id"], "left_anti")
+        if ns:  # display terms without the field-namespace prefix
+            out = out.withColumn("term",
+                                 F.substring("term", len(ns) + 1, 1 << 20))
+        return out.orderBy(F.desc("score"), F.asc("term"))
+
     def multi_match(
         self,
         terms: list[str],
