@@ -758,7 +758,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("sort").alias("part"),
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("key"),
             "doc_id", F.lit(None).cast("double").alias("score"))
-        return c.unionByName(r).unionByName(fs).unionByName(so)
+        # wave 3: the compound-query family — constant_score (conj
+        # match, fixed boost), dis_max over two subqueries (tie 0.3),
+        # boosting (batch-matching docs demoted 0.4, never excluded)
+        nokey = F.lit(None).cast("string").alias("key")
+        cs = eng.constant_score(CONJ_TERMS, 5, mode="conjunctive",
+                                boost=2.0).select(
+            F.lit("cscore").alias("part"), nokey,
+            "doc_id", F.round("score", 4).alias("score"))
+        dm = eng.dis_max([["spark"], ["dup", "vector"]], 10,
+                         tie_breaker=0.3).select(
+            F.lit("dismax").alias("part"), nokey,
+            "doc_id", F.round("score", 4).alias("score"))
+        bq = eng.boosting(DISJ_TERMS, ["batch"], 10,
+                          negative_boost=0.4).select(
+            F.lit("boosting").alias("part"), nokey,
+            "doc_id", F.round("score", 4).alias("score"))
+        return (c.unionByName(r).unionByName(fs).unionByName(so)
+                .unionByName(cs).unionByName(dm).unionByName(bq))
     q["result_shaping_multi"] = result_shaping_multi
 
     def term_stats_multi(s, d):
@@ -2227,11 +2244,58 @@ def oracle_sql() -> dict[str, str]:
                  strftime(TIMESTAMP '2024-01-01' + to_seconds(doc_id),
                           '%Y-%m-%d %H:%M:%S') AS key,
                  doc_id, NULL::DOUBLE AS score
-          FROM scored ORDER BY doc_id DESC LIMIT 10)
+          FROM scored ORDER BY doc_id DESC LIMIT 10),
+        conj AS (SELECT doc_id FROM flat
+                 WHERE term IN ({sql_terms(CONJ_TERMS)})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        csc AS (
+          SELECT 'cscore' AS part, NULL::VARCHAR AS key, doc_id,
+                 2.0 AS score
+          FROM conj ORDER BY doc_id ASC LIMIT 5),
+        pts AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                   / (st.total_len::double / st.n_docs)))
+                 AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+        dsub AS (
+          SELECT doc_id,
+                 sum(s) FILTER (term = 'spark') AS s1,
+                 sum(s) FILTER (term IN ('dup', 'vector')) AS s2
+          FROM pts GROUP BY doc_id),
+        dmx AS (
+          SELECT 'dismax' AS part, NULL::VARCHAR AS key, doc_id,
+                 round(CASE
+                   WHEN s1 IS NULL THEN s2
+                   WHEN s2 IS NULL THEN s1
+                   ELSE greatest(s1, s2)
+                        + 0.3 * (s1 + s2 - greatest(s1, s2))
+                 END, 4) AS score
+          FROM dsub
+          ORDER BY CASE
+                   WHEN s1 IS NULL THEN s2
+                   WHEN s2 IS NULL THEN s1
+                   ELSE greatest(s1, s2)
+                        + 0.3 * (s1 + s2 - greatest(s1, s2))
+                 END DESC, doc_id ASC LIMIT 10),
+        negd AS (SELECT DISTINCT doc_id FROM flat WHERE term = 'batch'),
+        bst AS (
+          SELECT 'boosting' AS part, NULL::VARCHAR AS key, sc.doc_id,
+                 round(CASE WHEN n.doc_id IS NULL THEN sc.s
+                       ELSE sc.s * 0.4 END, 4) AS score
+          FROM scored sc LEFT JOIN negd n USING (doc_id)
+          ORDER BY CASE WHEN n.doc_id IS NULL THEN sc.s
+                   ELSE sc.s * 0.4 END DESC, sc.doc_id ASC LIMIT 10)
         SELECT part, key, doc_id, score FROM clps
         UNION ALL SELECT part, key, doc_id, score FROM resc
         UNION ALL SELECT part, key, doc_id, score FROM fsc
         UNION ALL SELECT part, key, doc_id, score FROM srt
+        UNION ALL SELECT part, key, doc_id, score FROM csc
+        UNION ALL SELECT part, key, doc_id, score FROM dmx
+        UNION ALL SELECT part, key, doc_id, score FROM bst
     """
     # round-5 fold: Q1 count_all + Q11 time-range count, tagged
     o["counts_multi"] = """

@@ -1925,6 +1925,22 @@ class SearchEngine:
         return shaping.sort_by_field(self, terms, sort_field, k, mode,
                                      filters, ascending)
 
+    def constant_score(self, terms, k=10, mode="disjunctive", filters=(),
+                       boost=1.0):
+        from picdexer_spark.query import shaping
+        return shaping.constant_score(self, terms, k, mode, filters, boost)
+
+    def dis_max(self, term_sets, k=10, tie_breaker=0.0,
+                mode="disjunctive"):
+        from picdexer_spark.query import shaping
+        return shaping.dis_max(self, term_sets, k, tie_breaker, mode)
+
+    def boosting(self, positive_terms, negative_terms, k=10,
+                 mode="disjunctive", negative_boost=0.5):
+        from picdexer_spark.query import shaping
+        return shaping.boosting_query(self, positive_terms, negative_terms,
+                                      k, mode, negative_boost)
+
     def search_topk(self, terms, mode="disjunctive", k=10, prune=True,
                     after=None):
         """Collected [(doc_id, score)], the oracle-comparable form.

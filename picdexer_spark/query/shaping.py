@@ -216,3 +216,106 @@ def sort_by_field(
         .orderBy(key, F.asc("doc_id"))
         .limit(k)
     )
+
+
+def constant_score(
+    eng,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "disjunctive",
+    filters: list = (),
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES `constant_score` query: every matching doc scores exactly
+    `boost` (Lucene ConstantScoreQuery — the filter-context wrapper
+    that skips scoring entirely). Ranking degenerates to the doc_id
+    tie-break, the ES behavior for equal scores.
+
+    Plan shape: the unscored match set (no tf/dl decode beyond
+    matching) -> literal column -> TakeOrdered(k)."""
+    m = eng.match_ids(terms, mode, filters)
+    return (
+        m.select("doc_id", F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dis_max(
+    eng,
+    term_sets: list[list[str]],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """ES `dis_max` query over same-field subqueries: a doc matching
+    ANY subquery matches; score = best subquery score + `tie_breaker` *
+    (sum of the other matching subqueries' scores) — the Lucene
+    DisjunctionMaxQuery contract (tie_breaker 0 = pure max, 1 = bool
+    sum). The per-FIELD dis_max is :meth:`SearchEngine.multi_match`
+    best_fields; this is the per-QUERY form Kibana's query bar emits
+    for multi-clause should groups with dis_max rewrite.
+
+    Plan shape: one exact per-shard kernel pass per subquery (full
+    scored match sets), union -> ONE doc_id shuffle -> max+sum
+    aggregate -> TakeOrdered(k)."""
+    if not term_sets or any(not ts for ts in term_sets):
+        raise ValueError("dis_max needs non-empty subquery term lists")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    scored = None
+    for ts in term_sets:
+        s = eng.match_ids(ts, mode, with_scores=True)
+        scored = s if scored is None else scored.unionByName(s)
+    agg = scored.groupBy("doc_id").agg(
+        F.max("score").alias("best"),
+        F.sum("score").alias("total"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            (F.col("best")
+             + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+             ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boosting_query(
+    eng,
+    positive_terms: list[str],
+    negative_terms: list[str],
+    k: int = 10,
+    mode: str = "disjunctive",
+    negative_boost: float = 0.5,
+) -> DataFrame:
+    """ES `boosting` query: docs matching the positive query rank
+    normally, but those ALSO matching the negative query have their
+    score multiplied by `negative_boost` (demoted, never excluded —
+    the difference from must_not). Matching is positive-only; the
+    negative side contributes no score of its own.
+
+    Plan shape: full positive scored match set LEFT SEMI-flagged
+    against the negative match set via a left join on doc_id (the
+    negative set is matched-ids only, never scored), JVM conditional
+    multiply, TakeOrdered(k). Demotion runs over the FULL match set —
+    a demoted doc falling out of the top-k must let the next one in."""
+    if not positive_terms:
+        raise ValueError("boosting needs a non-empty positive query")
+    if not (0.0 <= negative_boost):
+        raise ValueError("negative_boost must be >= 0")
+    pos = eng.match_ids(positive_terms, mode, with_scores=True)
+    neg = eng.match_ids(negative_terms, "disjunctive") \
+        .select("doc_id", F.lit(True).alias("_neg"))
+    out = (
+        pos.join(neg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_neg"),
+                   F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score")).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -206,3 +206,74 @@ def test_sort_by_field_refuses_unknown(spark, built):
     eng = SearchEngine(spark, idx)
     with pytest.raises(ValueError):
         eng.sort_by_field(TERMS, "nope", 10)
+
+
+# ------------------------------------------- compound queries (wave 3)
+
+def test_constant_score(spark, built):
+    idx, oracle, _ = built
+    eng = SearchEngine(spark, idx)
+    match = sorted(d for d, _ in oracle.search(TERMS, "disjunctive", N))
+    rows = eng.constant_score(TERMS, 10, boost=1.7).collect()
+    assert [r["doc_id"] for r in rows] == match[:10]
+    assert all(r["score"] == 1.7 for r in rows)
+
+
+def test_dis_max_matches_bruteforce(spark, built):
+    idx, oracle, _ = built
+    eng = SearchEngine(spark, idx)
+    subs = [["w0"], ["w3", "w11"]]
+    tie = 0.3
+    per: dict[int, list[float]] = {}
+    for ts in subs:
+        for d, s in oracle.search(ts, "disjunctive", N):
+            per.setdefault(d, []).append(s)
+    total = [(d, max(ss) + tie * (sum(ss) - max(ss)))
+             for d, ss in per.items()]
+    want = [(d, round(s, 9))
+            for d, s in sorted(total, key=lambda x: (-x[1], x[0]))[:10]]
+    got = _rows(eng.dis_max(subs, 10, tie_breaker=tie))
+    assert got == want and got
+    # pure max at tie 0 vs bool-sum at tie 1 must differ on this corpus
+    assert _rows(eng.dis_max(subs, 10, 0.0)) != _rows(eng.dis_max(subs, 10, 1.0))
+
+
+def test_dis_max_refusals(spark, built):
+    idx, _, _ = built
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(ValueError):
+        eng.dis_max([], 10)
+    with pytest.raises(ValueError):
+        eng.dis_max([["w0"], []], 10)
+    with pytest.raises(ValueError):
+        eng.dis_max([["w0"]], 10, tie_breaker=1.5)
+
+
+def test_boosting_demotes_not_excludes(spark, built):
+    idx, oracle, _ = built
+    eng = SearchEngine(spark, idx)
+    nb = 0.4
+    neg_ids = {d for d, _ in oracle.search(["w3"], "disjunctive", N)}
+    total = [(d, s * nb if d in neg_ids else s)
+             for d, s in oracle.search(TERMS, "disjunctive", N)]
+    want = [(d, round(s, 9))
+            for d, s in sorted(total, key=lambda x: (-x[1], x[0]))[:10]]
+    got = _rows(eng.boosting(TERMS, ["w3"], 10, negative_boost=nb))
+    assert got == want and got
+    # demotion changed the head vs the plain top-k (not vacuous), and
+    # demoted docs are still present further down, never excluded
+    plain = [d for d, _ in oracle.search(TERMS, "disjunctive", 10)]
+    assert [d for d, _ in got] != plain
+    all_ids = {d for d, _ in _rows(eng.boosting(TERMS, ["w3"], N,
+                                                negative_boost=nb))}
+    assert neg_ids & {d for d, _ in oracle.search(TERMS, "disjunctive", N)} \
+        <= all_ids
+
+
+def test_boosting_refusals(spark, built):
+    idx, _, _ = built
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(ValueError):
+        eng.boosting([], ["w1"], 10)
+    with pytest.raises(ValueError):
+        eng.boosting(["w0"], ["w1"], 10, negative_boost=-0.1)
