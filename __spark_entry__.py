@@ -843,8 +843,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # values compute on the full series, the selector then drops
     # buckets)
     def date_hist_pipeline(s, d):
-        h = dash.date_histogram_pipeline(_tbl(s, d, "events"), "ts", "12h")
+        ev = _tbl(s, d, "events")
+        h = dash.date_histogram_pipeline(ev, "ts", "12h")
         h = dash.serial_diff(h, "n", lag=2)
+        # wave 4 folds: ES normalize (percent_of_sum + z-score, the
+        # latter rounded — stdev accumulation order differs across
+        # engines past ~1e-6) and cumulative_cardinality of user_id
+        h = dash.normalize_buckets(h, "n", "percent_of_sum")
+        h = dash.normalize_buckets(h, "n", "z-score")
+        h = h.withColumn("z_score_n", F.round("z_score_n", 6))
+        cc = dash.cumulative_cardinality(ev, "ts", "user_id", "12h") \
+            .select("bucket", "new_n", "cumcard_user_id")
+        h = h.join(cc, "bucket")
         h = dash.bucket_script(
             h, {"ratio_n": F.col("n").cast("double") / F.col("cum_n")})
         return dash.bucket_selector(h, F.col("cum_n") > 100) \
@@ -2323,11 +2333,26 @@ def oracle_sql() -> dict[str, str]:
                  )::bigint AS cum_n,
                  avg(n) OVER (ORDER BY bucket
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_n,
-                 (n - lag(n, 2) OVER (ORDER BY bucket))::bigint AS sdiff2_n
-          FROM h)
-        SELECT bucket, n, delta_n, cum_n, mavg3_n, sdiff2_n,
+                 (n - lag(n, 2) OVER (ORDER BY bucket))::bigint AS sdiff2_n,
+                 n::double / sum(n) OVER () AS percent_of_sum_n,
+                 round((n - avg(n) OVER ()) / stddev_pop(n) OVER (), 6)
+                   AS z_score_n
+          FROM h),
+        firsts AS (
+          SELECT (floor(epoch(min_ts) / 43200) * 43200)::bigint AS bucket,
+                 count(*) AS new_n
+          FROM (SELECT user_id, min(ts) AS min_ts FROM events GROUP BY 1)
+          GROUP BY 1),
+        cc AS (
+          SELECT p.bucket, coalesce(f.new_n, 0)::bigint AS new_n,
+                 (sum(coalesce(f.new_n, 0)) OVER (ORDER BY p.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 )::bigint AS cumcard_user_id
+          FROM p LEFT JOIN firsts f USING (bucket))
+        SELECT p.bucket, n, delta_n, cum_n, mavg3_n, sdiff2_n,
+               percent_of_sum_n, z_score_n, new_n, cumcard_user_id,
                n::double / cum_n AS ratio_n
-        FROM p WHERE cum_n > 100 ORDER BY bucket
+        FROM p JOIN cc USING (bucket) WHERE cum_n > 100 ORDER BY p.bucket
     """
     o["date_hist_multi"] = """
         SELECT '12h' AS grain,

@@ -887,3 +887,85 @@ def adjacency_matrix(df: DataFrame,
         .groupBy("key").agg(F.count("*").alias("doc_count"))
         .orderBy("key")
     )
+
+
+def normalize_buckets(df: DataFrame, val_col: str,
+                      method: str = "percent_of_sum",
+                      order_col: str = "bucket") -> DataFrame:
+    """ES `normalize` pipeline agg: rescale a bucket metric across the
+    whole parent series. Methods are the ES six: `rescale_0_1`,
+    `rescale_0_100`, `percent_of_sum`, `mean` ((x-avg)/(max-min)),
+    `z-score` (population stdev, matching ES), `softmax`. NULL inputs
+    stay NULL (the ES skip policy); a constant series yields NULL for
+    the range-based methods (0/0) rather than a fabricated 0.
+
+    One unbounded window over the panel-sized bucket series — the ES
+    coordinator reduction, never data-sized."""
+    v = F.col(val_col).cast("double")
+    w = (Window.orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    rng = F.max(v).over(w) - F.min(v).over(w)
+    if method == "rescale_0_1":
+        expr = F.try_divide(v - F.min(v).over(w), rng)
+    elif method == "rescale_0_100":
+        expr = F.try_divide(v - F.min(v).over(w), rng) * 100.0
+    elif method == "percent_of_sum":
+        expr = F.try_divide(v, F.sum(v).over(w))
+    elif method == "mean":
+        expr = F.try_divide(v - F.avg(v).over(w), rng)
+    elif method == "z-score":
+        expr = F.try_divide(v - F.avg(v).over(w),
+                            F.stddev_pop(v).over(w))
+    elif method == "softmax":
+        expr = F.try_divide(F.exp(v), F.sum(F.exp(v)).over(w))
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    safe = method.replace("-", "_")
+    return df.withColumn(f"{safe}_{val_col}", expr)
+
+
+def cumulative_cardinality(df: DataFrame, ts_col: str, val_col: str,
+                           bucket: str = "12h") -> DataFrame:
+    """ES `cumulative_cardinality` pipeline agg: per date-histogram
+    bucket, the count of DISTINCT `val_col` values seen in this bucket
+    or any earlier one (the ES docs' "total new users to date" panel).
+
+    ES computes it by merging per-bucket HLL sketches left-to-right;
+    the exact distributed decomposition here is first-seen counting:
+    distinct-reduce each value to its FIRST bucket (one map-side-
+    combinable min), histogram those firsts, running-sum over the
+    parent series. Two shuffles keyed by value/bucket — both shrink to
+    cardinality size — then one coordinator window over panel-sized
+    buckets. Also emits `new_n` (first appearances per bucket), ES's
+    companion derivative view. Buckets with docs but no NEW values
+    still appear (joined against the parent histogram), cum carries
+    forward — the pipeline-agg contract that every parent bucket gets
+    a value."""
+    h = date_histogram(df, ts_col, bucket)
+    firsts = (
+        df.groupBy(F.col(val_col).alias("_v"))
+        .agg(F.min(_bucket_key(ts_col, bucket)).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("new_n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (
+        h.join(firsts, "bucket", "left")
+        .withColumn("new_n", F.coalesce("new_n", F.lit(0)))
+        .withColumn(f"cumcard_{val_col}", F.sum("new_n").over(w))
+        .orderBy("bucket")
+    )
+
+
+def _bucket_key(ts_col: str, bucket: str) -> Column:
+    """The date_histogram bucket key expression (shared so derived
+    pipelines bucket identically to the parent histogram)."""
+    c = F.col(ts_col)
+    if bucket == "12h":
+        return F.floor(epoch_seconds(c) / F.lit(43200)) * 43200
+    if bucket == "week":
+        return F.date_trunc("week", c).cast("date")
+    if bucket == "year":
+        return F.date_trunc("year", c).cast("date")
+    raise ValueError(bucket)

@@ -184,3 +184,57 @@ def test_geo_bounds_and_centroid(spark):
     assert c["count"] == 3
     assert c["lat"] == pytest.approx(sum(p[0] for p in ok) / 3)
     assert c["lon"] == pytest.approx(sum(p[1] for p in ok) / 3)
+
+
+# ------------------------------- normalize + cumulative_cardinality
+
+def test_normalize_methods(hist):
+    ns = [5, 12, 3, 40, 7, 7, 21, 9, 30, 2]
+    lo, hi, tot = min(ns), max(ns), sum(ns)
+    mean = tot / len(ns)
+    var = sum((x - mean) ** 2 for x in ns) / len(ns)
+    import math as m
+    sm = sum(m.exp(x) for x in ns)
+    want = {
+        "rescale_0_1": lambda x: (x - lo) / (hi - lo),
+        "rescale_0_100": lambda x: (x - lo) / (hi - lo) * 100,
+        "percent_of_sum": lambda x: x / tot,
+        "mean": lambda x: (x - mean) / (hi - lo),
+        "z-score": lambda x: (x - mean) / m.sqrt(var),
+        "softmax": lambda x: m.exp(x) / sm,
+    }
+    for method, f in want.items():
+        col = method.replace("-", "_") + "_n"
+        got = {r["bucket"]: r[col]
+               for r in dash.normalize_buckets(hist, "n", method).collect()}
+        for i, b in enumerate(range(0, 100, 10)):
+            assert got[b] == pytest.approx(f(ns[i]), rel=1e-9), (method, b)
+
+
+def test_normalize_refuses_unknown(hist):
+    with pytest.raises(ValueError):
+        dash.normalize_buckets(hist, "n", "minmax")
+
+
+def test_normalize_constant_series_nulls(spark):
+    df = spark.createDataFrame([(0, 4), (1, 4)], "bucket long, n long")
+    rows = dash.normalize_buckets(df, "n", "rescale_0_1").collect()
+    assert all(r["rescale_0_1_n"] is None for r in rows)
+
+
+def test_cumulative_cardinality(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user u appears first in bucket: u0->b0, u1->b0, u2->b2, u0 again b2
+    rows = [(base + dt.timedelta(hours=12 * b), u) for b, u in
+            [(0, 0), (0, 1), (1, 0), (2, 2), (2, 0), (4, 3), (4, 3)]]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    got = [(r["bucket"], r["n"], r["new_n"], r["cumcard_uid"])
+           for r in dash.cumulative_cardinality(df, "ts", "uid", "12h")
+           .collect()]
+    e = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    h12 = 43200
+    # bucket 1 has docs but no new users: new_n 0, cum carries forward;
+    # bucket 3 empty -> absent (parent histogram min_doc_count=1)
+    assert got == [(e, 2, 2, 2), (e + h12, 1, 0, 2),
+                   (e + 2 * h12, 2, 1, 3), (e + 4 * h12, 2, 1, 4)]
