@@ -376,11 +376,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def significant_terms_dup(s, d):
         # ES significant_terms (JLH) over the `dup` match set: terms
-        # over-represented among matching docs vs the corpus background
+        # over-represented among matching docs vs the corpus background;
+        # wave-4 fold: significant_text with filter_duplicate_text (the
+        # dup corpus has byte-identical copies — each text counts once
+        # in the fg, backgrounds stay corpus-wide)
         eng = SearchEngine(s, _get_index(s, d))
-        res = eng.significant_terms(["dup"], "disjunctive", k=10)
-        return res.select("term", "fg_df", "bg_df",
-                          F.round("score", 6).alias("score"))
+        res = eng.significant_terms(["dup"], "disjunctive", k=10).select(
+            F.lit("jlh").alias("part"), "term", "fg_df", "bg_df",
+            F.round("score", 6).alias("score"))
+        st = eng.significant_text(["dup"], "disjunctive", k=10,
+                                  filter_duplicate_text=True).select(
+            F.lit("sigtext_dedup").alias("part"), "term", "fg_df",
+            "bg_df", F.round("score", 6).alias("score"))
+        return res.unionByName(st)
     q["significant_terms_dup"] = significant_terms_dup
 
     def search_highlight_conj(s, d):
@@ -774,8 +782,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           negative_boost=0.4).select(
             F.lit("boosting").alias("part"), nokey,
             "doc_id", F.round("score", 4).alias("score"))
+        # wave 4: diversified_sampler scope — per-(shard, lang) cap 2
+        # applied before the per-shard cut (one shard at gate scale, so
+        # the oracle's global form is exact)
+        dv = eng.sampler(DISJ_TERMS, shard_size=5, field_col="lang",
+                         max_docs_per_value=2).select(
+            F.lit("divsample").alias("part"), nokey,
+            "doc_id", F.round("score", 4).alias("score")) \
+            .orderBy(F.desc("score"), F.asc("doc_id"))
         return (c.unionByName(r).unionByName(fs).unionByName(so)
-                .unionByName(cs).unionByName(dm).unionByName(bq))
+                .unionByName(cs).unionByName(dm).unionByName(bq)
+                .unionByName(dv))
     q["result_shaping_multi"] = result_shaping_multi
 
     def term_stats_multi(s, d):
@@ -1860,9 +1877,32 @@ def oracle_sql() -> dict[str, str]:
                  * ((f.fg_df::double / x.n_fg)
                     / (b.bg_df::double / y.n)) AS score
           FROM fg f JOIN bg b USING (term) CROSS JOIN fgn x CROSS JOIN nn y
+          WHERE (f.fg_df::double / x.n_fg) > (b.bg_df::double / y.n)),
+        mdd AS (
+          SELECT doc_id FROM (
+            SELECT d.doc_id,
+                   row_number() OVER (PARTITION BY d.text
+                                      ORDER BY d.doc_id) AS rr
+            FROM documents d JOIN m USING (doc_id))
+          WHERE rr = 1),
+        fgn2 AS (SELECT count(*) AS n_fg FROM mdd),
+        fg2 AS (SELECT term, count(DISTINCT doc_id) AS fg_df FROM tok
+                WHERE doc_id IN (SELECT doc_id FROM mdd) GROUP BY term),
+        scored2 AS (
+          SELECT f.term, f.fg_df, b.bg_df,
+                 ((f.fg_df::double / x.n_fg) - (b.bg_df::double / y.n))
+                 * ((f.fg_df::double / x.n_fg)
+                    / (b.bg_df::double / y.n)) AS score
+          FROM fg2 f JOIN bg b USING (term)
+          CROSS JOIN fgn2 x CROSS JOIN nn y
           WHERE (f.fg_df::double / x.n_fg) > (b.bg_df::double / y.n))
-        SELECT term, fg_df, bg_df, round(score, 6) AS score
-        FROM scored ORDER BY score DESC, term ASC LIMIT 10
+        SELECT 'jlh' AS part, term, fg_df, bg_df, round(score, 6) AS score
+        FROM (SELECT * FROM scored
+              ORDER BY score DESC, term ASC LIMIT 10)
+        UNION ALL
+        SELECT 'sigtext_dedup', term, fg_df, bg_df, round(score, 6)
+        FROM (SELECT * FROM scored2
+              ORDER BY score DESC, term ASC LIMIT 10)
     """
 
     # prefix expansion computed IN SQL: the same top_terms_50 rewrite the
@@ -2298,7 +2338,12 @@ def oracle_sql() -> dict[str, str]:
                        ELSE sc.s * 0.4 END, 4) AS score
           FROM scored sc LEFT JOIN negd n USING (doc_id)
           ORDER BY CASE WHEN n.doc_id IS NULL THEN sc.s
-                   ELSE sc.s * 0.4 END DESC, sc.doc_id ASC LIMIT 10)
+                   ELSE sc.s * 0.4 END DESC, sc.doc_id ASC LIMIT 10),
+        dvs AS (
+          SELECT 'divsample' AS part, NULL::VARCHAR AS key, doc_id,
+                 round(s, 4) AS score
+          FROM ranked WHERE rn <= 2
+          ORDER BY s DESC, doc_id ASC LIMIT 5)
         SELECT part, key, doc_id, score FROM clps
         UNION ALL SELECT part, key, doc_id, score FROM resc
         UNION ALL SELECT part, key, doc_id, score FROM fsc
@@ -2306,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT part, key, doc_id, score FROM csc
         UNION ALL SELECT part, key, doc_id, score FROM dmx
         UNION ALL SELECT part, key, doc_id, score FROM bst
+        UNION ALL SELECT part, key, doc_id, score FROM dvs
     """
     # round-5 fold: Q1 count_all + Q11 time-range count, tagged
     o["counts_multi"] = """

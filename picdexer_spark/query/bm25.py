@@ -1893,6 +1893,115 @@ class SearchEngine:
         finally:
             m.unpersist()
 
+    def sampler(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        filters: list = (),
+        shard_size: int = 100,
+        field_col: str | None = None,
+        max_docs_per_value: int | None = None,
+    ) -> DataFrame:
+        """ES `sampler` / `diversified_sampler` agg scope: the
+        top-`shard_size` highest-scoring matching docs PER SHARD, the
+        sample expensive sub-aggregations (significant_text, top_hits)
+        then run on instead of the full match set. With
+        `max_docs_per_value` + `field_col` it is the diversified form:
+        at most that many sampled docs may share one value of the field
+        (per shard, like ES's per-shard dedup), de-biasing a sample a
+        hot key would otherwise flood. Returns DataFrame[doc_id, score].
+
+        Plan shape: full scored match set (per-shard kernels, never
+        globally sorted) -> row_number windows partitioned by the
+        engine's doc-range shard key — the limit evaluates inside each
+        partition (WindowGroupLimit) and only sampled rows survive to
+        any downstream exchange; the field join for the diversified
+        form is doc_id-keyed against the live-docs table, shuffling
+        match-set-sized rows only. Ties break on doc_id asc (pinned;
+        ES uses internal doc order)."""
+        from pyspark.sql import Window
+
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        if (max_docs_per_value is None) != (field_col is None):
+            raise ValueError(
+                "diversified sampler needs BOTH field_col and "
+                "max_docs_per_value (plain sampler: neither)")
+        m = self.match_ids(terms, mode, filters, with_scores=True)
+        m = m.select(
+            "doc_id", "score",
+            F.expr(f"doc_id div {self.shard_range}").alias("_shard"))
+        rank = (F.desc("score"), F.asc("doc_id"))
+        if max_docs_per_value is not None:
+            if max_docs_per_value < 1:
+                raise ValueError("max_docs_per_value must be >= 1")
+            vals = self.cat.read_live_docs(self.spark, self.snapshot_id) \
+                .select("doc_id", F.col(field_col).alias("_v"))
+            wv = Window.partitionBy("_shard", "_v").orderBy(*rank)
+            m = (m.join(vals, "doc_id")
+                 .withColumn("_r", F.row_number().over(wv))
+                 .filter(F.col("_r") <= max_docs_per_value)
+                 .drop("_r", "_v"))
+        w = Window.partitionBy("_shard").orderBy(*rank)
+        return (m.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= shard_size)
+                .drop("_r", "_shard"))
+
+    def significant_text(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        filters: list = (),
+        k: int = 10,
+        min_doc_count: int = 1,
+        sample_shard_size: int | None = None,
+        filter_duplicate_text: bool = False,
+    ) -> DataFrame:
+        """ES `significant_text` agg: significant_terms re-analyzed
+        from the text field itself, plus the two knobs that agg adds —
+        a sampler scope (`sample_shard_size`, ES's recommended
+        sampler>significant_text nesting: fg stats come from the
+        top-scoring sample only) and `filter_duplicate_text` (docs
+        whose text duplicates an already-scoped doc count once, so one
+        boilerplate page pasted N times can't mint fake significance).
+        ES dedups on token 6-grams streamed per segment; pinned here as
+        whole-doc digest dedup keeping the lowest doc_id — cheaper, and
+        exact for the full-copy case the option exists for. Background
+        stats stay corpus-wide (the ES contract). Returns
+        (term, fg_df, bg_df, score), JLH-scored."""
+        from pyspark.sql import Window
+
+        from picdexer_spark.operators.dashboards import significant_terms
+
+        if sample_shard_size is not None:
+            m = self.sampler(terms, mode, filters,
+                             shard_size=sample_shard_size).select("doc_id")
+        else:
+            m = self.match_ids(terms, mode, filters)
+        docs = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        if filter_duplicate_text:
+            wd = Window.partitionBy(F.md5(F.col("text"))) \
+                .orderBy(F.asc("doc_id"))
+            m = (docs.join(m, "doc_id", "semi")
+                 .select("doc_id", "text")
+                 .withColumn("_r", F.row_number().over(wd))
+                 .filter(F.col("_r") == 1).select("doc_id"))
+        m = m.persist()
+        try:
+            n_fg = m.count()
+            if n_fg == 0:
+                return self.spark.createDataFrame(
+                    [], "term string, fg_df long, bg_df long, score double"
+                )
+            out = significant_terms(docs, m, "text", self.term_stats,
+                                    self.n_docs_scoring, n_fg, k,
+                                    min_doc_count)
+            rows = out.collect()
+            return self.spark.createDataFrame(rows, out.schema) if rows \
+                else self.spark.createDataFrame([], out.schema)
+        finally:
+            m.unpersist()
+
     # ---- result shaping (ES collapse / rescore / function_score / sort
     # clause) — thin delegates, see query/shaping.py for the pinned
     # semantics and plan shapes --------------------------------------
