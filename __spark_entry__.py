@@ -125,6 +125,7 @@ FILTERED_LANG = "de"
 PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 PHRASE_SLOP = 1  # '"part filter"~1': one extra gap allowed, in order
 PP_STEM = "fil"  # '"part fil*"' match_phrase_prefix stem
+DYM_INPUT = "sparc"  # term-suggester misspelling ('spark' at OSA 1)
 # prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
 # stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
 PREFIX_QSTRING = "s* OR dup"
@@ -505,11 +506,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (the DF the engine's suggest() collects — pushed
         # StringStartsWith scan, df desc / term asc)
         eng = SearchEngine(s, _get_index(s, d))
-        return (
+        comp = (
             eng.term_stats.filter(F.col("term").startswith(PREFIX_STEM))
             .orderBy(F.desc("df"), F.asc("term")).limit(10)
-            .select("term", "df")
+            .select(F.lit("completion").alias("part"), "term", "df")
         )
+        # wave-4 fold: the TERM suggester ("did you mean") at
+        # max_edits=1, where OSA == unrestricted Damerau (DuckDB's
+        # damerau_levenshtein) — all suggestions sit at distance 1, so
+        # the (distance, df desc, term) rank reduces to (df desc, term)
+        dym = eng.suggest_term(DYM_INPUT, size=10, max_edits=1,
+                               suggest_mode="always")
+        dy = s.createDataFrame(
+            [(t, df) for t, df, _d in dym] or [], "term string, df long"
+        ).select(F.lit("dym").alias("part"), "term", "df")
+        return comp.unionByName(dy)
     q["suggest_terms_s"] = suggest_terms_s
 
     def metric_aggs_multi(s, d):
@@ -737,8 +748,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adjacency with any expansion in the last slot, BM25 idf = fixed
         # occurrences + ALL expansions (summed-termStats convention)
         eng = SearchEngine(s, _get_index(s, d))
-        res = eng.match_phrase_prefix([PHRASE[0], PP_STEM], 10)
-        return res.select("doc_id", F.round("score", 4).alias("score"))
+        res = eng.match_phrase_prefix([PHRASE[0], PP_STEM], 10).select(
+            F.lit("phrase").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        # wave-4 fold: match_bool_prefix operator=and — same words, NO
+        # adjacency; the fixed term required plus >=1 df-order stem
+        # expansion, score sums all matched clauses (CNF groups kernel)
+        mb = eng.match_bool_prefix([PHRASE[0], PP_STEM], 10,
+                                   operator="and").select(
+            F.lit("bool_and").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return res.unionByName(mb).orderBy(
+            "gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_phrase_prefix"] = bm25_phrase_prefix
 
     def result_shaping_multi(s, d):
@@ -831,7 +852,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rng = ev.groupBy("event_type").agg(F.count("*").alias("n")).select(
             F.lit("time_range").alias("gate"),
             F.col("event_type").alias("key"), F.col("n"))
-        return all_n.unionByName(rng).orderBy("gate", "key")
+        # wave-4 fold: ES track_total_hits — the exact total next to the
+        # hit list ('eq'), and the int-threshold form that stops
+        # counting at the bound (clips to (threshold, 'gte') only when
+        # actually exceeded, so the row set is scale-stable)
+        eng = SearchEngine(s, _get_index(s, d))
+        tt = eng.search_with_total(DISJ_TERMS, k=1).select(
+            F.lit("tth").alias("gate"), F.col("relation").alias("key"),
+            F.col("total_hits").alias("n"))
+        tc = eng.search_with_total(DISJ_TERMS, k=1,
+                                   track_total_hits=50).select(
+            F.lit("tth_cap").alias("gate"), F.col("relation").alias("key"),
+            F.col("total_hits").alias("n"))
+        return all_n.unionByName(rng).unionByName(tt).unionByName(tc) \
+            .orderBy("gate", "key")
     q["counts_multi"] = counts_multi
 
     def date_hist_multi(s, d):
@@ -1806,13 +1840,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["suggest_terms_s"] = f"""
-        WITH tok AS (
+        WITH tok AS MATERIALIZED (
           SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-          FROM documents)
-        SELECT term, count(DISTINCT doc_id) AS df FROM tok
-        WHERE term LIKE '{PREFIX_STEM}%'
-        GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+          FROM documents),
+        dict AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok
+          GROUP BY term)
+        SELECT 'completion' AS part, term, df FROM (
+          SELECT term, df FROM dict WHERE term LIKE '{PREFIX_STEM}%'
+          ORDER BY df DESC, term ASC LIMIT 10)
+        UNION ALL
+        SELECT 'dym', term, df FROM (
+          SELECT term, df FROM dict
+          WHERE term <> '{DYM_INPUT}'
+            AND term LIKE '{DYM_INPUT[0]}%'
+            AND damerau_levenshtein(term, '{DYM_INPUT}') <= 1
+          ORDER BY df DESC, term ASC LIMIT 10)
     """
 
     # more_like_this: the interesting-term selection (tf>=2, df>=5,
@@ -2200,9 +2244,43 @@ def oracle_sql() -> dict[str, str]:
                  / (pf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
                                     / (st.total_len::double / st.n_docs))) AS s
           FROM pf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN idfs
-          WHERE pf.ptf > 0)
-        SELECT doc_id, round(s, 4) AS score
-        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+          WHERE pf.ptf > 0),
+        dfall AS MATERIALIZED (
+          SELECT term, count(DISTINCT doc_id) AS df FROM flat
+          GROUP BY term),
+        balt AS (SELECT term FROM dfall WHERE term LIKE '{PP_STEM}%'
+                 ORDER BY df DESC, term ASC LIMIT 50),
+        bqt AS (SELECT '{PHRASE[0]}' AS term
+                UNION SELECT term FROM balt),
+        btf AS (SELECT doc_id, term, count(*) AS tf FROM flat
+                WHERE term IN (SELECT term FROM bqt)
+                GROUP BY doc_id, term),
+        bagg AS (
+          SELECT btf.doc_id,
+                 sum( ln(1 + (st.n_docs - dfall.df + 0.5)
+                         / (dfall.df + 0.5))
+                      * (btf.tf * 2.2)
+                      / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                         / (st.total_len::double
+                                            / st.n_docs)))
+                    ) AS s,
+                 max(CASE WHEN btf.term = '{PHRASE[0]}'
+                     THEN 1 ELSE 0 END) AS has_fixed,
+                 max(CASE WHEN btf.term <> '{PHRASE[0]}'
+                     THEN 1 ELSE 0 END) AS has_alt
+          FROM btf JOIN dfall USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st
+          GROUP BY btf.doc_id),
+        bsel AS (
+          SELECT doc_id, round(s, 4) AS score FROM bagg
+          WHERE has_fixed = 1 AND has_alt = 1
+          ORDER BY s DESC, doc_id ASC LIMIT 10)
+        SELECT * FROM (
+          SELECT 'phrase' AS gate, doc_id, round(s, 4) AS score
+          FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10)
+        UNION ALL
+        SELECT 'bool_and' AS gate, doc_id, score FROM bsel
+        ORDER BY gate, score DESC, doc_id ASC
     '''
     # round-5 fold: raw tf pairs + corpus df top-30, tagged
     o["term_stats_multi"] = f"""
@@ -2354,7 +2432,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT part, key, doc_id, score FROM dvs
     """
     # round-5 fold: Q1 count_all + Q11 time-range count, tagged
-    o["counts_multi"] = """
+    o["counts_multi"] = f"""
+        WITH mt AS (
+          SELECT count(*) AS total FROM (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+              FROM documents)
+            WHERE term IN ({sql_terms(DISJ_TERMS)})))
         SELECT gate, key, n FROM (
           SELECT 'count_all' AS gate, 'all' AS key, count(*) AS n
           FROM documents
@@ -2364,6 +2450,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE ts BETWEEN timestamp '2024-01-10'
                        AND timestamp '2024-01-20'
           GROUP BY event_type
+          UNION ALL
+          SELECT 'tth', 'eq', total FROM mt
+          UNION ALL
+          SELECT 'tth_cap',
+                 CASE WHEN total > 50 THEN 'gte' ELSE 'eq' END,
+                 least(total, 50) FROM mt
         ) ORDER BY gate, key
     """
     o["date_hist_pipeline"] = """

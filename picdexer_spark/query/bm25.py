@@ -815,6 +815,151 @@ class SearchEngine:
         dfs = self.term_dfs(terms)
         return [(t, dfs[t]) for t in terms]
 
+    def suggest_term(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        suggest_mode: str = "missing",
+        min_doc_freq: int = 0,
+    ) -> list[tuple[str, int, int]]:
+        """ES TERM suggester (the "did you mean" corrector — distinct
+        from :meth:`suggest`, the completion suggester): dictionary
+        terms within `max_edits` OSA edits of the analyzed input,
+        sharing its first `prefix_length` chars (the ES default 1 —
+        typos rarely hit the first letter, and the prefix prunes the
+        scan), ranked (distance asc, df desc, term asc) — the ES
+        sort=score order where closer beats more-frequent. The input
+        term itself is never suggested.
+
+        `suggest_mode` is the ES trio: "missing" suggests only when the
+        input is absent from the dictionary (the default — don't
+        correct words that exist), "popular" keeps only suggestions
+        strictly more frequent than the input, "always" never filters.
+        `min_doc_freq` here is an absolute doc count (ES also accepts a
+        fraction; pinned to the absolute form). Candidate generation
+        rides :meth:`expand_fuzzy` (banded vocab scan / JVM prefilter —
+        never a full-vocab driver pull). Returns
+        [(suggestion, df, distance)]."""
+        from picdexer_spark.functions.tokenize import tokenize_py
+
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        if prefix_length < 0 or size < 1:
+            raise ValueError("prefix_length must be >= 0, size >= 1")
+        toks = tokenize_py(text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"term suggester input {text!r} must analyze to exactly "
+                f"one term (got {toks})")
+        t = toks[0]
+        in_df = self.term_dfs([t]).get(t, 0)
+        if suggest_mode == "missing" and in_df > 0:
+            return []
+        cands = self.expand_fuzzy(
+            t, max_edits, max_expansions=max(50, size * 10))
+        pre = t[:prefix_length]
+        cands = [c for c in cands
+                 if c != t and c[:prefix_length] == pre]
+        dfs = self.term_dfs(cands)
+        hits = []
+        for c in cands:
+            df_c = dfs.get(c, 0)
+            if df_c < min_doc_freq:
+                continue
+            if suggest_mode == "popular" and df_c <= in_df:
+                continue
+            hits.append((damerau_capped(t, c, max_edits), -df_c, c))
+        hits.sort()
+        return [(c, -ndf, d) for d, ndf, c in hits[:size]]
+
+    def match_bool_prefix(
+        self,
+        terms: list[str],
+        k: int = 10,
+        operator: str = "or",
+        max_expansions: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """ES `match_bool_prefix` (the non-phrase autocomplete query):
+        every analyzed term becomes a term clause and the LAST entry —
+        the stem, no `*` — a prefix clause; unlike
+        :meth:`match_phrase_prefix` there is NO adjacency, the words
+        may sit anywhere in the doc. The stem expands through the
+        engine's pinned scored-prefix rewrite (top_terms df-order,
+        :meth:`expand_prefix`, each expansion keeping its own idf).
+
+        operator "or" (the ES default, bool should): disjunctive
+        scoring over fixed terms + expansions. operator "and" (bool
+        must): every fixed term required AND at least one expansion,
+        via the CNF groups kernel — score still sums ALL matched
+        clauses, the Lucene bool contract. A stem expansion colliding
+        with a fixed term is refused in "and" (the groups kernel's
+        dup-free contract; ES blends the duplicate clause — divergence
+        pinned here rather than silently mis-scored)."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"operator must be 'or'/'and', got {operator!r}")
+        if not terms or not terms[-1]:
+            raise ValueError("match_bool_prefix needs a non-empty stem")
+        fixed = sorted(set(terms[:-1]))
+        alts = self.expand_prefix(terms[-1], max_expansions)
+        if operator == "or":
+            qterms = sorted(set(fixed) | set(alts))
+            if not qterms:
+                return self._empty()
+            return self.search(qterms, "disjunctive", k, prune=prune)
+        if not alts:
+            return self._empty()  # the required prefix clause is empty
+        overlap = set(fixed) & set(alts)
+        if overlap:
+            raise ValueError(
+                f"stem expansion collides with fixed terms {sorted(overlap)}"
+                " under operator='and' (unsupported, see docstring)")
+        groups = [[t] for t in fixed] + [alts]
+        return self.search([], "groups", k, prune=prune, groups=groups)
+
+    def search_with_total(
+        self,
+        terms: list[str],
+        mode: str = "disjunctive",
+        k: int = 10,
+        filters: list = (),
+        track_total_hits: bool | int = True,
+    ) -> DataFrame:
+        """ES `track_total_hits`: the top-k hits PLUS the total match
+        count — discover's "N hits" header next to the hit list.
+        `True` = exact count, relation 'eq'. An int threshold = the ES
+        bounded form: counting stops at the threshold, total_hits =
+        min(total, threshold) with relation 'gte' when clipped ('eq'
+        below it) — the count subtree is a limit(threshold+1) count, so
+        scanning stops once the bound is provable. Returns
+        DataFrame[doc_id, score, total_hits, relation].
+
+        One kernel pass: the full scored match set persists (the same
+        ES-coordinator trade :meth:`significant_terms` makes) and both
+        the count and the top-k read it; k rows + one long reach the
+        driver."""
+        m = self.match_ids(terms, mode, filters, with_scores=True)
+        m = m.persist()
+        try:
+            if track_total_hits is True:
+                total, rel = m.count(), "eq"
+            else:
+                th = int(track_total_hits)
+                if th < 0:
+                    raise ValueError("track_total_hits must be >= 0")
+                c = m.limit(th + 1).count()
+                total, rel = (th, "gte") if c > th else (c, "eq")
+            top = (m.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(k).collect())
+        finally:
+            m.unpersist()
+        schema = ("doc_id long, score double, total_hits long, "
+                  "relation string")
+        rows = [(r["doc_id"], r["score"], total, rel) for r in top]
+        return self.spark.createDataFrame(rows, schema)
+
     def search_query_string(self, q: str, k: int = 10,
                             prune: bool = True) -> DataFrame:
         """Search from a kuery-lite query string (the discover search box,
