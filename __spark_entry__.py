@@ -582,9 +582,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mad = dash.median_absolute_deviation(dl, "dl").select(
             F.lit("mad").alias("gate"), F.lit("dl").alias("key"),
             F.col("mad").alias("value"))
+        # round 5 wave 4: ES boxplot (exact quartile box + 1.5-IQR
+        # whisker observations) and ES string_stats (char-length stats
+        # + Shannon entropy of the character distribution over text)
+        bx = dash.boxplot_agg(dl, "dl").selectExpr(
+            "'boxplot' AS gate",
+            "stack(7, 'min', min, 'max', max, 'q1', q1, 'q2', q2, "
+            "'q3', q3, 'lower', lower, 'upper', upper) AS (key, value)")
+        ss = dash.string_stats(docs, "text").selectExpr(
+            "'strstats' AS gate",
+            "stack(5, 'count', cast(count as double), "
+            "'min_len', cast(min_length as double), "
+            "'max_len', cast(max_length as double), "
+            "'avg_len', avg_length, 'entropy', entropy) AS (key, value)")
         return (
             st.unionByName(pct).unionByName(card).unionByName(ext)
             .unionByName(pr).unionByName(wa).unionByName(mad)
+            .unionByName(bx).unionByName(ss)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key")
         )
@@ -1657,7 +1671,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
                  (doc_id % 7) + 1 AS w
           FROM documents),
-        md AS (SELECT quantile_cont(dl, 0.5) AS m FROM dl)
+        md AS (SELECT quantile_cont(dl, 0.5) AS m FROM dl),
+        bq AS (SELECT min(dl)::double AS mn, max(dl)::double AS mx,
+                      quantile_cont(dl, 0.25) AS q1,
+                      quantile_cont(dl, 0.5)  AS q2,
+                      quantile_cont(dl, 0.75) AS q3 FROM dl),
+        bw AS (SELECT
+                 (min(dl) FILTER (dl >= q1 - 1.5 * (q3 - q1)))::double
+                   AS lo,
+                 (max(dl) FILTER (dl <= q3 + 1.5 * (q3 - q1)))::double
+                   AS hi
+               FROM dl CROSS JOIN bq),
+        sst AS (SELECT count(text)::double AS c,
+                       min(len(text))::double AS mn,
+                       max(len(text))::double AS mx,
+                       avg(len(text)) AS av FROM documents),
+        sse AS (SELECT entropy(ch) AS e FROM (
+                  SELECT unnest(string_split(text, '')) AS ch
+                  FROM documents WHERE text IS NOT NULL))
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT 'stats' AS gate, 'count' AS key, c AS value FROM st
           UNION ALL SELECT 'stats', 'min', mn FROM st
@@ -1685,7 +1716,19 @@ def oracle_sql() -> dict[str, str]:
             (SELECT quantile_cont(abs(dl - m), 0.5)
              FROM dl CROSS JOIN md)
           UNION ALL SELECT 'cardinality', 'lang_n_distinct',
-            (SELECT count(DISTINCT lang) FROM documents)::double)
+            (SELECT count(DISTINCT lang) FROM documents)::double
+          UNION ALL SELECT 'boxplot', 'min', mn FROM bq
+          UNION ALL SELECT 'boxplot', 'max', mx FROM bq
+          UNION ALL SELECT 'boxplot', 'q1', q1 FROM bq
+          UNION ALL SELECT 'boxplot', 'q2', q2 FROM bq
+          UNION ALL SELECT 'boxplot', 'q3', q3 FROM bq
+          UNION ALL SELECT 'boxplot', 'lower', lo FROM bw
+          UNION ALL SELECT 'boxplot', 'upper', hi FROM bw
+          UNION ALL SELECT 'strstats', 'count', c FROM sst
+          UNION ALL SELECT 'strstats', 'min_len', mn FROM sst
+          UNION ALL SELECT 'strstats', 'max_len', mx FROM sst
+          UNION ALL SELECT 'strstats', 'avg_len', av FROM sst
+          UNION ALL SELECT 'strstats', 'entropy', e FROM sse)
         ORDER BY gate, key
 """
     # round-5 bucket-agg family fold: histogram (zero-filled gaps) +

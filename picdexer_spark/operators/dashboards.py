@@ -958,6 +958,87 @@ def cumulative_cardinality(df: DataFrame, ts_col: str, val_col: str,
     )
 
 
+def boxplot_agg(df: DataFrame, col: str,
+                whisker: float = 1.5) -> DataFrame:
+    """ES `boxplot` aggregation: min, max, q1, q2, q3 plus the lower /
+    upper whisker values — the SMALLEST and LARGEST observations within
+    `whisker` (ES's fixed 1.5) IQRs of the quartile box, the values ES
+    draws the whisker ends at (observations beyond them are the
+    outlier dots).
+
+    ES runs one t-digest pass per shard; here the exact form is
+    two-phase: one scan for the quartile box (exact interpolated
+    `percentile`, the same one-action shape as :func:`percentiles`),
+    then the 1-row box broadcast back over a second conditional scan
+    for the whiskers — at 100 TB both scans stay map-side-combinable
+    and the only exchanged row is the box itself. Returns one row
+    (min, max, q1, q2, q3, lower, upper); NULLs skipped throughout."""
+    c = F.col(col).cast("double")
+    box = df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.expr(f"percentile({col}, array(0.25d, 0.5d, 0.75d))")
+        .alias("_q"),
+    ).select(
+        "min", "max",
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        df.select(c.alias("_v"))
+        .crossJoin(F.broadcast(box))
+        .agg(
+            F.first("min").alias("min"), F.first("max").alias("max"),
+            F.first("q1").alias("q1"), F.first("q2").alias("q2"),
+            F.first("q3").alias("q3"),
+            F.min(F.when(
+                F.col("_v") >= F.col("q1") - whisker * iqr, F.col("_v")
+            )).alias("lower"),
+            F.max(F.when(
+                F.col("_v") <= F.col("q3") + whisker * iqr, F.col("_v")
+            )).alias("upper"),
+        )
+    )
+
+
+def string_stats(df: DataFrame, col: str) -> DataFrame:
+    """ES `string_stats` aggregation over a keyword field: count (non-
+    null values), min_length / max_length / avg_length (in characters),
+    and `entropy` — the Shannon entropy (log2) of the CHARACTER
+    distribution across all collected values, ES's cheap
+    machine-generated-content tell (uniform gibberish scores high,
+    natural language ~4 bits).
+
+    All-JVM: the length stats are one map-side-combinable scan; the
+    entropy path explodes to characters, reduces to the per-char
+    frequency table (distinct-char-sized, never data-sized), and folds
+    -sum(p*log2(p)) on that table — the same two-level reduce ES's
+    per-shard char-count maps perform. One action (the two branches
+    union), one row out."""
+    c = F.col(col)
+    lens = df.agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        F.avg(F.length(c)).alias("avg_length"),
+    )
+    # -sum(p*log2 p) refactored to log2(N) - sum(n*log2 n)/N so the
+    # final fold is ONE aggregate over the char-frequency table (no
+    # window over it); bit-identical algebra both engines share
+    chars = (
+        df.select(F.explode(F.split(c, "")).alias("ch"))
+        .groupBy("ch").agg(F.count("*").alias("n"))
+        .agg(
+            (F.log2(F.sum("n"))
+             - F.sum(F.col("n") * F.log2("n")) / F.sum("n"))
+            .alias("entropy")
+        )
+    )
+    return lens.crossJoin(F.broadcast(chars))
+
+
 def _bucket_key(ts_col: str, bucket: str) -> Column:
     """The date_histogram bucket key expression (shared so derived
     pipelines bucket identically to the parent histogram)."""

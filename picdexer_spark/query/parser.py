@@ -69,8 +69,12 @@ _REGEXP_BODY_RE = re.compile(r"^[a-z0-9.*+?|()\[\]{},\-]+$")
 def _analyze_words(words: list[str], mode: str) -> list[str]:
     """Analyze scored words; trailing-`*` words become `stem*` prefix
     terms, trailing `~`/`~1`/`~2` words become `stem~d` fuzzy terms (ES
-    query_string fuzziness; bare `~` means distance 2, the Lucene
-    default). Both are OR-context only. A bare `*` is match-all (drops
+    query_string fuzziness). A bare `~` is ES fuzziness AUTO — edit
+    budget from the ANALYZED stem length, the AUTO:3,6 ladder: stems
+    shorter than 3 chars must match exactly (the marker drops, the term
+    stays), 3-5 chars allow 1 edit, 6+ allow 2 — matching the ES
+    query_string `fuzziness` default (AUTO), not classic Lucene's bare-~
+    =2. Both are OR-context only. A bare `*` is match-all (drops
     out); any other `*`/`~` placement is refused — the analyzer would
     strip the marker and silently search the stem exactly."""
     terms: list[str] = []
@@ -182,7 +186,14 @@ def _analyze_words(words: list[str], mode: str) -> list[str]:
                 raise ValueError(
                     f"fuzzy {w!r} must analyze to exactly one term"
                 )
-            terms.append(f"{stem[0]}~{m.group(2) or '2'}")
+            if m.group(2):
+                terms.append(f"{stem[0]}~{m.group(2)}")
+            else:
+                # ES fuzziness AUTO (AUTO:3,6) over the analyzed stem
+                auto = 0 if len(stem[0]) < 3 else (
+                    1 if len(stem[0]) < 6 else 2)
+                terms.append(stem[0] if auto == 0
+                             else f"{stem[0]}~{auto}")
         else:
             terms.extend(tokenize_py(w))
     return terms

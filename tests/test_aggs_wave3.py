@@ -238,3 +238,60 @@ def test_cumulative_cardinality(spark):
     # bucket 3 empty -> absent (parent histogram min_doc_count=1)
     assert got == [(e, 2, 2, 2), (e + h12, 1, 0, 2),
                    (e + 2 * h12, 2, 1, 3), (e + 4 * h12, 2, 1, 4)]
+
+
+# ------------------------------------------- boxplot + string_stats
+
+def test_boxplot_matches_bruteforce(spark):
+    vals = [3, 1, 41, 7, 9, 2, 8, 6, 5, 4, 100, -50]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = dash.boxplot_agg(df, "v").collect()[0]
+    s = sorted(vals)
+
+    def q(p):  # exact linear interpolation, the `percentile` contract
+        i = p * (len(s) - 1)
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return s[lo] + (i - lo) * (s[hi] - s[lo])
+
+    q1, q2, q3 = q(0.25), q(0.5), q(0.75)
+    iqr = q3 - q1
+    assert row["min"] == -50 and row["max"] == 100
+    assert (row["q1"], row["q2"], row["q3"]) == (q1, q2, q3)
+    assert row["lower"] == min(v for v in vals if v >= q1 - 1.5 * iqr)
+    assert row["upper"] == max(v for v in vals if v <= q3 + 1.5 * iqr)
+    # the outliers (-50, 100) sit OUTSIDE the whiskers
+    assert row["lower"] > -50 and row["upper"] < 100
+
+
+def test_boxplot_skips_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,), (2,)], "v long")
+    row = dash.boxplot_agg(df, "v").collect()[0]
+    assert (row["min"], row["max"], row["q2"]) == (1, 3, 2.0)
+    assert row["lower"] == 1 and row["upper"] == 3
+
+
+def test_string_stats_matches_bruteforce(spark):
+    vals = ["aab", "b", "abab c", None]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    row = dash.string_stats(df, "s").collect()[0]
+    present = [v for v in vals if v is not None]
+    assert row["count"] == 3
+    assert row["min_length"] == 1 and row["max_length"] == 6
+    assert row["avg_length"] == pytest.approx(
+        sum(len(v) for v in present) / 3)
+    from collections import Counter
+    cnt = Counter("".join(present))
+    n = sum(cnt.values())
+    want = -sum((k / n) * math.log2(k / n) for k in cnt.values())
+    assert row["entropy"] == pytest.approx(want, rel=1e-12)
+
+
+def test_string_stats_uniform_vs_skewed_entropy(spark):
+    # uniform chars score log2(k); a single repeated char scores 0 —
+    # the ES docs' gibberish-detection ordering
+    uni = spark.createDataFrame([("abcd",)], "s string")
+    one = spark.createDataFrame([("aaaa",)], "s string")
+    assert dash.string_stats(uni, "s").collect()[0]["entropy"] == \
+        pytest.approx(2.0)
+    assert dash.string_stats(one, "s").collect()[0]["entropy"] == \
+        pytest.approx(0.0)

@@ -101,7 +101,13 @@ def test_prefix_with_filter(spark, built):
 
 
 def test_parser_fuzzy_boundaries():
-    assert parse_query_string("mach~") == (["mach~2"], "disjunctive")
+    # bare `~` is ES fuzziness AUTO (AUTO:3,6) on the ANALYZED stem:
+    # <3 chars -> exact (marker drops), 3-5 -> 1 edit, 6+ -> 2 edits
+    assert parse_query_string("mach~") == (["mach~1"], "disjunctive")
+    assert parse_query_string("machine~") == (["machine~2"], "disjunctive")
+    assert parse_query_string("ab~") == (["ab"], "disjunctive")
+    assert parse_query_string("abc~") == (["abc~1"], "disjunctive")
+    assert parse_query_string("abcdef~") == (["abcdef~2"], "disjunctive")
     assert parse_query_string("Mach~1 OR batch") == (
         ["mach~1", "batch"], "disjunctive")
     assert parse_kuery("lang:en w1~2") == (
