@@ -126,6 +126,12 @@ PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 PHRASE_SLOP = 1  # '"part filter"~1': one extra gap allowed, in order
 PP_STEM = "fil"  # '"part fil*"' match_phrase_prefix stem
 DYM_INPUT = "sparc"  # term-suggester misspelling ('spark' at OSA 1)
+# phrase-suggester input: both slots misspelled ('spark vale' -> the
+# noisy channel must rank both-corrected > value-corrected >
+# spark-corrected); OSA==unrestricted-DL over this vocab is verified
+# for these inputs, so DuckDB's damerau_levenshtein is a fair oracle
+PHRASE_DYM = "sparc vale"
+_PH_W1, _PH_W2 = PHRASE_DYM.split()
 # prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
 # stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
 PREFIX_QSTRING = "s* OR dup"
@@ -520,7 +526,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dy = s.createDataFrame(
             [(t, df) for t, df, _d in dym] or [], "term string, df long"
         ).select(F.lit("dym").alias("part"), "term", "df")
-        return comp.unionByName(dy)
+        # round-5 fold: the PHRASE suggester (whole-query "did you
+        # mean") — noisy-channel rescoring, unigram Laplace LM over
+        # (df, N, V) with rwel=0.95 channel weights; rows carry the
+        # RANK (df column) so the oracle pins the full ordering the
+        # scores induce without crossing float-rounding boundaries
+        ph = eng.suggest_phrase(PHRASE_DYM, size=5, max_errors=2,
+                                confidence=0.0)
+        phr = s.createDataFrame(
+            [(p, i + 1) for i, (p, _sc, _h) in enumerate(ph)] or [],
+            "term string, df long"
+        ).select(F.lit("phrase").alias("part"), "term", "df")
+        return comp.unionByName(dy).unionByName(phr)
     q["suggest_terms_s"] = suggest_terms_s
 
     def metric_aggs_multi(s, d):
@@ -1900,6 +1917,45 @@ def oracle_sql() -> dict[str, str]:
             AND term LIKE '{DYM_INPUT[0]}%'
             AND damerau_levenshtein(term, '{DYM_INPUT}') <= 1
           ORDER BY df DESC, term ASC LIMIT 10)
+        UNION ALL
+        SELECT 'phrase', term, df FROM (
+          WITH
+          st AS (SELECT (SELECT count(*) FROM documents)::double AS n,
+                        (SELECT count(*) FROM dict)::double AS v),
+          c1 AS (SELECT term, df,
+                        damerau_levenshtein(term, '{_PH_W1}') AS d
+                 FROM dict
+                 WHERE term <> '{_PH_W1}' AND term LIKE '{_PH_W1[0]}%'
+                   AND damerau_levenshtein(term, '{_PH_W1}') <= 2
+                 ORDER BY d ASC, df DESC, term ASC LIMIT 5),
+          c2 AS (SELECT term, df,
+                        damerau_levenshtein(term, '{_PH_W2}') AS d
+                 FROM dict
+                 WHERE term <> '{_PH_W2}' AND term LIKE '{_PH_W2[0]}%'
+                   AND damerau_levenshtein(term, '{_PH_W2}') <= 2
+                 ORDER BY d ASC, df DESC, term ASC LIMIT 5),
+          s1 AS (SELECT * FROM c1 UNION ALL
+                 SELECT '{_PH_W1}',
+                        coalesce((SELECT df FROM dict
+                                  WHERE term = '{_PH_W1}'), 0), -1),
+          s2 AS (SELECT * FROM c2 UNION ALL
+                 SELECT '{_PH_W2}',
+                        coalesce((SELECT df FROM dict
+                                  WHERE term = '{_PH_W2}'), 0), -1),
+          combos AS (
+            SELECT s1.term || ' ' || s2.term AS phrase,
+                   (log10(s1.df + 0.5) - log10(n + 0.5 * v)
+                    + CASE WHEN s1.d < 0 THEN log10(0.95)
+                           ELSE s1.d * log10(0.05) END)
+                 + (log10(s2.df + 0.5) - log10(n + 0.5 * v)
+                    + CASE WHEN s2.d < 0 THEN log10(0.95)
+                           ELSE s2.d * log10(0.05) END) AS score
+            FROM s1 CROSS JOIN s2 CROSS JOIN st
+            WHERE s1.d >= 0 OR s2.d >= 0)
+          SELECT phrase AS term,
+                 row_number() OVER (ORDER BY score DESC, phrase ASC)
+                   AS df
+          FROM combos ORDER BY df LIMIT 5)
     """
 
     # more_like_this: the interesting-term selection (tf>=2, df>=5,

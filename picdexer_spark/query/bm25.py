@@ -874,6 +874,148 @@ class SearchEngine:
         hits.sort()
         return [(c, -ndf, d) for d, ndf, c in hits[:size]]
 
+    def vocab_size(self) -> int:
+        """Content-dictionary term count (field-namespaced `\\x1f` terms
+        excluded) — the V in :meth:`suggest_phrase`'s Laplace smoothing.
+        Driver-dict count when the vocab cache holds, else ONE
+        metadata-sized distributed count; cached per engine."""
+        v = getattr(self, "_vocab_size_cache", None)
+        if v is None:
+            if self._df_cache is not None:
+                v = sum(1 for t in self._df_cache
+                        if not t.startswith("\x1f"))
+            else:
+                v = int(self.term_stats.filter(
+                    ~F.col("term").startswith("\x1f")).count())
+            self._vocab_size_cache = v
+        return v
+
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_errors: float = 1.0,
+        confidence: float = 1.0,
+        real_word_error_likelihood: float = 0.95,
+        max_candidates: int = 5,
+        collate: bool = False,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> list[tuple[str, float, str]]:
+        """ES PHRASE suggester (the whole-query "did you mean"): noisy-
+        channel rescoring of multi-word corrections, the third of the ES
+        suggest trio beside :meth:`suggest` (completion) and
+        :meth:`suggest_term`.
+
+        Model (deterministic, divergences from Lucene's internals
+        pinned here): per analyzed slot the candidates are the term
+        suggester's top `max_candidates` (OSA distance, mode=always)
+        plus the original; a whole-phrase candidate changes at most
+        `max_errors` slots (ES contract: a value < 1 is a fraction of
+        the term count, >= 1 an absolute count; default 1.0 = one
+        correction). Each phrase scores log10 of
+
+            prod_i  P_lm(w_i) * P_ch(i)
+
+        where P_lm is the UNIGRAM Laplace-smoothed document-frequency
+        model (df + 0.5)/(N + 0.5*V) — pinned vs ES's shingle-field
+        bigram LM (this index has no shingle field; the unigram model
+        is ES's gram_size=1 laplace smoothing) — and the channel
+        P_ch(i) is `real_word_error_likelihood` for an unchanged slot
+        (the ES knob: even an in-dictionary word is only ~95% likely
+        intended) and (1 - rwel)^distance for a corrected one (each
+        edit costs the complementary factor). Suggestions must beat
+        `confidence` * the input phrase's own likelihood (the ES
+        confidence threshold; 0.0 disables). `collate=True` keeps only
+        phrases whose terms CO-OCCUR in at least one live doc — the ES
+        collate match-query prune, pinned to a conjunctive `_count`
+        probe over the top 2*size survivors (each probe a distributed
+        count; everything else here is driver-side over a candidate
+        set capped at max_candidates per slot, with per-slot candidate
+        generation riding expand_fuzzy's banded vocab scan).
+
+        Returns [(phrase, score_log10, highlighted)] sorted score desc
+        then phrase asc, corrected slots wrapped in pre/post tags —
+        the ES option list (text, score, highlighted). The unchanged
+        input itself is never suggested."""
+        from itertools import combinations, product
+
+        from picdexer_spark.functions.tokenize import tokenize_py
+
+        if size < 1 or max_candidates < 1:
+            raise ValueError("size and max_candidates must be >= 1")
+        if max_errors <= 0:
+            raise ValueError("max_errors must be > 0")
+        if not 0.0 < real_word_error_likelihood < 1.0:
+            raise ValueError("real_word_error_likelihood must be in (0,1)")
+        toks = tokenize_py(text)
+        if not toks:
+            raise ValueError(
+                f"phrase suggester input {text!r} analyzes to no terms")
+        m = len(toks)
+        budget = (int(max_errors) if max_errors >= 1
+                  else max(1, int(max_errors * m)))
+        budget = min(budget, m)
+
+        n, v = self.n_docs, self.vocab_size()
+        denom = math.log10(n + 0.5 * v)
+
+        def lm(df: int) -> float:
+            return math.log10(df + 0.5) - denom
+
+        keep = math.log10(real_word_error_likelihood)
+        err1 = math.log10(1.0 - real_word_error_likelihood)
+
+        cands = [self.suggest_term(
+            t, size=max_candidates, suggest_mode="always") for t in toks]
+        dfs0 = self.term_dfs(toks)
+        base = [lm(dfs0.get(t, 0)) + keep for t in toks]
+        base_score = sum(base)
+
+        # enumerate: choose <= budget slots to correct, one candidate
+        # per corrected slot; beam-capped so a long query with fat
+        # candidate lists stays driver-cheap (the ES candidate cap)
+        BEAM = 5000
+        out: list[tuple[float, str, str]] = []
+        n_gen = 0
+        for r in range(1, budget + 1):
+            for slots in combinations(range(m), r):
+                pools = [cands[i] for i in slots]
+                if any(not p for p in pools):
+                    continue
+                for pick in product(*pools):
+                    n_gen += 1
+                    if n_gen > BEAM:
+                        break
+                    score = base_score
+                    words = list(toks)
+                    marked = list(toks)
+                    for i, (c, df_c, dist) in zip(slots, pick):
+                        score += (lm(df_c) + dist * err1) - base[i]
+                        words[i] = c
+                        marked[i] = f"{pre_tag}{c}{post_tag}"
+                    out.append((score, " ".join(words),
+                                " ".join(marked)))
+                if n_gen > BEAM:
+                    break
+            if n_gen > BEAM:
+                break
+
+        thr = (-math.inf if confidence <= 0.0
+               else base_score + math.log10(confidence))
+        out = [o for o in out if o[0] > thr]
+        out.sort(key=lambda o: (-o[0], o[1]))
+        if collate:
+            kept = []
+            for score, phrase, marked in out[:2 * size]:
+                if self.count(sorted(set(phrase.split())),
+                              "conjunctive") > 0:
+                    kept.append((score, phrase, marked))
+                if len(kept) == size:
+                    break
+            out = kept
+        return [(p, s, h) for s, p, h in out[:size]]
+
     def match_bool_prefix(
         self,
         terms: list[str],

@@ -185,3 +185,131 @@ def test_suggest_term_knobs_and_refusals(spark, built):
         eng.suggest_term(t, suggest_mode="sometimes")
     with pytest.raises(ValueError):
         eng.suggest_term(t, size=0)
+
+
+# ------------------------------------------------- ES phrase suggester
+
+def _brute_phrase(oracle, toks, size=5, max_errors=1.0, confidence=1.0,
+                  rwel=0.95, max_candidates=5):
+    """Independent noisy-channel composition over _brute_suggest
+    candidates: unigram Laplace LM (df+0.5)/(N+0.5V), channel rwel for
+    kept slots / (1-rwel)^dist for corrected ones, confidence
+    threshold vs the input phrase's own likelihood."""
+    from itertools import combinations, product
+
+    n, v = oracle.n_docs, len(oracle.postings)
+    lm = lambda df: math.log10(df + 0.5) - math.log10(n + 0.5 * v)
+    keep, err = math.log10(rwel), math.log10(1.0 - rwel)
+    m = len(toks)
+    budget = min(int(max_errors) if max_errors >= 1
+                 else max(1, int(max_errors * m)), m)
+    cands = [_brute_suggest(oracle, t, size=max_candidates) for t in toks]
+    base = [lm(oracle.df(t)) + keep for t in toks]
+    base_score = sum(base)
+    out = []
+    for r in range(1, budget + 1):
+        for slots in combinations(range(m), r):
+            for pick in product(*[cands[i] for i in slots]):
+                s = base_score
+                words = list(toks)
+                for i, (c, df_c, d) in zip(slots, pick):
+                    s += (lm(df_c) + d * err) - base[i]
+                    words[i] = c
+                out.append((s, " ".join(words)))
+    thr = (-math.inf if confidence <= 0.0
+           else base_score + math.log10(confidence))
+    out = [o for o in out if o[0] > thr]
+    out.sort(key=lambda o: (-o[0], o[1]))
+    return [(p, s) for s, p in out[:size]]
+
+
+import math  # noqa: E402  (used by _brute_phrase)
+
+
+def test_suggest_phrase_matches_bruteforce(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    got = eng.suggest_phrase("w0x w1", size=8, confidence=0.0)
+    want = _brute_phrase(oracle, ["w0x", "w1"], size=8, confidence=0.0)
+    assert [(p, round(s, 9)) for p, s, _h in got] == \
+        [(p, round(s, 9)) for p, s in want] and got
+
+
+def test_suggest_phrase_corrects_and_highlights(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    got = eng.suggest_phrase("w0x w1")  # default confidence=1.0
+    assert got and got[0][0] == "w0 w1"
+    assert got[0][2] == "<em>w0</em> w1"
+    # every suggestion beats the input's own likelihood
+    assert all(s > _brute_phrase(oracle, ["w0x", "w1"], size=1,
+                                 confidence=0.0)[0][1] - 50  # sanity
+               for _p, s, _h in got)
+    # the unchanged input itself is never suggested
+    assert all(p != "w0x w1" for p, _s, _h in got)
+
+
+def test_suggest_phrase_max_errors(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    one = eng.suggest_phrase("w0x w1x", max_errors=1, confidence=0.0,
+                             size=20)
+    # budget 1: every suggestion keeps one of the two typo slots
+    assert one
+    for p, _s, _h in one:
+        a, b = p.split()
+        assert (a == "w0x") != (b == "w1x")
+    two = eng.suggest_phrase("w0x w1x", max_errors=2, confidence=0.0,
+                             size=50)
+    assert any(p == "w0 w1" for p, _s, _h in two)
+    # fraction: 0.5 of 2 terms -> budget 1, identical to absolute 1
+    frac = eng.suggest_phrase("w0x w1x", max_errors=0.5, confidence=0.0,
+                              size=20)
+    assert [(p, round(s, 9)) for p, s, _h in frac] == \
+        [(p, round(s, 9)) for p, s, _h in one]
+
+
+def test_suggest_phrase_confidence_and_refusals(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    assert eng.suggest_phrase("w0x w1", confidence=1e12) == []
+    for bad in (dict(text=".,!"), dict(text="w0x", max_errors=0),
+                dict(text="w0x", real_word_error_likelihood=1.0),
+                dict(text="w0x", size=0)):
+        with pytest.raises(ValueError):
+            eng.suggest_phrase(**bad)
+
+
+def test_suggest_phrase_collate(spark, built):
+    idx, oracle = built
+    eng = SearchEngine(spark, idx)
+    # find two rare terms that never co-occur in a live doc
+    pair = None
+    for g in range(10):
+        for h in range(10):
+            if g == h:
+                continue
+            a, b = rare_term(g), rare_term(h)
+            if not set(oracle.postings[a]) & set(oracle.postings[b]):
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "fixture lost its disjoint rare groups"
+    a, b = pair
+    # transposition typo: its ONLY distance-1 neighbor is `b` itself,
+    # so the correction can't be crowded out of the candidate cap by
+    # same-distance higher-df siblings (rareterm1x's x->digit problem)
+    typo = b[:6] + b[7] + b[6] + b[8:]
+    text = f"{a} {typo}"
+    plain = eng.suggest_phrase(text, size=20, confidence=0.0)
+    assert any(p == f"{a} {b}" for p, _s, _h in plain)
+    collated = eng.suggest_phrase(text, size=20, confidence=0.0,
+                                  collate=True)
+    assert all(p != f"{a} {b}" for p, _s, _h in collated)
+    for p, _s, _h in collated:
+        terms = p.split()
+        docs = set(oracle.postings.get(terms[0], {}))
+        for t in terms[1:]:
+            docs &= set(oracle.postings.get(t, {}))
+        assert docs, p
