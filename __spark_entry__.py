@@ -132,6 +132,11 @@ DYM_INPUT = "sparc"  # term-suggester misspelling ('spark' at OSA 1)
 # for these inputs, so DuckDB's damerau_levenshtein is a fair oracle
 PHRASE_DYM = "sparc vale"
 _PH_W1, _PH_W2 = PHRASE_DYM.split()
+# geo_distance rings + geotile gate constants (margins to every ring
+# edge / tile boundary verified large against cross-engine libm drift)
+GEO_ORIGIN = (20.0, 10.0)
+GEO_RINGS = [(None, 2000.0), (2000.0, 5000.0), (5000.0, 9000.0),
+             (9000.0, None), (0.0, 13000.0)]
 # prefix query: s* dictionary-expands to {scan, slow, small, sort, spark,
 # stream} (6 terms, under the top_terms_50 cap), OR'd with rare term dup
 PREFIX_QSTRING = "s* OR dup"
@@ -1064,8 +1069,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("lat", 6).alias("lat"),
             F.round("lon", 6).alias("lon"),
             F.col("count").alias("n"))
+        # round 5 wave 4: ES geo_distance agg (haversine rings around
+        # GEO_ORIGIN; ring 4 overlaps 0-2 — overlap double-counts, the
+        # ES contract) + ES geotile_grid (zoom-4 web-mercator tiles;
+        # k large enough to emit EVERY bucket, so no tie-truncation).
+        # Edge/boundary margins vs libm drift verified >= 9 km (rings)
+        # and >= 7e-6 tiles (inner points; clamped polar points land in
+        # the edge row under either sign of the epsilon).
+        rings = geo.geo_distance_rings(
+            pt, "lat", "lon", *GEO_ORIGIN, ranges=GEO_RINGS
+        ).select(
+            F.lit("ring").alias("arm"),
+            F.col("ring").cast("long").alias("doc_id"),
+            F.col("from_km").alias("lat"), F.col("to_km").alias("lon"),
+            F.col("doc_count").cast("long").alias("n"))
+        tile = geo.geotile_grid(pt, "lat", "lon", 4, k=1000).select(
+            F.lit("tile").alias("arm"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("tile_x").cast("double").alias("lat"),
+            F.col("tile_y").cast("double").alias("lon"),
+            F.col("doc_count").cast("long").alias("n"))
         return dms.unionAll(grid).unionAll(bmax).unionAll(bmin) \
-            .unionAll(cent)
+            .unionAll(cent).unionAll(rings).unionAll(tile)
     q["geo_multi"] = geo_multi
 
 
@@ -2790,7 +2815,22 @@ def oracle_sql() -> dict[str, str]:
           (d2 + m2/60.0 + s2/3600.0) * {_sgn('l2')} AS lon
           FROM x)
     """
-    o["geo_multi"] = GEO_BASE + """
+    # ring arm: the engine's conditional-count-per-ring, generated from
+    # the same GEO_RINGS list so SQL edges can never drift from the gate
+    _g_lat, _g_lon = GEO_ORIGIN
+    _ring_parts = []
+    for _i, (_lo, _hi) in enumerate(GEO_RINGS):
+        _conds = ([] if _lo is None else [f"dkm >= {_lo!r}"]) + \
+            ([] if _hi is None else [f"dkm < {_hi!r}"])
+        _ring_parts.append(
+            f"SELECT {_i}::BIGINT AS ring, "
+            f"{'NULL::DOUBLE' if _lo is None else repr(_lo)} AS from_km, "
+            f"{'NULL::DOUBLE' if _hi is None else repr(_hi)} AS to_km, "
+            f"(count(*) FILTER ({' AND '.join(_conds) or 'TRUE'}))::BIGINT"
+            f" AS n FROM dist")
+    G_RING_SQL = " UNION ALL ".join(_ring_parts)
+    G_LAT, G_LON = repr(_g_lat), repr(_g_lon)
+    o["geo_multi"] = GEO_BASE + f"""
         SELECT 'dms' AS arm, doc_id, round(lat, 6) AS lat,
                round(lon, 6) AS lon, NULL::BIGINT AS n
         FROM pt
@@ -2811,6 +2851,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'centroid', NULL::BIGINT, round(avg(lat), 6),
                round(avg(lon), 6), count(*)::BIGINT
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
+        UNION ALL
+        SELECT * FROM (
+          WITH dist AS (
+            SELECT 2 * 6371.0088 * asin(sqrt(
+                     pow(sin((radians(lat) - radians({G_LAT})) / 2), 2)
+                     + cos(radians({G_LAT})) * cos(radians(lat))
+                       * pow(sin((radians(lon) - radians({G_LON})) / 2),
+                             2))) AS dkm
+            FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL)
+          SELECT 'ring', ring, from_km, to_km, n FROM ({G_RING_SQL}))
+        UNION ALL
+        SELECT 'tile', NULL::BIGINT, tx::double, ty::double,
+               count(*)::BIGINT
+        FROM (
+          SELECT least(greatest(
+                   floor((lon + 180.0) / 360.0 * 16.0), 0), 15) AS tx,
+                 least(greatest(floor(
+                   (1.0 - ln(tan(radians(clat)) + 1.0 / cos(radians(clat)))
+                          / pi()) / 2.0 * 16.0), 0), 15) AS ty
+          FROM (SELECT least(greatest(lat, -85.0511287798066),
+                             85.0511287798066) AS clat, lon
+                FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL))
+        GROUP BY tx, ty
     """
     # ---- multimodal: REAL PPM decode/resize, reconstructed in SQL --------
     # the payload is pure ASCII, so the varchar the oracle builds is

@@ -23,6 +23,8 @@ natively exchange.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -122,4 +124,118 @@ def geo_centroid(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
         F.avg(lat_col).alias("lat"),
         F.avg(lon_col).alias("lon"),
         F.count("*").alias("count"),
+    )
+
+
+#: ES GeoUtils.EARTH_MEAN_RADIUS in km — the constant ES's arc distance
+#: (haversine) uses, so radii mean the same metres they mean in ES
+EARTH_RADIUS_KM = 6371.0088
+
+#: web-mercator latitude bound (ES GeoTileUtils.LATITUDE_MASK)
+MERCATOR_LAT = 85.0511287798066
+
+
+def haversine_km(lat_col: Column, lon_col: Column,
+                 lat0: float, lon0: float) -> Column:
+    """Great-circle distance in km from each row's point to a fixed
+    origin — the haversine form ES's geo_distance query/agg computes
+    (SloppyMath.haversinMeters up to its sloppy-trig shortcut; pinned:
+    exact libm trig here). All-JVM built-ins, whole-stage codegen."""
+    la1 = F.radians(F.lit(float(lat0)))
+    lo1 = F.radians(F.lit(float(lon0)))
+    la2 = F.radians(lat_col)
+    lo2 = F.radians(lon_col)
+    h = (
+        F.pow(F.sin((la2 - la1) / 2), 2)
+        + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def geo_distance_filter(df: DataFrame, lat_col: str, lon_col: str,
+                        lat0: float, lon0: float,
+                        radius_km: float) -> DataFrame:
+    """ES `geo_distance` QUERY: keep rows within `radius_km` of the
+    origin (ES's distance <= radius contract; NULL coordinates never
+    match). A plain filter over the haversine column — Catalyst keeps
+    it inside the scan's codegen stage; no shuffle."""
+    d = haversine_km(F.col(lat_col), F.col(lon_col), lat0, lon0)
+    return df.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+        & (d <= F.lit(float(radius_km))))
+
+
+def geo_distance_rings(df: DataFrame, lat_col: str, lon_col: str,
+                       lat0: float, lon0: float,
+                       ranges: list[tuple]) -> DataFrame:
+    """ES `geo_distance` AGGREGATION: one bucket per requested
+    [from, to) ring around the origin, `None` for an open end. ES
+    contracts kept: every requested ring appears even when empty, a
+    point falling in several (overlapping) rings counts in each, NULL
+    coordinates count nowhere. One conditional-count scan for ALL
+    rings (a count column per ring, map-side combined — the same
+    one-pass shape as percentile_ranks), so ring count never adds
+    scans. Returns (ring, from_km, to_km, doc_count) in request
+    order."""
+    if not ranges:
+        raise ValueError("geo_distance_rings needs at least one range")
+    pts = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    d = haversine_km(F.col(lat_col), F.col(lon_col), lat0, lon0)
+    aggs = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d < F.lit(float(hi)))
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"_r{i}"))
+    base = pts.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("ring"),
+            F.lit(None if lo is None else float(lo)).cast("double")
+            .alias("from_km"),
+            F.lit(None if hi is None else float(hi)).cast("double")
+            .alias("to_km"),
+            F.col(f"_r{i}").alias("doc_count"),
+        )
+        for i, (lo, hi) in enumerate(ranges)
+    ])
+    return (base.select(F.explode(rows).alias("r"))
+            .select("r.ring", "r.from_km", "r.to_km", "r.doc_count"))
+
+
+def geotile_grid(df: DataFrame, lat_col: str, lon_col: str,
+                 zoom: int, k: int = 10) -> DataFrame:
+    """ES `geotile_grid` aggregation: bucket points into web-mercator
+    map tiles at `zoom` (the "z/x/y" keys Kibana's maps layer
+    requests), top-k buckets by doc_count desc then key asc. Pure
+    arithmetic — x = floor((lon+180)/360 * 2^z), y from the mercator
+    projection, latitude clamped to ES's LATITUDE_MASK bound
+    (GeoTileUtils: poleward points land in the edge row) — all JVM
+    built-ins, one groupBy whose key space is at most 4^zoom."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")  # the ES precision range
+    tiles = float(2 ** zoom)
+    pts = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    lat = F.least(F.greatest(F.col(lat_col), F.lit(-MERCATOR_LAT)),
+                  F.lit(MERCATOR_LAT))
+    phi = F.radians(lat)
+    x = F.floor((F.col(lon_col) + 180.0) / 360.0 * tiles)
+    y = F.floor(
+        (1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / math.pi)
+        / 2.0 * tiles)
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(int(tiles) - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(tiles) - 1))
+    return (
+        pts.select(x.cast("long").alias("tile_x"),
+                   y.cast("long").alias("tile_y"))
+        .groupBy("tile_x", "tile_y").agg(F.count("*").alias("doc_count"))
+        .select(F.concat_ws(
+            "/", F.lit(zoom), "tile_x", "tile_y").alias("key"),
+            "tile_x", "tile_y", "doc_count")
+        .orderBy(F.desc("doc_count"), F.asc("tile_x"), F.asc("tile_y"))
+        .limit(k)
     )

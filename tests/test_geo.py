@@ -61,3 +61,107 @@ def test_folder_of(spark):
     rows = df.select(geo.folder_of("p").alias("got"), "expect").collect()
     for r in rows:
         assert r["got"] == r["expect"]
+
+
+# ---------------------------------- geo_distance + geotile_grid (round 5)
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    import math
+    la1, lo1, la2, lo2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    h = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+    return 2 * geo.EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+
+PARIS = (48.8566, 2.3522)
+POINTS = [
+    (51.5074, -0.1278),   # London  ~344 km from Paris
+    (48.8566, 2.3522),    # Paris itself, 0 km
+    (40.7128, -74.0060),  # New York ~5837 km
+    (-33.8688, 151.2093),  # Sydney ~16960 km
+    (48.86, 2.36),        # next door
+    (None, 10.0),         # null lat -> never matches
+]
+
+
+@pytest.fixture(scope="module")
+def geo_pts(spark):
+    return spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(POINTS)],
+        "id long, lat double, lon double")
+
+
+def test_haversine_matches_reference(spark, geo_pts):
+    got = {r["id"]: r["d"] for r in geo_pts.select(
+        "id", geo.haversine_km(F.col("lat"), F.col("lon"),
+                               *PARIS).alias("d")).collect()}
+    for i, (la, lo) in enumerate(POINTS):
+        if la is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(
+                _hav_py(la, lo, *PARIS), rel=1e-12), i
+    # sanity: the classic Paris->London distance
+    assert 340 < got[0] < 348
+
+
+def test_geo_distance_filter(spark, geo_pts):
+    ids = sorted(r["id"] for r in geo.geo_distance_filter(
+        geo_pts, "lat", "lon", *PARIS, radius_km=400).collect())
+    assert ids == [0, 1, 4]  # London, Paris, next door; NULL row out
+    # boundary is inclusive (<= radius): radius exactly at London's
+    # distance keeps London
+    d_lon = _hav_py(*POINTS[0], *PARIS)
+    ids = sorted(r["id"] for r in geo.geo_distance_filter(
+        geo_pts, "lat", "lon", *PARIS, radius_km=d_lon).collect())
+    assert 0 in ids
+
+
+def test_geo_distance_rings(spark, geo_pts):
+    rings = geo.geo_distance_rings(
+        geo_pts, "lat", "lon", *PARIS,
+        ranges=[(None, 500.0), (500.0, 10000.0), (10000.0, None),
+                (0.0, 6000.0)]).collect()  # last one OVERLAPS ring 0+1
+    got = [(r["ring"], r["from_km"], r["to_km"], r["doc_count"])
+           for r in rings]
+    assert got == [(0, None, 500.0, 3), (1, 500.0, 10000.0, 1),
+                   (2, 10000.0, None, 1), (3, 0.0, 6000.0, 4)]
+    # empty rings are kept (the ES contract)
+    empty = geo.geo_distance_rings(
+        geo_pts, "lat", "lon", *PARIS, ranges=[(20000.0, None)]).collect()
+    assert [(r["ring"], r["doc_count"]) for r in empty] == [(0, 0)]
+    with pytest.raises(ValueError):
+        geo.geo_distance_rings(geo_pts, "lat", "lon", *PARIS, ranges=[])
+
+
+def _tile_py(lat, lon, zoom):
+    import math
+    t = 2 ** zoom
+    lat = max(-geo.MERCATOR_LAT, min(geo.MERCATOR_LAT, lat))
+    x = math.floor((lon + 180.0) / 360.0 * t)
+    phi = math.radians(lat)
+    y = math.floor(
+        (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.pi)
+        / 2.0 * t)
+    return min(max(x, 0), t - 1), min(max(y, 0), t - 1)
+
+
+def test_geotile_grid_matches_reference(spark):
+    import collections
+    pts = [(la, lo) for la in (-89.0, -45.0, 0.0, 37.5, 85.3, 48.86)
+           for lo in (-179.9, -90.0, 0.0, 0.1, 120.0, 179.9)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for zoom in (0, 3, 7):
+        want = collections.Counter(_tile_py(la, lo, zoom)
+                                   for la, lo in pts)
+        want_rows = sorted(
+            [(f"{zoom}/{x}/{y}", x, y, n)
+             for (x, y), n in want.items()],
+            key=lambda r: (-r[3], r[1], r[2]))[:10]
+        got = [(r["key"], r["tile_x"], r["tile_y"], r["doc_count"])
+               for r in geo.geotile_grid(df, "lat", "lon", zoom).collect()]
+        assert got == want_rows, zoom
+    # polar points clamp into the edge rows, never out of range
+    assert _tile_py(-89.0, 0.0, 3) == (4, 7)
+    with pytest.raises(ValueError):
+        geo.geotile_grid(df, "lat", "lon", 30)
