@@ -1147,14 +1147,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nul("long").alias("id_a"), nul("long").alias("id_b"),
             nul("double").alias("jaccard"),
         )
-        ngram = tx.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.2
-        ).select(
+        np_pairs = tx.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2)
+        ngram = np_pairs.select(
             F.lit("ngram").alias("arm"), nul("string").alias("text_md5"),
             nul("long").alias("n_dups"), nul("long").alias("keep_id"),
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
             F.round("jaccard", 4).alias("jaccard"),
+        )
+        # round 5 wave 4: near-dup CLUSTERING — connected components
+        # (min-label propagation) over the ngram pairs UNION a
+        # synthetic 35-step doc_id chain (i -> i+35 for i%5==0; its
+        # ~14-hop components force the multi-round propagation path the
+        # pair graph alone wouldn't). Oracle = recursive-CTE transitive
+        # closure. Rows: keep_id = component root, id_a = member.
+        ids = docs.select(F.col("doc_id").alias("id_b"))
+        chain = (docs.filter(F.col("doc_id") % 5 == 0)
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") + 35).alias("id_b"))
+                 .join(ids, "id_b"))
+        comp = tx.connected_components(
+            np_pairs.select("id_a", "id_b").unionAll(
+                chain.select("id_a", "id_b")))
+        clus = comp.select(
+            F.lit("cluster").alias("arm"), nul("string").alias("text_md5"),
+            nul("long").alias("n_dups"),
+            F.col("component").cast("long").alias("keep_id"),
+            F.col("node").cast("long").alias("id_a"),
+            nul("long").alias("id_b"), nul("double").alias("jaccard"),
         )
         mh = tx.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4) \
             .select(
@@ -1164,7 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("id_b").cast("long").alias("id_b"),
                 F.col("est_jaccard").cast("double").alias("jaccard"),
             )
-        return exact.unionAll(ngram).unionAll(mh)
+        return exact.unionAll(ngram).unionAll(mh).unionAll(clus)
     q["dedup_multi"] = dedup_multi
 
     # ---- multimodal binary columns ---------------------------------------
@@ -2977,7 +2998,7 @@ def oracle_sql() -> dict[str, str]:
     # Jaccard pairs (same `sh` shingle CTE), banded MinHash-LSH pairs —
     # each arm verbatim from its per-gate oracle, wide-nullable union
     o["dedup_multi"] = f"""
-        WITH sh AS MATERIALIZED (
+        WITH RECURSIVE sh AS MATERIALIZED (
           SELECT doc_id AS id,
                  list_sort(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
@@ -3001,7 +3022,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT c.id_a, c.id_b,
                  len(list_filter(range(1, {NH + 1}),
                      i -> a.sig[i] = b.sig[i]))::DOUBLE / {NH} AS est_jaccard
-          FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id)
+          FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id),
+        edg AS (
+          SELECT a.id AS u, b.id AS v
+          FROM sh a JOIN sh b ON a.id < b.id
+          WHERE len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+          UNION
+          SELECT d1.doc_id, d1.doc_id + 35
+          FROM documents d1
+          WHERE d1.doc_id % 5 = 0
+            AND EXISTS (SELECT 1 FROM documents d2
+                        WHERE d2.doc_id = d1.doc_id + 35)),
+        sym AS (SELECT u, v FROM edg UNION SELECT v AS u, u AS v FROM edg),
+        reach(n, r) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n)
         SELECT 'exact' AS arm, md5(text) AS text_md5,
                count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_id,
                NULL::BIGINT AS id_a, NULL::BIGINT AS id_b,
@@ -3017,6 +3054,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'minhash', NULL, NULL, NULL, id_a, id_b, est_jaccard
         FROM est WHERE est_jaccard >= 0.4
+        UNION ALL
+        SELECT 'cluster', NULL, NULL, min(r)::BIGINT, n::BIGINT,
+               NULL, NULL
+        FROM reach GROUP BY n
     """
 
     BITS = 16

@@ -427,3 +427,99 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFr
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step every near-dup pipeline needs between "candidate pairs" and
+    "keep one per group" (MinHash/SimHash pairs chain: A~B, B~C puts
+    A,C in one component even when A!~C).
+
+    Min-label propagation WITH pointer jumping: every node starts
+    labelled with itself; each round (a) pushes the minimum label
+    across edges (one edges-sized shuffle join + map-side-combinable
+    min) and (b) path-halves — component <- component(component), one
+    node-sized self-join — so label distance to the root roughly
+    halves per round and convergence takes O(log diameter) rounds
+    (~4 for a 20-link chain) instead of O(diameter); near-dup graphs
+    (cliques and stars around a template document) converge in 2.
+    `max_iter` guards pathological inputs. Per-round
+    `localCheckpoint` cuts the iterative lineage so plans stay O(1)
+    deep; the convergence probe is a LIMIT-1 existence check, not a
+    count over the labels.
+
+    Returns (node, component), component = smallest node id reachable.
+    Nodes appear once; isolated nodes (absent from `edges`) are the
+    caller's to add — see :func:`near_dup_clusters`."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .filter(F.col("u") != F.col("v")).distinct()
+    e = e.localCheckpoint()
+    labels = (e.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("component"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (
+            e.join(labels, e["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component",
+                    F.coalesce("nbr_min", "component"),
+                ).alias("component"),
+            )
+        )
+        # pointer jump (path halving): component <- component(component)
+        tgt = new.select(F.col("node").alias("c_node"),
+                         F.col("component").alias("c_comp"))
+        new = (
+            new.join(tgt, new["component"] == tgt["c_node"], "left")
+            .select(
+                "node",
+                F.coalesce("c_comp", "component").alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") < F.col("old"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the guard — raise max_iter or switch "
+        "to star contraction)")
+
+
+def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5, **lsh_kwargs) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs
+    (:func:`minhash_lsh_pairs`) -> :func:`connected_components` ->
+    every document labelled with its cluster (docs in no pair are
+    their own singleton cluster) plus `is_survivor` — true for the
+    smallest doc id of each cluster, the keep-one-per-group flag a
+    dedup pass filters on. One extra broadcast-sized join over the
+    clustered minority; the unpaired majority never enters the
+    component iteration."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col,
+                              threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("is_survivor", F.col("cluster") == F.col(id_col))
+    )

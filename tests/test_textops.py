@@ -344,3 +344,73 @@ def test_percentiles_and_cardinality(spark):
     assert dash.cardinality(df2, "x", exact=True).first()["n_distinct"] == 3
     approx = dash.cardinality(df2, "x", exact=False).first()["n_distinct"]
     assert 2 <= approx <= 4  # HLL++ on 3 values is near-exact
+
+
+# ------------------------------- connected components + near-dup clusters
+
+def _uf_components(edges):
+    """Brute-force union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in tx.connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_deep_chain(spark):
+    # a 20-link chain needs ~diameter rounds — the multi-iteration path
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in tx.connected_components(df, max_iter=30).collect()}
+    assert got == {i: 0 for i in range(21)}
+    with pytest.raises(RuntimeError):
+        tx.connected_components(df, max_iter=2)
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = base.replace("tok3 ", "tok3x ")  # near-dup of base
+    other = " ".join(f"zz{i}" for i in range(40))
+    rows = [(0, base), (1, base + " tail"), (2, variant),
+            (3, other), (4, other + " xy"), (5, "totally different text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tx.near_dup_clusters(df, "doc_id", "text", threshold=0.5,
+                               num_hashes=32, bands=16)
+    rowsd = {r["doc_id"]: (r["cluster"], r["is_survivor"])
+             for r in got.collect()}
+    # pairs chain 0-1-2 into one cluster rooted at 0; 3-4 cluster at 3;
+    # 5 is a singleton surviving as itself
+    pairs = [(r["id_a"], r["id_b"]) for r in tx.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, num_hashes=32,
+        bands=16).collect()]
+    want = _uf_components(pairs)
+    for d in range(6):
+        want_cluster = want.get(d, d)
+        assert rowsd[d] == (want_cluster, want_cluster == d), d
+    assert rowsd[5] == (5, True)
+    # every cluster has exactly one survivor
+    from collections import Counter
+    surv = Counter(c for c, s in rowsd.values() if s)
+    clusters = set(c for c, _s in rowsd.values())
+    assert set(surv) == clusters and all(v == 1 for v in surv.values())
