@@ -617,10 +617,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "'min_len', cast(min_length as double), "
             "'max_len', cast(max_length as double), "
             "'avg_len', avg_length, 'entropy', entropy) AS (key, value)")
+        # round 5 wave 5: the ES sibling *_bucket pipeline family is
+        # pure COMPOSITION here — stats_agg / percentiles applied to
+        # the parent histogram's bucket table (ES stats_bucket /
+        # avg_bucket / sum_bucket / min_bucket / max_bucket /
+        # percentiles_bucket); the bucket table is panel-sized so the
+        # second aggregate is coordinator-cheap at any data scale
+        ev = _tbl(s, d, "events")
+        hb = dash.date_histogram(ev, "ts", "12h")
+        sb = dash.stats_agg(hb, "n").selectExpr(
+            "'sbucket' AS gate",
+            "stack(5, 'count', cast(count as double), "
+            "'min', cast(min as double), 'max', cast(max as double), "
+            "'avg', avg, 'sum', cast(sum as double)) AS (key, value)")
+        pb = dash.percentiles(hb, "n").select(
+            F.lit("pbucket").alias("gate"),
+            F.col("pct").cast("string").alias("key"), F.col("value"))
+        # ES t_test, all three types (t_stat + df; the p-value is
+        # dash.t_test_p_value driver-side, pytest-pinned — no SQL
+        # oracle can express the incomplete beta). Inputs are integer-
+        # valued doubles, so the power sums are EXACT in both engines
+        # and the closed-form algebra hashes bit-identically.
+        ab = docs.select(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.size(tokens_col("text"))).cast("double").alias("a"),
+            F.when(F.col("doc_id") % 2 == 1,
+                   F.size(tokens_col("text"))).cast("double").alias("b"))
+        tt_parts = []
+        for typ, tag in (("heteroscedastic", "welch"),
+                         ("homoscedastic", "pooled")):
+            tt_parts.append(dash.t_test_agg(ab, "a", "b", typ).selectExpr(
+                "'ttest' AS gate",
+                f"stack(2, '{tag}_t', t_stat, '{tag}_df', deg_f) "
+                "AS (key, value)"))
+        paired = docs.select(
+            F.size(tokens_col("text")).cast("double").alias("a"),
+            (F.length("text") / 10.0).alias("b"))
+        tt_parts.append(
+            dash.t_test_agg(paired, "a", "b", "paired").selectExpr(
+                "'ttest' AS gate",
+                "stack(2, 'paired_t', t_stat, 'paired_df', deg_f) "
+                "AS (key, value)"))
+        tt = tt_parts[0].unionByName(tt_parts[1]).unionByName(tt_parts[2])
+        # ES matrix_stats over (token length, char length): per-field
+        # moment stats + covariance/correlation, one power-sum scan
+        ms2 = dash.matrix_stats(
+            docs.select(F.size(tokens_col("text")).alias("dl"),
+                        F.length("text").alias("cl")),
+            ["dl", "cl"],
+        ).select(
+            F.lit("mstats").alias("gate"),
+            # concat_ws skips NULL other_field -> "dl|mean" vs
+            # "dl|covariance|cl" (same rule both engines)
+            F.concat_ws("|", "field", "stat", "other_field").alias("key"),
+            F.col("value"))
         return (
             st.unionByName(pct).unionByName(card).unionByName(ext)
             .unionByName(pr).unionByName(wa).unionByName(mad)
-            .unionByName(bx).unionByName(ss)
+            .unionByName(bx).unionByName(ss).unionByName(sb)
+            .unionByName(pb).unionByName(tt).unionByName(ms2)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key")
         )
@@ -714,11 +769,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "long": F.col("dl") >= 100,
         }).select(F.lit("adjmx").alias("gate"), "key",
                   F.col("doc_count").cast("double").alias("value"))
+        # 'topm' — ES top_metrics (round 5 wave 5): per lang, the char
+        # length of the doc with the LONGEST token count (the one-hit
+        # cheaper top_hits; map-side-combinable max_by, no window).
+        # Ties pinned lowest-doc_id-wins via the -doc_id tie column.
+        dlc = docs.select("doc_id", "lang",
+                          F.size(tokens_col("text")).alias("dl"),
+                          F.length("text").alias("cl"),
+                          (-F.col("doc_id")).alias("neg_id")) \
+            .filter(F.col("lang").isNotNull())
+        topm = dash.top_metrics(dlc, "lang", "dl", "cl", "neg_id") \
+            .select(F.lit("topm").alias("gate"),
+                    F.col("lang").alias("key"),
+                    F.col("metric").cast("double").alias("value"))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
-            .unionByName(adj)
+            .unionByName(adj).unionByName(topm)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -933,6 +1001,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _tbl(s, d, "events")
         h = dash.date_histogram_pipeline(ev, "ts", "12h")
         h = dash.serial_diff(h, "n", lag=2)
+        # wave 5 folds: ES moving_fn (the generalised moving panel —
+        # ES frame = the `window` buckets STRICTLY BEFORE the current
+        # one, so bucket 0 is NULL) with max/sum/stdDev/
+        # linearWeightedAvg, and ES rate (per-hour rate inside the 12h
+        # buckets). stdDev/linW rounded 6 — float fold order differs
+        # across engines past that.
+        h = dash.moving_fn(h, "bucket", "n", 3,
+                           fns=("max", "sum", "stdDev",
+                                "linearWeightedAvg"))
+        h = (h.withColumn("mstddev3_n", F.round("mstddev3_n", 6))
+             .withColumn("mlinearweightedavg3_n",
+                         F.round("mlinearweightedavg3_n", 6)))
+        rt = dash.rate_agg(ev, "ts", "12h", 3600).select("bucket", "rate")
+        h = h.join(rt, "bucket")
         # wave 4 folds: ES normalize (percent_of_sum + z-score, the
         # latter rounded — stdev accumulation order differs across
         # engines past ~1e-6) and cumulative_cardinality of user_id
@@ -1751,7 +1833,78 @@ def oracle_sql() -> dict[str, str]:
                        avg(len(text)) AS av FROM documents),
         sse AS (SELECT entropy(ch) AS e FROM (
                   SELECT unnest(string_split(text, '')) AS ch
-                  FROM documents WHERE text IS NOT NULL))
+                  FROM documents WHERE text IS NOT NULL)),
+        hb2 AS (SELECT (floor(epoch(ts) / 43200) * 43200)::bigint AS bkt,
+                       count(*) AS n
+                FROM events GROUP BY 1),
+        sbq AS (SELECT count(n)::double AS c, min(n)::double AS mn,
+                       max(n)::double AS mx, avg(n) AS av,
+                       sum(n)::double AS sm,
+                       quantile_cont(n, 0.5) AS p50,
+                       quantile_cont(n, 0.9) AS p90,
+                       quantile_cont(n, 0.99) AS p99 FROM hb2),
+        ttab AS (SELECT CASE WHEN doc_id % 2 = 0 THEN
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::double
+                   END AS a,
+                 CASE WHEN doc_id % 2 = 1 THEN
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::double
+                   END AS b
+                 FROM documents),
+        tts AS (SELECT count(a)::double AS na, sum(a) AS sa1,
+                       sum(a*a) AS sa2, count(b)::double AS nb,
+                       sum(b) AS sb1, sum(b*b) AS sb2 FROM ttab),
+        ttm AS (SELECT na, nb, sa1/na AS ma, sb1/nb AS mb,
+                       (sa2 - sa1*sa1/na)/(na - 1) AS va,
+                       (sb2 - sb1*sb1/nb)/(nb - 1) AS vb FROM tts),
+        ttw AS (SELECT (ma - mb) / sqrt(va/na + vb/nb) AS t,
+                       (va/na + vb/nb)*(va/na + vb/nb)
+                       / (va*va/(na*na*(na - 1))
+                          + vb*vb/(nb*nb*(nb - 1))) AS df FROM ttm),
+        ttpl AS (SELECT (ma - mb) / sqrt(((na - 1)*va + (nb - 1)*vb)
+                                         / (na + nb - 2)
+                                         * (1/na + 1/nb)) AS t,
+                        na + nb - 2 AS df FROM ttm),
+        ttd AS (SELECT count(*)::double AS n, sum(d) AS s1,
+                       sum(d*d) AS s2 FROM (
+                  SELECT len(regexp_extract_all(lower(text),
+                             '[a-z0-9]+'))::double
+                         - (len(text)::double / 10.0) AS d
+                  FROM documents WHERE text IS NOT NULL)),
+        ttpr AS (SELECT s1/n / sqrt(((s2 - s1*s1/n)/(n - 1))/n) AS t,
+                        n - 1 AS df FROM ttd),
+        msm AS (SELECT count(*)::double AS n,
+                       sum(dl) AS a1, sum(dl*dl) AS a2,
+                       sum(dl*dl*dl) AS a3, sum(dl*dl*dl*dl) AS a4,
+                       sum(cl) AS b1, sum(cl*cl) AS b2,
+                       sum(cl*cl*cl) AS b3, sum(cl*cl*cl*cl) AS b4,
+                       sum(dl*cl) AS ab FROM (
+                  SELECT len(regexp_extract_all(lower(text),
+                             '[a-z0-9]+'))::double AS dl,
+                         len(text)::double AS cl FROM documents)),
+        msd AS (SELECT *, a1/n AS ma, b1/n AS mb,
+                       a2/n - a1/n*(a1/n) AS m2a,
+                       b2/n - b1/n*(b1/n) AS m2b FROM msm),
+        msr AS (
+          SELECT 'dl|count' AS k, n AS v FROM msd
+          UNION ALL SELECT 'dl|mean', ma FROM msd
+          UNION ALL SELECT 'dl|variance', m2a FROM msd
+          UNION ALL SELECT 'dl|skewness',
+            (a3/n - 3*ma*a2/n + 2*ma*ma*ma) / power(m2a, 1.5) FROM msd
+          UNION ALL SELECT 'dl|kurtosis',
+            (a4/n - 4*ma*a3/n + 6*ma*ma*a2/n - 3*ma*ma*ma*ma)
+            / (m2a*m2a) FROM msd
+          UNION ALL SELECT 'cl|count', n FROM msd
+          UNION ALL SELECT 'cl|mean', mb FROM msd
+          UNION ALL SELECT 'cl|variance', m2b FROM msd
+          UNION ALL SELECT 'cl|skewness',
+            (b3/n - 3*mb*b2/n + 2*mb*mb*mb) / power(m2b, 1.5) FROM msd
+          UNION ALL SELECT 'cl|kurtosis',
+            (b4/n - 4*mb*b3/n + 6*mb*mb*b2/n - 3*mb*mb*mb*mb)
+            / (m2b*m2b) FROM msd
+          UNION ALL SELECT 'dl|covariance|cl', ab/n - ma*mb FROM msd
+          UNION ALL SELECT 'dl|correlation|cl',
+            (ab/n - ma*mb) / sqrt((a2/n - power(a1/n, 2))
+                                  * (b2/n - power(b1/n, 2))) FROM msd)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT 'stats' AS gate, 'count' AS key, c AS value FROM st
           UNION ALL SELECT 'stats', 'min', mn FROM st
@@ -1791,7 +1944,22 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'strstats', 'min_len', mn FROM sst
           UNION ALL SELECT 'strstats', 'max_len', mx FROM sst
           UNION ALL SELECT 'strstats', 'avg_len', av FROM sst
-          UNION ALL SELECT 'strstats', 'entropy', e FROM sse)
+          UNION ALL SELECT 'strstats', 'entropy', e FROM sse
+          UNION ALL SELECT 'sbucket', 'count', c FROM sbq
+          UNION ALL SELECT 'sbucket', 'min', mn FROM sbq
+          UNION ALL SELECT 'sbucket', 'max', mx FROM sbq
+          UNION ALL SELECT 'sbucket', 'avg', av FROM sbq
+          UNION ALL SELECT 'sbucket', 'sum', sm FROM sbq
+          UNION ALL SELECT 'pbucket', '0.5', p50 FROM sbq
+          UNION ALL SELECT 'pbucket', '0.9', p90 FROM sbq
+          UNION ALL SELECT 'pbucket', '0.99', p99 FROM sbq
+          UNION ALL SELECT 'ttest', 'welch_t', t FROM ttw
+          UNION ALL SELECT 'ttest', 'welch_df', df FROM ttw
+          UNION ALL SELECT 'ttest', 'pooled_t', t FROM ttpl
+          UNION ALL SELECT 'ttest', 'pooled_df', df FROM ttpl
+          UNION ALL SELECT 'ttest', 'paired_t', t FROM ttpr
+          UNION ALL SELECT 'ttest', 'paired_df', df FROM ttpr
+          UNION ALL SELECT 'mstats', k, v FROM msr)
         ORDER BY gate, key
 """
     # round-5 bucket-agg family fold: histogram (zero-filled gaps) +
@@ -1881,7 +2049,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE f_en AND f_long
             UNION ALL SELECT 'even&long', count(*)::double FROM af
             WHERE f_even AND f_long)
-          WHERE value > 0)
+          WHERE value > 0),
+        topm AS (
+          SELECT 'topm' AS gate, lang AS key, cl::double AS value
+          FROM (SELECT d.lang, len(doc.text) AS cl,
+                       row_number() OVER (PARTITION BY d.lang
+                         ORDER BY d.dl DESC, d.doc_id ASC) AS rk
+                FROM dl d JOIN documents doc ON d.doc_id = doc.doc_id
+                WHERE d.lang IS NOT NULL)
+          WHERE rk = 1)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
@@ -1893,7 +2069,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM ahi
           UNION ALL SELECT * FROM bs
           UNION ALL SELECT * FROM mb
-          UNION ALL SELECT * FROM adj)
+          UNION ALL SELECT * FROM adj
+          UNION ALL SELECT * FROM topm)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor
@@ -2619,8 +2796,24 @@ def oracle_sql() -> dict[str, str]:
                  (n - lag(n, 2) OVER (ORDER BY bucket))::bigint AS sdiff2_n,
                  n::double / sum(n) OVER () AS percent_of_sum_n,
                  round((n - avg(n) OVER ()) / stddev_pop(n) OVER (), 6)
-                   AS z_score_n
-          FROM h),
+                   AS z_score_n,
+                 max(n::double) OVER w3 AS mmax3_n,
+                 sum(n::double) OVER w3 AS msum3_n,
+                 CASE WHEN count(*) OVER w3 = 0 THEN NULL ELSE
+                   round(sqrt(avg(n::double * n) OVER w3
+                              - avg(n::double) OVER w3
+                              * avg(n::double) OVER w3), 6) END
+                   AS mstddev3_n,
+                 CASE WHEN count(*) OVER w3 = 0 THEN NULL ELSE
+                   round(list_sum(list_transform(
+                           list(n::double) OVER w3, (x, i) -> x * i))
+                         / list_sum(list_transform(
+                           list(n::double) OVER w3, (x, i) -> i::double)),
+                         6) END AS mlinearweightedavg3_n,
+                 n * (3600.0 / 43200) AS rate
+          FROM h
+          WINDOW w3 AS (ORDER BY bucket
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
         firsts AS (
           SELECT (floor(epoch(min_ts) / 43200) * 43200)::bigint AS bucket,
                  count(*) AS new_n
@@ -2633,7 +2826,9 @@ def oracle_sql() -> dict[str, str]:
                  )::bigint AS cumcard_user_id
           FROM p LEFT JOIN firsts f USING (bucket))
         SELECT p.bucket, n, delta_n, cum_n, mavg3_n, sdiff2_n,
-               percent_of_sum_n, z_score_n, new_n, cumcard_user_id,
+               percent_of_sum_n, z_score_n,
+               mmax3_n, msum3_n, mstddev3_n, mlinearweightedavg3_n, rate,
+               new_n, cumcard_user_id,
                n::double / cum_n AS ratio_n
         FROM p JOIN cc USING (bucket) WHERE cum_n > 100 ORDER BY p.bucket
     """

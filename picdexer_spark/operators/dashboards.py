@@ -1050,3 +1050,272 @@ def _bucket_key(ts_col: str, bucket: str) -> Column:
     if bucket == "year":
         return F.date_trunc("year", c).cast("date")
     raise ValueError(bucket)
+
+
+def moving_fn(df: DataFrame, order_col: str, val_col: str,
+              window: int, fns: tuple = ("max", "min", "sum",
+                                         "unweightedAvg", "stdDev",
+                                         "linearWeightedAvg"),
+              shift: int = 0) -> DataFrame:
+    """ES `moving_fn` pipeline aggregation with the stock
+    `MovingFunctions` library (reference delegates all Kibana panel
+    math to ES; moving_fn is the generalised moving-average panel).
+
+    ES window semantics, faithfully: with `shift=0` the window is the
+    `window` buckets strictly BEFORE the current one — frame
+    [i-window+shift, i+shift-1] — so the first bucket sees an empty
+    frame and yields NULL (ES returns null/NaN there; we normalise to
+    NULL). `shift=1` slides the window to include the current bucket
+    (the ES doc's "shift of 1"); larger shifts look forward.
+
+    - max/min/sum/unweightedAvg: plain frame aggregates.
+    - stdDev: POPULATION std of the frame, re-derived closed-form
+      (sqrt(avg(x^2) - avg(x)^2)) so both engines share the algebra.
+    - linearWeightedAvg: weights 1..m in frame order (most recent
+      bucket weighs m — the ES MovingFunctions iteration order).
+
+    Runs on the parent histogram's bucket series (panel-sized) — the
+    single unpartitioned window is the ES coordinator reduction, not a
+    data-sized funnel; at 100 TB the input here is still only the
+    bucket table."""
+    from pyspark.sql import Window
+
+    lo, hi = -window + shift, shift - 1
+    w = Window.orderBy(order_col).rowsBetween(lo, hi)
+    v = F.col(val_col).cast("double")
+    out = df
+    cnt = F.count(v).over(w)
+    for fn in fns:
+        name = f"m{fn.lower()}{window}_{val_col}" if fn.isalpha() else fn
+        if fn == "max":
+            col = F.max(v).over(w)
+        elif fn == "min":
+            col = F.min(v).over(w)
+        elif fn == "sum":
+            col = F.sum(v).over(w)
+        elif fn == "unweightedAvg":
+            col = F.avg(v).over(w)
+        elif fn == "stdDev":
+            col = F.sqrt(F.avg(v * v).over(w) - F.avg(v).over(w)
+                         * F.avg(v).over(w))
+        elif fn == "linearWeightedAvg":
+            arr = F.collect_list(v).over(w)
+            num = F.aggregate(
+                F.transform(arr, lambda x, i: x * (i + F.lit(1))),
+                F.lit(0.0), lambda a, x: a + x)
+            den = F.aggregate(
+                F.transform(arr, lambda x, i: (i + F.lit(1)).cast("double")),
+                F.lit(0.0), lambda a, x: a + x)
+            col = F.when(F.size(arr) > 0, num / den)
+        else:
+            raise ValueError(f"unknown moving_fn: {fn}")
+        out = out.withColumn(name, F.when(cnt > 0, col))
+    return out
+
+
+def rate_agg(df: DataFrame, ts_col: str, bucket: str,
+             unit_sec: int) -> DataFrame:
+    """ES `rate` aggregation inside a date_histogram: per-bucket event
+    count rescaled to a rate per `unit_sec` (ES `unit`, e.g. per-hour
+    rates inside 12h buckets = n * 3600/43200). Same single
+    map-side-combinable scan as the parent histogram — the rescale is
+    a per-bucket constant multiply."""
+    bucket_sec = {"12h": 43200, "week": 604800}.get(bucket)
+    if bucket_sec is None:
+        raise ValueError(f"rate_agg: unsupported bucket {bucket!r}")
+    h = date_histogram(df, ts_col, bucket)
+    return h.withColumn(
+        "rate", F.col("n") * (float(unit_sec) / bucket_sec))
+
+
+def top_metrics(df: DataFrame, group_col: str, sort_col: str,
+                metric_col: str, tie_col: str,
+                desc: bool = True) -> DataFrame:
+    """ES `top_metrics` aggregation: per bucket, the metric value taken
+    from the document with the extreme sort value — ES's cheaper
+    one-hit top_hits. Implemented as max_by/min_by over a (sort, tie)
+    struct: a map-side-combinable aggregate (each partition keeps ONE
+    candidate per group — no per-group sort, no window), the same
+    per-shard reduce ES runs. `tie_col` pins tie order (ES leaves ties
+    undefined; we make them deterministic: highest tie wins under
+    max_by's lexicographic struct compare, so callers pass e.g. -doc_id
+    for lowest-id-wins)."""
+    key = F.struct(F.col(sort_col), F.col(tie_col))
+    pick = F.max_by if desc else F.min_by
+    return (
+        df.groupBy(group_col)
+        .agg(pick(F.col(metric_col), key).alias("metric"),
+             pick(F.col(sort_col), key).alias("sort_value"))
+        .orderBy(group_col)
+    )
+
+
+def t_test_agg(df: DataFrame, a_col: str, b_col: str,
+               typ: str = "heteroscedastic") -> DataFrame:
+    """ES `t_test` aggregation. `a_col`/`b_col` are the two numeric
+    columns (ES's two-field form; the filter form is the caller
+    projecting conditional columns). Types, per ES:
+
+    - paired: t = mean(a-b) / (sd(a-b)/sqrt(n)), df = n-1 (rows where
+      either side is NULL are skipped, the ES missing-value rule);
+    - homoscedastic: pooled-variance two-sample t, df = na+nb-2;
+    - heteroscedastic: Welch's t with Welch-Satterthwaite df.
+
+    Everything is re-derived closed-form from power sums (s1, s2, n per
+    side — one map-side-combinable scan) so both engines share the
+    algebra bit-for-bit; sample variance = (s2 - s1^2/n)/(n-1).
+
+    DIVERGENCE (documented): ES returns the two-sided p-value; the
+    p-value needs the regularised incomplete beta, which no SQL oracle
+    can express — we return (t_stat, deg_f) and expose
+    `t_test_p_value(t, deg_f)` as an exact driver-side scalar (pytest-
+    pinned against published t-table values) for callers that want the
+    ES number."""
+    a, b = F.col(a_col).cast("double"), F.col(b_col).cast("double")
+    if typ == "paired":
+        d = F.when(a.isNotNull() & b.isNotNull(), a - b)
+        agg = df.agg(F.count(d).alias("n"), F.sum(d).alias("s1"),
+                     F.sum(d * d).alias("s2"))
+        return agg.select(
+            (F.col("s1") / F.col("n") /
+             F.sqrt(((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                     / (F.col("n") - 1)) / F.col("n"))).alias("t_stat"),
+            (F.col("n") - 1).cast("double").alias("deg_f"))
+    if typ not in ("heteroscedastic", "homoscedastic"):
+        raise ValueError(f"t_test_agg: unknown type {typ!r}")
+    agg = df.agg(
+        F.count(a).alias("na"), F.sum(a).alias("sa1"),
+        F.sum(a * a).alias("sa2"),
+        F.count(b).alias("nb"), F.sum(b).alias("sb1"),
+        F.sum(b * b).alias("sb2"))
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa1") / na, F.col("sb1") / nb
+    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / na) / (na - 1)
+    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / nb) / (nb - 1)
+    if typ == "homoscedastic":
+        vp = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = (ma - mb) / F.sqrt(vp * (1 / na + 1 / nb))
+        deg = (na + nb - 2).cast("double")
+    else:
+        se2 = va / na + vb / nb
+        t = (ma - mb) / F.sqrt(se2)
+        deg = se2 * se2 / (va * va / (na * na * (na - 1))
+                           + vb * vb / (nb * nb * (nb - 1)))
+    return agg.select(t.alias("t_stat"), deg.alias("deg_f"))
+
+
+def t_test_p_value(t_stat: float, deg_f: float) -> float:
+    """Two-sided Student-t p-value for :func:`t_test_agg` — the number
+    ES's t_test agg actually reports. Exact via the regularised
+    incomplete beta I_{df/(df+t^2)}(df/2, 1/2) evaluated with the
+    standard Lentz continued fraction (driver-side scalar; the
+    distributed work already happened in t_test_agg)."""
+    import math
+    if deg_f <= 0:
+        raise ValueError("deg_f must be positive")
+    x = deg_f / (deg_f + t_stat * t_stat)
+    a, b = deg_f / 2.0, 0.5
+
+    def betacf(a, b, x):
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 200):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-14:
+                break
+        return h
+
+    lbeta = (math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta) / a
+    if x < (a + 1.0) / (a + b + 2.0):
+        ibeta = front * betacf(a, b, x)
+    else:
+        front2 = math.exp(b * math.log(1.0 - x) + a * math.log(x)
+                          - lbeta) / b
+        ibeta = 1.0 - front2 * betacf(b, a, 1.0 - x)
+    return min(1.0, max(0.0, ibeta))
+
+
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES `matrix_stats` aggregation over a set of numeric fields:
+    per-field count/mean/variance/skewness/kurtosis plus the pairwise
+    covariance and correlation matrices. ONE map-side-combinable scan
+    collects every power sum (x, x^2, x^3, x^4 per field, x*y per
+    pair); all statistics are re-derived closed-form from those sums
+    (population moments: variance m2, skewness m3/m2^1.5, kurtosis
+    m4/m2^2 — engines' builtin skewness/kurtosis differ in bias
+    correction, so the closed-form algebra is the cross-engine
+    contract, same device as extended_stats). Output is long-form
+    (field, stat, other_field, value) so the matrix rows and the
+    per-field rows share one schema. The aggregate state is
+    O(len(cols)^2) scalars — driver-safe at any data size."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs >= 2 columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [F.sum(x).alias(f"{c}_1"), F.sum(x * x).alias(f"{c}_2"),
+                 F.sum(x * x * x).alias(f"{c}_3"),
+                 F.sum(x * x * x * x).alias(f"{c}_4")]
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            aggs.append(F.sum(F.col(ca).cast("double")
+                              * F.col(cb).cast("double"))
+                        .alias(f"{ca}__{cb}"))
+    base = df.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for c in cols:
+        s1, s2 = F.col(f"{c}_1"), F.col(f"{c}_2")
+        s3, s4 = F.col(f"{c}_3"), F.col(f"{c}_4")
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+        m4 = (s4 / n - 4 * mean * s3 / n + 6 * mean * mean * s2 / n
+              - 3 * mean * mean * mean * mean)
+        for stat, v in (("count", n.cast("double")), ("mean", mean),
+                        ("variance", m2),
+                        ("skewness", m3 / F.pow(m2, 1.5)),
+                        ("kurtosis", m4 / (m2 * m2))):
+            rows.append((c, stat, None, v))
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            sxy = F.col(f"{ca}__{cb}")
+            mab = F.col(f"{ca}_1") / n * (F.col(f"{cb}_1") / n)
+            cov = sxy / n - mab
+            va = F.col(f"{ca}_2") / n - F.pow(F.col(f"{ca}_1") / n, 2)
+            vb = F.col(f"{cb}_2") / n - F.pow(F.col(f"{cb}_1") / n, 2)
+            corr = cov / F.sqrt(va * vb)
+            rows.append((ca, "covariance", cb, cov))
+            rows.append((ca, "correlation", cb, corr))
+    structs = F.array(*[
+        F.struct(F.lit(f).alias("field"), F.lit(s).alias("stat"),
+                 F.lit(o).cast("string").alias("other_field"),
+                 v.alias("value"))
+        for f, s, o, v in rows])
+    return (base.select(F.explode(structs).alias("r"))
+            .select("r.field", "r.stat", "r.other_field", "r.value"))

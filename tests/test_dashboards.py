@@ -311,3 +311,152 @@ def test_max_bucket_returns_tied_keys(spark):
     assert r["value"] == 9 and r["keys"] == ["b", "c"]
     r2 = max_bucket(df, "k", "n", minimum=True).first()
     assert r2["value"] == 1 and r2["keys"] == ["d"]
+
+
+# ---------------------------------------------- round-5 wave-5 aggs
+
+def test_moving_fn_es_frame_semantics(spark):
+    """ES moving_fn: shift=0 window = the `window` buckets strictly
+    BEFORE the current one; first bucket sees an empty frame -> NULL;
+    linearWeightedAvg weights 1..m in frame order (most recent = m)."""
+    from picdexer_spark.operators.dashboards import moving_fn
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "b long, n long")
+    rows = {r["b"]: r for r in moving_fn(df, "b", "n", 3).collect()}
+    r1 = rows[1]
+    assert all(r1[c] is None for c in
+               ("mmax3_n", "mmin3_n", "msum3_n", "munweightedavg3_n",
+                "mstddev3_n", "mlinearweightedavg3_n"))
+    assert rows[2]["mmax3_n"] == 10.0 and rows[2]["msum3_n"] == 10.0
+    assert rows[2]["mlinearweightedavg3_n"] == 10.0
+    assert rows[2]["mstddev3_n"] == 0.0
+    # b=4: frame [10,20,30] — linW = (10*1+20*2+30*3)/6
+    assert rows[4]["mmax3_n"] == 30.0 and rows[4]["msum3_n"] == 60.0
+    assert abs(rows[4]["mlinearweightedavg3_n"] - 140.0 / 6) < 1e-12
+    import math
+    want_std = math.sqrt(((10 - 20) ** 2 + 0 + (30 - 20) ** 2) / 3)
+    assert abs(rows[4]["mstddev3_n"] - want_std) < 1e-9
+    # shift=1 slides the window to INCLUDE the current bucket (ES doc)
+    inc = {r["b"]: r for r in
+           moving_fn(df, "b", "n", 3, fns=("max",), shift=1).collect()}
+    assert inc[1]["mmax3_n"] == 10.0 and inc[4]["mmax3_n"] == 40.0
+    # positive shift beyond 1 looks FORWARD (ES allows it): shift=3
+    # puts bucket 1's frame at [1..3]
+    fwd = {r["b"]: r for r in
+           moving_fn(df, "b", "n", 3, fns=("max",), shift=3).collect()}
+    assert fwd[1]["mmax3_n"] == 30.0 and fwd[4]["mmax3_n"] == 40.0
+    with pytest.raises(ValueError):
+        moving_fn(df, "b", "n", 3, fns=("bogus",)).collect()
+
+
+def test_rate_agg_rescales_bucket_counts(spark):
+    from picdexer_spark.operators.dashboards import rate_agg
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 03:00:00",),
+         ("2024-01-01 13:00:00",)], "ts string") \
+        .selectExpr("cast(ts as timestamp) ts")
+    rows = {r["bucket"]: r for r in rate_agg(df, "ts", "12h", 3600).collect()}
+    assert [r["n"] for r in rows.values()] == [2, 1]
+    for r in rows.values():
+        assert abs(r["rate"] - r["n"] / 12.0) < 1e-12
+    with pytest.raises(ValueError):
+        rate_agg(df, "ts", "fortnight", 3600)
+
+
+def test_top_metrics_picks_extreme_sort_row(spark):
+    from picdexer_spark.operators.dashboards import top_metrics
+    df = spark.createDataFrame(
+        [("a", 5, 100, 1), ("a", 9, 200, 2), ("a", 9, 300, 3),
+         ("b", 1, 400, 4)],
+        "g string, s long, m long, id long") \
+        .selectExpr("g", "s", "m", "id", "-id AS neg_id")
+    got = {r["g"]: (r["metric"], r["sort_value"]) for r in
+           top_metrics(df, "g", "s", "m", "neg_id").collect()}
+    # tie on s=9 in group a -> lowest id (2) wins via -id tiebreak
+    assert got == {"a": (200, 9), "b": (400, 1)}
+    lo = {r["g"]: r["metric"] for r in
+          top_metrics(df, "g", "s", "m", "id", desc=False).collect()}
+    assert lo == {"a": 100, "b": 400}
+
+
+def _np_ttest(a, b, typ):
+    import numpy as np
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    if typ == "paired":
+        d = a - b
+        n = len(d)
+        return d.mean() / (d.std(ddof=1) / n ** 0.5), n - 1
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    if typ == "homoscedastic":
+        vp = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        return (a.mean() - b.mean()) / (vp * (1 / na + 1 / nb)) ** 0.5, \
+            na + nb - 2
+    se2 = va / na + vb / nb
+    df = se2 ** 2 / (va ** 2 / (na ** 2 * (na - 1))
+                     + vb ** 2 / (nb ** 2 * (nb - 1)))
+    return (a.mean() - b.mean()) / se2 ** 0.5, df
+
+
+def test_t_test_agg_all_three_types(spark):
+    import random
+    from picdexer_spark.operators.dashboards import t_test_agg
+    rng = random.Random(3)
+    a = [rng.randrange(40, 80) for _ in range(37)]
+    b = [rng.randrange(50, 95) for _ in range(41)]
+    rows = ([(float(x), None) for x in a]
+            + [(None, float(y)) for y in b])
+    df = spark.createDataFrame(rows, "a double, b double")
+    for typ in ("heteroscedastic", "homoscedastic"):
+        r = t_test_agg(df, "a", "b", typ).first()
+        t, deg = _np_ttest(a, b, typ)
+        assert abs(r["t_stat"] - t) < 1e-9 and abs(r["deg_f"] - deg) < 1e-9
+    # paired: NULL rows on either side are skipped (ES missing rule)
+    pr = [(float(x), float(x) + rng.random() * 4 - 1) for x in a]
+    pdf = spark.createDataFrame(pr + [(None, 1.0), (2.0, None)],
+                                "a double, b double")
+    r = t_test_agg(pdf, "a", "b", "paired").first()
+    t, deg = _np_ttest([x for x, _ in pr], [y for _, y in pr], "paired")
+    assert abs(r["t_stat"] - t) < 1e-9 and r["deg_f"] == len(pr) - 1
+    with pytest.raises(ValueError):
+        t_test_agg(df, "a", "b", "bogus")
+
+
+def test_t_test_p_value_pins_t_table(spark):
+    """Classic two-sided t-table values the ES agg would report."""
+    from picdexer_spark.operators.dashboards import t_test_p_value
+    for t, deg, want in [(2.228, 10, 0.05), (2.086, 20, 0.05),
+                         (1.959964, 1e6, 0.05), (2.0, 10, 0.073388),
+                         (0.0, 5, 1.0)]:
+        assert abs(t_test_p_value(t, deg) - want) < 5e-4
+    assert t_test_p_value(-2.228, 10) == t_test_p_value(2.228, 10)
+    with pytest.raises(ValueError):
+        t_test_p_value(1.0, 0)
+
+
+def test_matrix_stats_matches_numpy_moments(spark):
+    import random
+    import numpy as np
+    from picdexer_spark.operators.dashboards import matrix_stats
+    rng = random.Random(11)
+    xs = [rng.randrange(0, 50) for _ in range(200)]
+    ys = [x * 2 + rng.randrange(0, 20) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = {(r["field"], r["stat"], r["other_field"]): r["value"]
+           for r in matrix_stats(df, ["x", "y"]).collect()}
+    x = np.asarray(xs, float)
+    m2 = x.var()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    assert got[("x", "count", None)] == 200.0
+    assert abs(got[("x", "mean", None)] - x.mean()) < 1e-9
+    assert abs(got[("x", "variance", None)] - m2) < 1e-6
+    assert abs(got[("x", "skewness", None)] - m3 / m2 ** 1.5) < 1e-9
+    assert abs(got[("x", "kurtosis", None)] - m4 / m2 ** 2) < 1e-9
+    y = np.asarray(ys, float)
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert abs(got[("x", "covariance", "y")] - cov) < 1e-6
+    assert abs(got[("x", "correlation", "y")]
+               - cov / (x.std() * y.std())) < 1e-9
+    with pytest.raises(ValueError):
+        matrix_stats(df, ["x"])
