@@ -151,6 +151,10 @@ RANGE_CUT_DOC_ID = 120
 RANGE_NOT_LANG = "de"
 
 WILDCARD_QSTRING = "v*ctor OR sp*rk"  # KQL value wildcards (round 5)
+# ES simple_query_string (round 5 wave 5): (batch OR vector) AND spark
+# AND NOT stream — `|` binds tighter than `+` (the CNF normalization
+# pinned in parse_simple_query_string)
+SQS_QUERY = "batch | vector + spark -stream"
 WILDCARD_LIKES = ["v%ctor", "sp%rk"]  # the same patterns, SQL LIKE form
 
 # multi-field BM25 (round 5): the url field scores with its OWN stats
@@ -345,8 +349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wild = eng.search_query_string(WILDCARD_QSTRING, 10).select(
             F.lit("wild").alias("gate"), "doc_id",
             F.round("score", 4).alias("score"))
-        return msm.unionByName(wild).orderBy(
-            "gate", F.desc("score"), F.asc("doc_id"))
+        # round 5 wave 5 folds:
+        # 'sqs'  — ES simple_query_string `batch | vector + spark
+        #          -stream`: CNF groups (>= 1 per group, score = sum of
+        #          every matched clause) with a must_not anti-join;
+        # 'tset' — ES terms_set: per-doc threshold doc_id%3+1 over the
+        #          3-term list (Lucene CoveringQuery)
+        sqs = eng.simple_query_string(SQS_QUERY, 10).select(
+            F.lit("sqs").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        tset = eng.terms_set(QSTRING_TERMS,
+                             (F.col("doc_id") % 3 + 1), 10).select(
+            F.lit("tset").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return msm.unionByName(wild).unionByName(sqs) \
+            .unionByName(tset).orderBy(
+                "gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_msm_wildcard"] = bm25_msm_wildcard
 
     def bm25_multifield(s, d):
@@ -2353,11 +2371,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(s, 4) AS score
         FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
     """
+    # simple_query_string `batch | vector + spark -stream`: per-term
+    # BM25 table -> group sums -> AND-join -> NOT anti-filter
+    _sqs_base = """
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        ptf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ({terms}) GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                WHERE term IN ({terms}) GROUP BY term),
+        pts AS (
+          SELECT ptf.doc_id, ptf.term,
+                 ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (ptf.tf * 2.2)
+                 / (ptf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                    / (st.total_len::double / st.n_docs)))
+                   AS s
+          FROM ptf JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st)
+    """
+    sqs_sql = _sqs_base.format(
+        terms=sql_terms(["batch", "vector", "spark"])) + """
+        , ga AS (SELECT doc_id, sum(s) AS s FROM pts
+                 WHERE term IN ('batch', 'vector') GROUP BY doc_id),
+        gb AS (SELECT doc_id, s FROM pts WHERE term = 'spark'),
+        neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+        SELECT a.doc_id, round(a.s + b.s, 4) AS score
+        FROM ga a JOIN gb b USING (doc_id)
+        WHERE a.doc_id NOT IN (SELECT doc_id FROM neg)
+        ORDER BY a.s + b.s DESC, a.doc_id ASC LIMIT 10
+    """
+    tset_sql = _sqs_base.format(terms=sql_terms(QSTRING_TERMS)) + """
+        , sc AS (SELECT doc_id, sum(s) AS s, count(*) AS m
+                 FROM pts GROUP BY doc_id)
+        SELECT sc.doc_id, round(sc.s, 4) AS score
+        FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+        WHERE sc.m >= greatest((d.doc_id % 3) + 1, 1)
+        ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
+    """
     o["bm25_msm_wildcard"] = f"""
         SELECT * FROM (
           SELECT 'msm' AS gate, doc_id, score FROM ({msm_sql})
           UNION ALL
           SELECT 'wild' AS gate, doc_id, score FROM ({wild_sql})
+          UNION ALL
+          SELECT 'sqs' AS gate, doc_id, score FROM ({sqs_sql})
+          UNION ALL
+          SELECT 'tset' AS gate, doc_id, score FROM ({tset_sql})
         ) ORDER BY gate, score DESC, doc_id ASC
     """
 

@@ -1655,6 +1655,144 @@ class SearchEngine:
         distributed-side."""
         return self.match_ids(terms, mode, filters, groups=groups).count()
 
+    def _sqs_clause_scored(self, clause) -> DataFrame | None:
+        """One simple_query_string clause -> its FULL scored match set
+        (doc_id, score), or None when the clause cannot match anything
+        (prefix/fuzzy with zero dictionary expansions — the Lucene
+        rewrite to MatchNoDocsQuery)."""
+        kind = clause[0]
+        if kind == "terms":
+            return self.match_ids(clause[1], "disjunctive",
+                                  with_scores=True)
+        if kind == "prefix":
+            exp = self.expand_prefix(clause[1])
+            return self.match_ids(exp, "disjunctive",
+                                  with_scores=True) if exp else None
+        if kind == "fuzzy":
+            exp = self.expand_fuzzy(clause[1], max_edits=clause[2])
+            return self.match_ids(exp, "disjunctive",
+                                  with_scores=True) if exp else None
+        if kind == "phrase":
+            return self.match_ids(clause[1], "phrase", slop=clause[2],
+                                  with_scores=True)
+        raise AssertionError(f"unknown clause kind {kind!r}")
+
+    def simple_query_string(self, q: str, k: int = 10,
+                            default_operator: str = "or") -> DataFrame:
+        """ES `simple_query_string` — the forgiving query API (never
+        raises on query content; see parse_simple_query_string for the
+        grammar and pinned divergences). Reference surface: the Kibana
+        search bar's non-KQL fallback (reference kibana.ndjson discover
+        panel; ES SimpleQueryStringQuery).
+
+        Execution is COMPOSITIONAL over full scored match sets (ES bool
+        semantics: score = BM25 sum over every matching clause):
+        each clause rides :meth:`match_ids`'s exact shard kernels with
+        scores; a group (OR) unions its members and re-sums per doc;
+        groups (AND) meet via a count-of-groups-matched aggregate;
+        negations anti-join. Every step is candidate-sized and
+        distributed — no full match set is ever collected; the only
+        global action is the final TakeOrdered(k). No block-max pruning
+        across clauses (Lucene also drops WAND under non-trivial
+        bools); a single flat group of plain terms delegates to the
+        pruned :meth:`search` kernel instead."""
+        from picdexer_spark.query.parser import parse_simple_query_string
+
+        groups, negative = parse_simple_query_string(q, default_operator)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+
+        def neg_ids() -> DataFrame | None:
+            sets = [s.select("doc_id") for s in
+                    (self._sqs_clause_scored(c) for c in negative)
+                    if s is not None]
+            if not sets:
+                return None
+            out = sets[0]
+            for s in sets[1:]:
+                out = out.unionAll(s)
+            return out.distinct()
+
+        if not groups:
+            if not negative:
+                return empty
+            # only-negative query: pinned as constant-score match_all
+            # minus the negated sets (the match_ids([]) convention)
+            base = self.match_ids([], with_scores=True)
+            ni = neg_ids()
+            scored = base.join(ni, "doc_id", "left_anti") if ni is not None \
+                else base
+            return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if (len(groups) == 1 and not negative
+                and all(c[0] == "terms" for c in groups[0])):
+            flat = sorted({t for c in groups[0] for t in c[1]})
+            return self.search(flat, "disjunctive", k)
+        per_group = []
+        for g in groups:
+            sets = [s for s in (self._sqs_clause_scored(c) for c in g)
+                    if s is not None]
+            if not sets:
+                return empty  # a required group that can match nothing
+            u = sets[0]
+            for s in sets[1:]:
+                u = u.unionAll(s)
+            per_group.append(
+                u.groupBy("doc_id").agg(F.sum("score").alias("score")))
+        tagged = per_group[0].withColumn("gid", F.lit(0))
+        for i, gdf in enumerate(per_group[1:], start=1):
+            tagged = tagged.unionAll(gdf.withColumn("gid", F.lit(i)))
+        scored = (
+            tagged.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"),
+                 F.count_distinct("gid").alias("_g"))
+        )
+        if len(per_group) > 1:
+            scored = scored.filter(F.col("_g") == len(per_group))
+        scored = scored.drop("_g")
+        ni = neg_ids()
+        if ni is not None:
+            scored = scored.join(ni, "doc_id", "left_anti")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def terms_set(self, terms: list[str], min_match_col,
+                  k: int = 10) -> DataFrame:
+        """ES `terms_set` query (Lucene CoveringQuery): a doc matches
+        when its number of matching terms >= a PER-DOCUMENT threshold
+        (`minimum_should_match_field`); score = BM25 sum over the
+        matched terms, like any bool should.
+
+        `min_match_col` is a Column over the live docs table (an actual
+        field, or any expression — the minimum_should_match_script
+        form). Thresholds are clamped to >= 1: Lucene iterates the
+        disjunction, so a doc matching zero terms never surfaces even
+        when its threshold is 0.
+
+        Shape: one scored match set per term (pushed In() scans over
+        the same posting kernels), candidate-sized union -> per-doc
+        (count, sum) aggregate -> broadcast-size join against the docs
+        table's threshold column -> TakeOrdered(k). The per-term
+        fan-out is bounded by len(terms) — terms_set lists are small by
+        contract (ES callers pass skill/tag lists, not vocabularies)."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        per = [self.match_ids([t], "disjunctive", with_scores=True)
+               for t in uniq]
+        u = per[0]
+        for s in per[1:]:
+            u = u.unionAll(s)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count("*").alias("_m"))
+        live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        req = live.select("doc_id",
+                          min_match_col.cast("long").alias("_req"))
+        return (
+            agg.join(req, "doc_id")
+            .filter(F.col("_m") >= F.greatest(F.col("_req"), F.lit(1)))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def explain(self, terms: list[str], doc_id: int,
                 field: str | None = None,
                 boosts: dict[str, float] | None = None) -> DataFrame:

@@ -689,3 +689,117 @@ def _compile_tree(root):
     else:
         fast = None
     return groups, fast
+
+
+# --------------------------------------------------------------------------
+# ES simple_query_string — the FORGIVING parser (never raises; anything
+# it can't read degrades to analyzed text or drops, per the ES contract
+# "discards any invalid parts"). Reference surface: the Kibana search
+# bar falls back to this API when KQL is off.
+#
+# Supported operators (Lucene SimpleQueryParser): `|` OR, `+` AND,
+# `-` negation prefix, `"..."` phrase (with `~N` slop), trailing `*`
+# prefix, `~N`/`~` fuzzy (bare `~` = fuzziness AUTO, the ES default
+# ladder). PINNED DIVERGENCES (each pytest-pinned): parentheses are not
+# grouped, they read as whitespace; mixed-operator precedence is
+# normalized to CNF — `|` binds tighter than `+`/whitespace — where
+# Lucene folds left-associatively (`a + b | c` is ((a AND b) OR c) in
+# Lucene, (a) AND (b OR c) here); a word that analyzes to several
+# terms contributes them all to its OR-group rather than building a
+# graph query.
+
+_SQS_TOKEN_RE = re.compile(r'"[^"]*"(?:~\d+)?|[^\s|]+|\|')
+
+
+def _sqs_clause(tok: str):
+    """One token -> clause tuple, or None to drop it.
+
+    Clause kinds: ("terms", [t...]) | ("prefix", stem) |
+    ("fuzzy", stem, edits) | ("phrase", [t...], slop)."""
+    from picdexer_spark.functions.tokenize import tokenize_py
+
+    if tok.startswith('"'):
+        body, slop = tok, 0
+        m = re.match(r'^("[^"]*")~(\d+)$', tok)
+        if m:
+            body, slop = m.group(1), int(m.group(2))
+        words = tokenize_py(body[1:-1])
+        if not words:
+            return None
+        if len(words) == 1:
+            return ("terms", words)
+        return ("phrase", words, slop)
+    tok = tok.replace("(", " ").replace(")", " ").strip()
+    if not tok:
+        return None
+    m = _FUZZY_RE.match(tok)
+    if m and "~" not in m.group(1):
+        stem_words = tokenize_py(m.group(1))
+        if len(stem_words) == 1:
+            stem = stem_words[0]
+            d = m.group(2)
+            if d in ("1", "2"):
+                return ("fuzzy", stem, int(d))
+            # bare `~` = ES fuzziness AUTO:3,6 (same ladder as
+            # query_string): <3 chars exact, 3-5 one edit, 6+ two
+            if len(stem) < 3:
+                return ("terms", [stem])
+            return ("fuzzy", stem, 1 if len(stem) < 6 else 2)
+    if tok.endswith("*") and "*" not in tok[:-1]:
+        stem_words = tokenize_py(tok[:-1])
+        if len(stem_words) == 1:
+            return ("prefix", stem_words[0])
+    words = tokenize_py(tok)
+    if not words:
+        return None
+    return ("terms", words)
+
+
+def parse_simple_query_string(q: str, default_operator: str = "or"):
+    """-> (groups, negative) for :meth:`SearchEngine.simple_query_string`.
+
+    `groups` is the CNF clause list (every group must match; a group
+    matches when >= 1 member clause matches); `negative` is the flat
+    must_not clause list. Never raises on query content."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    negative: list[tuple] = []
+    pending_or = False
+    for raw in _SQS_TOKEN_RE.findall(q or ""):
+        if raw == "|":
+            pending_or = True
+            continue
+        if raw == "+":
+            pending_or = False
+            if cur:
+                groups.append(cur)
+                cur = []
+            continue
+        explicit_and = False
+        if raw.startswith("+") and not raw.startswith('+"'):
+            raw, explicit_and = raw[1:], True
+        neg = False
+        if raw.startswith("-") and len(raw) > 1:
+            raw, neg = raw[1:], True
+        clause = _sqs_clause(raw)
+        if clause is None:
+            pending_or = False
+            continue
+        if neg:
+            negative.append(clause)
+            pending_or = False
+            continue
+        same_group = pending_or or (
+            default_operator == "or" and not explicit_and)
+        if same_group and cur:
+            cur.append(clause)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = [clause]
+        pending_or = False
+    if cur:
+        groups.append(cur)
+    return groups, negative
