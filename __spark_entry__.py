@@ -800,11 +800,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("topm").alias("gate"),
                     F.col("lang").alias("key"),
                     F.col("metric").cast("double").alias("value"))
+        # 'cattext' — ES categorize_text (round 5 wave 5): the pinned
+        # deterministic form — category key = first 10 digit-free
+        # tokens (see operator docstring for the ES tree-merge
+        # divergence pin)
+        ct = dash.categorize_text(docs, "text", max_tokens=10, k=10) \
+            .select(F.lit("cattext").alias("gate"), F.col("key"),
+                    F.col("doc_count").cast("double").alias("value"))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
-            .unionByName(adj).unionByName(topm)
+            .unionByName(adj).unionByName(topm).unionByName(ct)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -1189,8 +1196,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tile_x").cast("double").alias("lat"),
             F.col("tile_y").cast("double").alias("lon"),
             F.col("doc_count").cast("long").alias("n"))
-        return dms.unionAll(grid).unionAll(bmax).unionAll(bmin) \
-            .unionAll(cent).unionAll(rings).unionAll(tile)
+        # round 5 wave 5: ES geo_line — per user-bucket LineString over
+        # the first 500 events (integer synthetic coords, so the point
+        # strings are float-format-free), size=70 so some buckets
+        # truncate (complete=false rides the line string)
+        ev = _tbl(s, d, "events").filter(F.col("event_id") < 500).select(
+            (F.col("user_id") % 7).alias("g"),
+            F.col("event_id").alias("eid"),
+            ((F.col("event_id") % 181) - 90).alias("glat"),
+            (((F.col("event_id") * 7) % 361) - 180).alias("glon"))
+        gl = geo.geo_line(ev, "g", "eid", "glat", "glon", size=70).select(
+            F.lit("line").alias("arm"),
+            F.col("g").cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+            F.col("n_points").cast("long").alias("n"),
+            F.concat_ws("|", "line",
+                        F.col("complete").cast("string")).alias("line"))
+        base = dms.unionAll(grid).unionAll(bmax).unionAll(bmin) \
+            .unionAll(cent).unionAll(rings).unionAll(tile) \
+            .withColumn("line", F.lit(None).cast("string"))
+        return base.unionByName(gl)
     q["geo_multi"] = geo_multi
 
 
@@ -1403,7 +1429,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 nul("long").alias("n_pieces"), nul("long").alias("n_subwords"),
                 F.col("fp").cast("long").alias("fp"),
             )
-        return sh.unionAll(tc).unionAll(wf)
+        # round 5 wave 5: 'pack' — concat-and-chunk sequence packing
+        # (budget 512 tokens, packed within each lang stream; docs
+        # spanning a bin boundary emit one row per spanned bin)
+        pk = tx.pack_sequences(docs, "doc_id", "text", 512, "lang") \
+            .select(
+                F.lit("pack").alias("arm"),
+                F.col("doc_id").cast("long").alias("id"),
+                F.lit(None).cast("long").alias("simhash"),
+                F.lit(None).cast("long").alias("n_ws"),
+                F.lit(None).cast("long").alias("n_pieces"),
+                F.lit(None).cast("long").alias("n_subwords"),
+                F.lit(None).cast("long").alias("fp"),
+                F.col("part"),
+                F.col("bin").cast("long").alias("bin"),
+                F.col("tok_start").cast("long").alias("tok_start"),
+                F.col("tok_end").cast("long").alias("tok_end"))
+        base = sh.unionAll(tc).unionAll(wf) \
+            .withColumn("part", F.lit(None).cast("string")) \
+            .withColumn("bin", F.lit(None).cast("long")) \
+            .withColumn("tok_start", F.lit(None).cast("long")) \
+            .withColumn("tok_end", F.lit(None).cast("long"))
+        return base.unionByName(pk)
     q["text_fp_multi"] = text_fp_multi
 
     # ---- similarity search ------------------------------------------------
@@ -2075,7 +2122,16 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY d.dl DESC, d.doc_id ASC) AS rk
                 FROM dl d JOIN documents doc ON d.doc_id = doc.doc_id
                 WHERE d.lang IS NOT NULL)
-          WHERE rk = 1)
+          WHERE rk = 1),
+        cat AS (
+          SELECT 'cattext' AS gate, key, count(*)::double AS value
+          FROM (SELECT array_to_string(
+                  list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> NOT regexp_matches(t, '[0-9]'))[1:10],
+                  ' ') AS key
+                FROM documents)
+          WHERE key <> ''
+          GROUP BY key ORDER BY count(*) DESC, key ASC LIMIT 10)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
@@ -2088,7 +2144,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM bs
           UNION ALL SELECT * FROM mb
           UNION ALL SELECT * FROM adj
-          UNION ALL SELECT * FROM topm)
+          UNION ALL SELECT * FROM topm
+          UNION ALL SELECT * FROM cat)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor
@@ -3113,24 +3170,25 @@ def oracle_sql() -> dict[str, str]:
     G_LAT, G_LON = repr(_g_lat), repr(_g_lon)
     o["geo_multi"] = GEO_BASE + f"""
         SELECT 'dms' AS arm, doc_id, round(lat, 6) AS lat,
-               round(lon, 6) AS lon, NULL::BIGINT AS n
+               round(lon, 6) AS lon, NULL::BIGINT AS n,
+               NULL::VARCHAR AS line
         FROM pt
         UNION ALL
         SELECT 'grid', NULL::BIGINT, round(lat, 0), round(lon, 0),
-               count(*)::BIGINT
+               count(*)::BIGINT, NULL::VARCHAR
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         GROUP BY 3, 4
         UNION ALL
         SELECT 'bounds_max', NULL::BIGINT, round(max(lat), 6),
-               round(max(lon), 6), NULL::BIGINT
+               round(max(lon), 6), NULL::BIGINT, NULL::VARCHAR
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         UNION ALL
         SELECT 'bounds_min', NULL::BIGINT, round(min(lat), 6),
-               round(min(lon), 6), NULL::BIGINT
+               round(min(lon), 6), NULL::BIGINT, NULL::VARCHAR
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         UNION ALL
         SELECT 'centroid', NULL::BIGINT, round(avg(lat), 6),
-               round(avg(lon), 6), count(*)::BIGINT
+               round(avg(lon), 6), count(*)::BIGINT, NULL::VARCHAR
         FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL
         UNION ALL
         SELECT * FROM (
@@ -3141,10 +3199,11 @@ def oracle_sql() -> dict[str, str]:
                        * pow(sin((radians(lon) - radians({G_LON})) / 2),
                              2))) AS dkm
             FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL)
-          SELECT 'ring', ring, from_km, to_km, n FROM ({G_RING_SQL}))
+          SELECT 'ring', ring, from_km, to_km, n,
+                 NULL::VARCHAR AS line FROM ({G_RING_SQL}))
         UNION ALL
         SELECT 'tile', NULL::BIGINT, tx::double, ty::double,
-               count(*)::BIGINT
+               count(*)::BIGINT, NULL::VARCHAR
         FROM (
           SELECT least(greatest(
                    floor((lon + 180.0) / 360.0 * 16.0), 0), 15) AS tx,
@@ -3155,6 +3214,27 @@ def oracle_sql() -> dict[str, str]:
                              85.0511287798066) AS clat, lon
                 FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL))
         GROUP BY tx, ty
+        UNION ALL
+        SELECT 'line', g, NULL::DOUBLE, NULL::DOUBLE, n,
+               line || '|' || comp
+        FROM (
+          WITH epts AS (
+            SELECT user_id % 7 AS g, event_id AS eid,
+                   (event_id % 181) - 90 AS glat,
+                   ((event_id * 7) % 361) - 180 AS glon
+            FROM events WHERE event_id < 500),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY eid, glon, glat) AS rn,
+                  count(*) OVER (PARTITION BY g) AS tot
+                FROM epts)
+          SELECT g,
+                 string_agg(glon::varchar || ' ' || glat::varchar, ';'
+                            ORDER BY eid, glon, glat) AS line,
+                 count(*)::BIGINT AS n,
+                 CASE WHEN max(tot) <= 70 THEN 'true' ELSE 'false' END
+                   AS comp
+          FROM r WHERE rn <= 70 GROUP BY g)
     """
     # ---- multimodal: REAL PPM decode/resize, reconstructed in SQL --------
     # the payload is pure ASCII, so the varchar the oracle builds is
@@ -3514,7 +3594,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'simhash' AS arm, d.doc_id AS id,
                coalesce(sfp.simhash, 0)::BIGINT AS simhash,
                NULL::BIGINT AS n_ws, NULL::BIGINT AS n_pieces,
-               NULL::BIGINT AS n_subwords, NULL::BIGINT AS fp
+               NULL::BIGINT AS n_subwords, NULL::BIGINT AS fp,
+               NULL::VARCHAR AS part, NULL::BIGINT AS bin,
+               NULL::BIGINT AS tok_start, NULL::BIGINT AS tok_end
         FROM documents d LEFT JOIN sfp ON d.doc_id = sfp.id
         UNION ALL
         SELECT 'token_counts', doc_id, NULL,
@@ -3524,12 +3606,32 @@ def oracle_sql() -> dict[str, str]:
                coalesce(list_sum(list_transform(
                  regexp_extract_all(lower(text), '{BPE_PIECE_PATTERN}'),
                  p -> floor((length(p) + 3) / 4)::BIGINT)), 0)::BIGINT,
-               NULL
+               NULL, NULL, NULL, NULL, NULL
         FROM documents
         UNION ALL
         SELECT 'winnow', doc_id, NULL, NULL, NULL, NULL,
-               unnest(list_sort(list_distinct(mins)))
+               unnest(list_sort(list_distinct(mins))),
+               NULL, NULL, NULL, NULL
         FROM wm
+        UNION ALL
+        SELECT 'pack', doc_id, NULL, NULL, NULL, NULL, NULL,
+               part, bin,
+               greatest(bin * 512 - strt, 0)::BIGINT,
+               least((bin + 1) * 512 - strt, ntok)::BIGINT
+        FROM (
+          SELECT doc_id, part, strt, ntok,
+                 unnest(generate_series((strt // 512)::BIGINT,
+                   ((strt + ntok - 1) // 512)::BIGINT)) AS bin
+          FROM (
+            SELECT doc_id, lang AS part, ntok,
+                   (sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ntok)::BIGINT AS strt
+            FROM (SELECT doc_id, lang,
+                         len(regexp_extract_all(lower(text),
+                             '[a-z0-9]+'))::BIGINT AS ntok
+                  FROM documents)
+            WHERE ntok > 0))
     """
 
     # exact cosine top-k + hyperplane-LSH pairs in ONE gate; the LSH arm

@@ -1319,3 +1319,30 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         for f, s, o, v in rows])
     return (base.select(F.explode(structs).alias("r"))
             .select("r.field", "r.stat", "r.other_field", "r.value"))
+
+
+def categorize_text(df: DataFrame, col: str, max_tokens: int = 10,
+                    k: int = 10) -> DataFrame:
+    """ES `categorize_text` aggregation — semi-structured log lines
+    grouped into message categories. PINNED SIMPLIFICATION: ES builds
+    categories with an incremental token-tree merge whose buckets
+    depend on shard visit order; this engine uses the deterministic
+    core of the same idea — the category KEY is the first `max_tokens`
+    letter-only tokens (any token containing a digit is variable
+    content and drops, ES's own tokenizer rule) — so identical inputs
+    always produce identical categories. One scan, one map-side-
+    combinable groupBy on the derived key; top-k by doc_count desc,
+    key asc. Rows whose text has no letter tokens are skipped (no
+    category, the ES null-bucket rule)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
+    sig = F.array_join(
+        F.slice(F.filter(toks, lambda t: ~t.rlike("[0-9]")),
+                1, max_tokens), " ")
+    return (
+        df.select(sig.alias("key"))
+        .filter(F.col("key") != "")
+        .groupBy("key").agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(k)
+    )

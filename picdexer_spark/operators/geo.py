@@ -239,3 +239,45 @@ def geotile_grid(df: DataFrame, lat_col: str, lon_col: str,
         .orderBy(F.desc("doc_count"), F.asc("tile_x"), F.asc("tile_y"))
         .limit(k)
     )
+
+
+def geo_line(df: DataFrame, group_col: str, sort_col: str,
+             lat_col: str, lon_col: str, size: int = 10000) -> DataFrame:
+    """ES `geo_line` aggregation: per bucket, the LineString connecting
+    the group's points in sort order (GeoJSON "lon lat" point order),
+    truncated to the FIRST `size` points with `complete=false` — the ES
+    track-a-vehicle panel.
+
+    Scale shape: a per-group window rank caps the collected state at
+    `size` points per group BEFORE the collect (ES holds the same
+    bounded buffer per bucket); the full-group count rides the same
+    shuffled partitioning for the `complete` flag, so no group ever
+    materializes more than `size` points anywhere. Sort ties are pinned
+    by (sort, lon, lat) so the line is deterministic."""
+    from pyspark.sql import Window
+
+    pts = df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    order = [F.col(sort_col), F.col(lon_col), F.col(lat_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = pts.withColumn("_rn", F.row_number().over(w)) \
+                .withColumn("_tot", F.count("*").over(
+                    Window.partitionBy(group_col)))
+    return (
+        ranked.filter(F.col("_rn") <= size)
+        .groupBy(group_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col(sort_col).alias("s"),
+                        F.col(lon_col).alias("lon"),
+                        F.col(lat_col).alias("lat")))),
+                    lambda p: F.concat_ws(
+                        " ", p["lon"].cast("string"),
+                        p["lat"].cast("string"))),
+                ";").alias("line"),
+            F.count("*").alias("n_points"),
+            (F.max("_tot") <= F.lit(size)).alias("complete"),
+        )
+        .orderBy(group_col)
+    )

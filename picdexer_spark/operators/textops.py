@@ -523,3 +523,53 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
         )
         .withColumn("is_survivor", F.col("cluster") == F.col(id_col))
     )
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   budget: int, part_col: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    batch prep step (documents concatenated in id order, the token
+    stream split into fixed `budget`-token bins; a document spanning a
+    bin boundary is SPLIT across bins, nothing is padded or dropped).
+
+    Returns one row per (document, bin) span:
+    (part, doc_id, bin, tok_start, tok_end) — tok_start/tok_end the
+    doc-LOCAL half-open token range that lands in `bin`. Zero-token
+    documents are skipped.
+
+    Scale shape: the running-total window is partitioned by `part_col`
+    (the shard/stream key a real pipeline packs within — source,
+    language, dump file), so the cumulative sum never serializes the
+    whole corpus through one task; each part's bin ids are independent.
+    The boundary fan-out is a `sequence()` explode, bounded by
+    ceil(ntok/budget) + 1 rows per doc."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+
+    ntok = F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+    w = Window.partitionBy("part").orderBy("doc_id")
+    base = (
+        df.select(F.col(part_col).alias("part"),
+                  F.col(id_col).alias("doc_id"),
+                  ntok.alias("ntok"))
+        .filter(F.col("ntok") > 0)
+        .withColumn("cum", F.sum("ntok").over(w))
+        .withColumn("start", F.col("cum") - F.col("ntok"))
+    )
+    b = F.lit(int(budget))
+    return (
+        base.select(
+            "part", "doc_id", "ntok", "start",
+            F.explode(F.sequence(
+                F.floor(F.col("start") / b),
+                F.floor((F.col("cum") - 1) / b))).alias("bin"))
+        .select(
+            "part", "doc_id", "bin",
+            F.greatest(F.col("bin") * b - F.col("start"),
+                       F.lit(0)).alias("tok_start"),
+            F.least((F.col("bin") + 1) * b - F.col("start"),
+                    F.col("ntok")).alias("tok_end"),
+        )
+    )

@@ -460,3 +460,22 @@ def test_matrix_stats_matches_numpy_moments(spark):
                - cov / (x.std() * y.std())) < 1e-9
     with pytest.raises(ValueError):
         matrix_stats(df, ["x"])
+
+
+def test_categorize_text_signature_categories(spark):
+    from picdexer_spark.operators.dashboards import categorize_text
+    df = spark.createDataFrame(
+        [(1, "Connection to 10.0.0.1 failed after 30ms"),
+         (2, "Connection to 10.0.0.9 failed after 12ms"),
+         (3, "User alice logged in"),
+         (4, "12345 67890"),           # all-variable -> no category
+         (5, None)],
+        "id long, msg string")
+    got = [(r["key"], r["doc_count"]) for r in
+           categorize_text(df, "msg").collect()]
+    assert got == [("connection to failed after", 2),
+                   ("user alice logged in", 1)]
+    # max_tokens truncates the signature
+    one = categorize_text(df, "msg", max_tokens=1).collect()
+    assert [(r["key"], r["doc_count"]) for r in one] == \
+        [("connection", 2), ("user", 1)]

@@ -165,3 +165,22 @@ def test_geotile_grid_matches_reference(spark):
     assert _tile_py(-89.0, 0.0, 3) == (4, 7)
     with pytest.raises(ValueError):
         geo.geotile_grid(df, "lat", "lon", 30)
+
+
+def test_geo_line_orders_caps_and_flags(spark):
+    from picdexer_spark.operators.geo import geo_line
+    pts = spark.createDataFrame(
+        [("a", 3, 10, 20), ("a", 1, 11, 21), ("a", 2, 12, 22),
+         ("b", 1, 30, 40), ("b", 2, None, 41)],
+        "g string, s long, lon long, lat long")
+    got = {r["g"]: r for r in
+           geo_line(pts, "g", "s", "lat", "lon", size=2).collect()}
+    # sorted by s; capped to FIRST 2 points; GeoJSON "lon lat" order
+    assert got["a"]["line"] == "11 21;12 22"
+    assert got["a"]["n_points"] == 2 and got["a"]["complete"] is False
+    # null-coordinate rows drop before counting
+    assert got["b"]["line"] == "30 40" and got["b"]["complete"] is True
+    full = {r["g"]: r for r in
+            geo_line(pts, "g", "s", "lat", "lon", size=10).collect()}
+    assert full["a"]["line"] == "11 21;12 22;10 20"
+    assert full["a"]["complete"] is True

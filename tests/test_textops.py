@@ -414,3 +414,43 @@ def test_near_dup_clusters_end_to_end(spark):
     surv = Counter(c for c, s in rowsd.values() if s)
     clusters = set(c for c, _s in rowsd.values())
     assert set(surv) == clusters and all(v == 1 for v in surv.values())
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    rows = [(0, "en", "a b c d e"), (1, "en", "f g h"),
+            (2, "en", "i j k l"), (3, "de", "x y"),
+            (4, "de", ""), (5, "de", "z")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted((r["part"], r["doc_id"], r["bin"],
+                  r["tok_start"], r["tok_end"])
+                 for r in tx.pack_sequences(df, "doc_id", "text",
+                                            4, "lang").collect())
+    # en stream: doc0 (5 toks) spans bins 0 and 1; doc1 fills bin 1;
+    # doc2 starts exactly at bin 2. de: empty doc 4 is skipped.
+    assert got == [("de", 3, 0, 0, 2), ("de", 5, 0, 0, 1),
+                   ("en", 0, 0, 0, 4), ("en", 0, 1, 4, 5),
+                   ("en", 1, 1, 0, 3), ("en", 2, 2, 0, 4)]
+    # invariants on a bigger random-ish corpus: spans tile each doc
+    # exactly, and each (part, bin) holds <= budget tokens
+    import collections
+    big = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), " ".join("t%d" % j for j in range(i % 17)))
+         for i in range(60)], "doc_id long, lang string, text string")
+    spans = tx.pack_sequences(big, "doc_id", "text", 10, "lang").collect()
+    per_doc = collections.defaultdict(int)
+    per_bin = collections.defaultdict(int)
+    for r in spans:
+        assert 0 <= r["tok_start"] < r["tok_end"]
+        per_doc[r["doc_id"]] += r["tok_end"] - r["tok_start"]
+        per_bin[(r["part"], r["bin"])] += r["tok_end"] - r["tok_start"]
+    for i in range(60):
+        want = i % 17
+        assert per_doc.get(i, 0) == want
+    # every bin except each part's last is exactly full
+    for part in {p for p, _ in per_bin}:
+        bins = sorted(b for p, b in per_bin if p == part)
+        for b in bins[:-1]:
+            assert per_bin[(part, b)] == 10
+        assert 0 < per_bin[(part, bins[-1])] <= 10
+    with pytest.raises(ValueError):
+        tx.pack_sequences(df, "doc_id", "text", 0, "lang")
