@@ -1476,7 +1476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cos_sim").cast("double").alias("cos_sim"),
             nul("int").alias("rank"),
         )
-        return cos.unionAll(lsh)
+        # round 5 wave 5: 'cos_filt' — ES knn with a metadata filter
+        # (PRE-filter: the even-id predicate restricts the neighbor
+        # pool before the search, query vectors resolve unfiltered)
+        cfl = sim.cosine_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5,
+                              candidate_filter=F.col("vec_id") % 2 == 0) \
+            .select(
+                F.lit("cos_filt").alias("arm"),
+                F.col("query_id").cast("long").alias("id_a"),
+                F.col("neighbor_id").cast("long").alias("id_b"),
+                F.col("cos_sim").cast("double").alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        return cos.unionAll(lsh).unionAll(cfl)
     q["ann_pair_multi"] = ann_pair_multi
     q["ann_ivf_topk"] = lambda s, d: sim.ivf_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding",
@@ -3655,5 +3667,11 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'lsh_pairs', id_a, id_b, cos_sim, NULL::INT
         FROM scored WHERE cos_sim >= 0.2
+        UNION ALL
+        SELECT 'cos_filt', query_id, neighbor_id, cos_sim, frank::INT
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS frank
+              FROM cs WHERE neighbor_id % 2 = 0)
+        WHERE frank <= 5
     """
     return o

@@ -9,7 +9,7 @@ candidate set to colliding buckets before exact re-scoring.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -42,20 +42,31 @@ def cosine_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 10,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors for each query id.
 
     The query vectors (a tiny dim table) are broadcast against the full
     embedding table — one scan, no shuffle of the big side; per-query top-k
     via window row_number. Returns (query_id, neighbor_id, cos_sim, rank).
-    """
+
+    `candidate_filter`: the ES `knn { filter: ... }` clause with its
+    PRE-FILTER semantics — the predicate restricts the NEIGHBOR pool
+    before the vector search (query vectors still resolve against the
+    full table), so exactly k survivors return whenever k exist; a
+    post-filter would silently return fewer. The predicate pushes into
+    the candidate scan, so a selective metadata filter prunes
+    partitions before any dot product runs — the high-selectivity path
+    at 10^9 vectors (low-selectivity callers want :func:`ivf_topk` and
+    filter at rescore instead)."""
     q = (
         df.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    joined = df.alias("n").crossJoin(F.broadcast(q)).filter(
+    cand = df if candidate_filter is None else df.filter(candidate_filter)
+    joined = cand.alias("n").crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     )
     cos = _dot(F.col(vec_col), F.col("qvec")) / (

@@ -397,7 +397,7 @@ class SearchEngine:
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
         slop: int = 0,
-        min_should_match: int = 1,
+        min_should_match: int | str = 1,
         field: str | None = None,
         boosts: dict[str, float] | None = None,
     ) -> DataFrame:
@@ -435,6 +435,12 @@ class SearchEngine:
         # match; score stays the BM25 sum over ALL matched terms (Lucene
         # MinShouldMatchSumScorer). Only meaningful on a disjunction —
         # conj/phrase/groups already encode their own match requirement.
+        # A str is the full ES spec grammar ("75%", "-2", "3<90%", ...)
+        # resolved against the unique-term clause count.
+        if isinstance(min_should_match, str):
+            from picdexer_spark.query.parser import parse_min_should_match
+            min_should_match = parse_min_should_match(
+                min_should_match, len(set(terms)))
         if min_should_match < 1:
             raise ValueError("min_should_match must be >= 1")
         if min_should_match > 1 and mode != "disjunctive":
@@ -1418,7 +1424,7 @@ class SearchEngine:
         after: tuple | None = None,
         groups: list[list[str]] | None = None,
         slop: int = 0,
-        min_should_match: int = 1,
+        min_should_match: int | str = 1,
         field: str | None = None,
         boosts: dict[str, float] | None = None,
     ) -> DataFrame:
@@ -1444,6 +1450,10 @@ class SearchEngine:
         cond = self._filter_cond(filters)  # validates fields/ops/values
         if slop < 0 or (slop and mode != "phrase"):
             raise ValueError("slop is only valid (>= 0) for phrase queries")
+        if isinstance(min_should_match, str):
+            from picdexer_spark.query.parser import parse_min_should_match
+            min_should_match = parse_min_should_match(
+                min_should_match, len(set(terms)))
         if min_should_match < 1:
             raise ValueError("min_should_match must be >= 1")
         if min_should_match > 1 and mode != "disjunctive":
@@ -1654,6 +1664,39 @@ class SearchEngine:
         match_ids — per-task work bounded by shard_range, count reduced
         distributed-side."""
         return self.match_ids(terms, mode, filters, groups=groups).count()
+
+    def field_caps(self) -> list[dict]:
+        """ES `_field_caps` API: one row per queryable field with its
+        type and capabilities — what Kibana calls before it renders the
+        field picker. Derived entirely from the snapshot's docs-table
+        schema (the same source the typed-filter compiler uses, so the
+        two can never disagree): every stored field is filterable
+        (`searchable`), numeric/timestamp fields are `aggregatable`,
+        and the analyzed full-text fields (content, plus url when the
+        index was built with index_url_field) are reported as `text`
+        with their keyword twin — the ES multi-field mapping shape.
+        Metadata-sized; no data scan."""
+        out = []
+        scored = {"content": True}
+        if self.has_url_field:
+            scored["url"] = True
+        for name in sorted(scored):
+            out.append({"field": name, "type": "text",
+                        "searchable": True, "aggregatable": False})
+        for name, typ in sorted(self._docs_fields.items()):
+            es_type = {"string": "keyword", "bigint": "long",
+                       "int": "integer", "double": "double",
+                       "float": "float", "boolean": "boolean"}.get(
+                typ, "date" if typ.startswith("timestamp") else typ)
+            # a stored field that is ALSO a scored text field is the ES
+            # text + .keyword multi-field: the text row above keeps the
+            # bare name, the keyword twin gets the .keyword suffix
+            if name in scored:
+                name = f"{name}.keyword"
+            out.append({"field": name, "type": es_type,
+                        "searchable": True,
+                        "aggregatable": es_type != "text"})
+        return out
 
     def _sqs_clause_scored(self, clause) -> DataFrame | None:
         """One simple_query_string clause -> its FULL scored match set

@@ -803,3 +803,47 @@ def parse_simple_query_string(q: str, default_operator: str = "or"):
     if cur:
         groups.append(cur)
     return groups, negative
+
+
+_MSM_COMBO_RE = re.compile(r"^(\d+)<(.+)$")
+
+
+def _msm_simple(spec: str, n: int) -> int:
+    spec = spec.strip()
+    if spec.endswith("%"):
+        pct = int(spec[:-1])
+        if pct < 0:
+            return n - (n * -pct) // 100
+        return (n * pct) // 100
+    v = int(spec)
+    return n + v if v < 0 else v
+
+
+def parse_min_should_match(spec, n_clauses: int) -> int:
+    """The ES `minimum_should_match` spec grammar, resolved against the
+    query's optional-clause count: positive/negative integers,
+    percentages ("75%" floors, "-25%" = total minus that many
+    optional), conditional "N<spec" (for <= N clauses ALL are
+    required), and space-separated multi-conditions (the clause with
+    the largest N below the count applies). The result is clamped to
+    [1, n_clauses]: the kernels iterate the disjunction, so a doc
+    matching zero terms never qualifies even at msm 0 (same pin as
+    terms_set)."""
+    if isinstance(spec, int):
+        return spec
+    parts = str(spec).split()
+    if not parts or n_clauses <= 0:
+        raise ValueError(f"bad minimum_should_match {spec!r}")
+    if len(parts) == 1 and not _MSM_COMBO_RE.match(parts[0]):
+        got = _msm_simple(parts[0], n_clauses)
+    else:
+        best_n, got = None, n_clauses  # n <= smallest N -> all required
+        for part in parts:
+            m = _MSM_COMBO_RE.match(part)
+            if not m:
+                raise ValueError(
+                    f"bad minimum_should_match condition {part!r}")
+            edge = int(m.group(1))
+            if n_clauses > edge and (best_n is None or edge > best_n):
+                best_n, got = edge, _msm_simple(m.group(2), n_clauses)
+    return max(1, min(got, n_clauses))

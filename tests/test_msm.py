@@ -105,3 +105,51 @@ def test_msm_filtered_composes(spark, built):
             for d, s in oracle.search(TERMS, "disjunctive", N, msm=2)
             if langs[d] == "en"][:10]
     assert got == want and got
+
+
+def test_msm_spec_grammar_resolves_against_clause_count(spark, built):
+    """The ES minimum_should_match STRING grammar (percentages,
+    negatives, conditionals) resolves against the unique-term count and
+    then behaves exactly like the integer form."""
+    from picdexer_spark.query.parser import parse_min_should_match as p
+    # the ES reference examples
+    assert p("-2", 5) == 3 and p("75%", 5) == 3 and p("-25%", 4) == 3
+    assert p("3<90%", 3) == 3 and p("3<90%", 10) == 9
+    assert (p("2<-25% 9<-3", 2), p("2<-25% 9<-3", 8),
+            p("2<-25% 9<-3", 12)) == (2, 6, 9)
+    assert p("0", 5) == 1 and p("200%", 5) == 5  # clamped
+    with pytest.raises(ValueError):
+        p("nope<x", 5)
+    idx, _, _ = built
+    eng = SearchEngine(spark, idx)
+    want = _rows(eng.search(TERMS, "disjunctive", 10, min_should_match=2))
+    assert _rows(eng.search(TERMS, "disjunctive", 10,
+                            min_should_match="66%")) == want
+    assert _rows(eng.search(TERMS, "disjunctive", 10,
+                            min_should_match="-1")) == want
+    assert _rows(eng.search_filtered(TERMS, "disjunctive",
+                                     [("lang", "en")], 10,
+                                     min_should_match="66%")) == \
+        _rows(eng.search_filtered(TERMS, "disjunctive",
+                                  [("lang", "en")], 10,
+                                  min_should_match=2))
+
+
+def test_field_caps_reports_the_queryable_surface(spark, built):
+    idx, _, _ = built
+    eng = SearchEngine(spark, idx)
+    caps = {c["field"]: c for c in eng.field_caps()}
+    assert caps["content"]["type"] == "text"
+    assert caps["content"]["searchable"] is True
+    assert caps["content"]["aggregatable"] is False
+    if eng.has_url_field:
+        # the ES text + .keyword multi-field shape
+        assert caps["url"]["type"] == "text"
+        assert caps["url.keyword"]["type"] == "keyword"
+    assert caps["lang"] == {"field": "lang", "type": "keyword",
+                            "searchable": True, "aggregatable": True}
+    assert caps["doc_id"]["type"] == "long"
+    # every typed-filter field the compiler accepts is listed (scored
+    # multi-fields under their .keyword twin)
+    listed = {f.removesuffix(".keyword") for f in caps} | set(caps)
+    assert set(eng._docs_fields) <= listed

@@ -454,3 +454,31 @@ def test_pack_sequences_concat_and_chunk(spark):
         assert 0 < per_bin[(part, bins[-1])] <= 10
     with pytest.raises(ValueError):
         tx.pack_sequences(df, "doc_id", "text", 0, "lang")
+
+
+def test_cosine_topk_candidate_filter_is_pre_filter(spark):
+    """ES knn-with-filter: the predicate restricts the NEIGHBOR pool
+    before the search (query vectors resolve unfiltered), so exactly k
+    filtered survivors return — vs the numpy brute force."""
+    import numpy as np
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((80, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sim.cosine_topk(df, "vec_id", "embedding", [7], k=5,
+                          candidate_filter=F.col("vec_id") % 2 == 0
+                          ).collect()
+    q = vecs[7].astype("float64")
+    sims = {}
+    for i, v in enumerate(vecs):
+        if i % 2 == 0 and i != 7:
+            v = v.astype("float64")
+            sims[i] = round(float(v @ q) / float(
+                np.linalg.norm(v) * np.linalg.norm(q)), 6)
+    want = sorted(sims.items(), key=lambda it: (-it[1], it[0]))[:5]
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in got] == want
+    # query id 7 is ODD: with pre-filter semantics it must still drive
+    # the search even though the candidate filter excludes it
+    assert len(got) == 5 and all(r["neighbor_id"] % 2 == 0 for r in got)
