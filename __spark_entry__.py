@@ -993,8 +993,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    track_total_hits=50).select(
             F.lit("tth_cap").alias("gate"), F.col("relation").alias("key"),
             F.col("total_hits").alias("n"))
+        # wave 5: ES percolate — 4 stored queries (conj / disj msm 1 /
+        # disj msm 2 / phrase) reverse-matched against the first-50
+        # incoming doc batch; one row per (query, matching doc)
+        from picdexer_spark.query.percolate import percolate
+        pq = s.createDataFrame(
+            [(1, ["batch", "spark"], "conjunctive", None),
+             (2, ["vector", "stream"], "disjunctive", 1),
+             (3, ["batch", "vector", "spark"], "disjunctive", 2),
+             (4, ["table", "hash"], "phrase", None)],
+            "query_id long, terms array<string>, mode string, msm int")
+        batch = _tbl(s, d, "documents").filter(F.col("doc_id") < 50)
+        pm = percolate(pq, batch).select(
+            F.lit("percolate").alias("gate"),
+            F.concat(F.lit("q"),
+                     F.col("query_id").cast("string")).alias("key"),
+            F.col("doc_id").alias("n"))
         return all_n.unionByName(rng).unionByName(tt).unionByName(tc) \
-            .orderBy("gate", "key")
+            .unionByName(pm).orderBy("gate", "key", "n")
     q["counts_multi"] = counts_multi
 
     def date_hist_multi(s, d):
@@ -2912,7 +2928,26 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'tth_cap',
                  CASE WHEN total > 50 THEN 'gte' ELSE 'eq' END,
                  least(total, 50) FROM mt
-        ) ORDER BY gate, key
+          UNION ALL
+          SELECT 'percolate', 'q' || qid, doc_id
+          FROM (VALUES
+                 (1, ['batch','spark'], 'conjunctive', 1),
+                 (2, ['vector','stream'], 'disjunctive', 1),
+                 (3, ['batch','vector','spark'], 'disjunctive', 2),
+                 (4, ['table','hash'], 'phrase', 1))
+               pq(qid, terms, mode, msm),
+               (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents WHERE doc_id < 50) pd
+          WHERE CASE mode
+            WHEN 'conjunctive' THEN
+              len(list_intersect(list_distinct(toks), terms)) = len(terms)
+            WHEN 'disjunctive' THEN
+              len(list_intersect(list_distinct(toks), terms)) >= msm
+            ELSE position(' ' || array_to_string(terms, ' ') || ' ' IN
+                          ' ' || array_to_string(toks, ' ') || ' ') > 0
+            END
+        ) ORDER BY gate, key, n
     """
     o["date_hist_pipeline"] = """
         WITH h AS (
