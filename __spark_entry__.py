@@ -387,8 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                tie_breaker=MM_TIE).select(
             F.lit("mm_best").alias("gate"), "doc_id",
             F.round("score", 4).alias("score"))
-        return u.unionByName(most).unionByName(best).orderBy(
-            "gate", F.desc("score"), F.asc("doc_id"))
+        # round 5 wave 5: 'mm_cross' — cross_fields (term-centric):
+        # each term's best single-field score, summed
+        cross = eng.multi_match(MM_TERMS, 10, "cross_fields").select(
+            F.lit("mm_cross").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        return u.unionByName(most).unionByName(best).unionByName(cross) \
+            .orderBy("gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_multifield"] = bm25_multifield
 
     def query_filtered_top_langs(s, d):
@@ -2584,6 +2589,25 @@ def oracle_sql() -> dict[str, str]:
                  doc_id ASC
         LIMIT 10
     """
+    # cross_fields: per TERM, best single-field score (text vs url per-
+    # field BM25 subqueries full-outer joined), summed over terms
+    def _term_best(t):
+        return f"""
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               greatest(coalesce(a.s, 0), coalesce(b.s, 0)) AS s
+        FROM ({text_scored.format(terms=sql_terms([t]))}) a
+        FULL OUTER JOIN ({url_scored.format(terms=sql_terms([t]))}) b
+          ON a.doc_id = b.doc_id
+        """
+    mm_cross_top = f"""
+        SELECT doc_id, round(s, 4) AS score FROM (
+          SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
+                 coalesce(x.s, 0) + coalesce(y.s, 0) AS s
+          FROM ({_term_best(MM_TERMS[0])}) x
+          FULL OUTER JOIN ({_term_best(MM_TERMS[1])}) y
+            ON x.doc_id = y.doc_id)
+        ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
     o["bm25_multifield"] = f"""
         SELECT * FROM (
           SELECT 'url' AS gate, doc_id, score FROM ({u_top})
@@ -2591,6 +2615,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'mm_most' AS gate, doc_id, score FROM ({mm_most_top})
           UNION ALL
           SELECT 'mm_best' AS gate, doc_id, score FROM ({mm_best_top})
+          UNION ALL
+          SELECT 'mm_cross' AS gate, doc_id, score FROM ({mm_cross_top})
         ) ORDER BY gate, score DESC, doc_id ASC
     """
 

@@ -1811,10 +1811,13 @@ class SearchEngine:
 
         Shape: one scored match set per term (pushed In() scans over
         the same posting kernels), candidate-sized union -> per-doc
-        (count, sum) aggregate -> broadcast-size join against the docs
-        table's threshold column -> TakeOrdered(k). The per-term
-        fan-out is bounded by len(terms) — terms_set lists are small by
-        contract (ES callers pass skill/tag lists, not vocabularies)."""
+        (count, sum) aggregate -> one doc_id-keyed join against the
+        docs table's threshold column (candidate-sized on the left; the
+        docs side reads only (doc_id, threshold) — column pruning keeps
+        the scan narrow at any corpus size) -> TakeOrdered(k). The
+        per-term fan-out is bounded by len(terms) — terms_set lists are
+        small by contract (ES callers pass skill/tag lists, not
+        vocabularies)."""
         uniq = sorted(set(terms))
         if not uniq:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -1938,19 +1941,30 @@ class SearchEngine:
           matching ANY field matches, score = SUM of its field scores;
         - 'best_fields': dis_max — score = MAX field score +
           `tie_breaker` * (sum of the others). tie_breaker=0 is pure
-          dis_max (the ES default), 1.0 equals most_fields.
+          dis_max (the ES default), 1.0 equals most_fields;
+        - 'cross_fields': TERM-centric — each term contributes its best
+          single-field score (per-term dis_max), summed over terms, so
+          a query whose words live in different fields ranks a doc that
+          covers them all above one field matching everything.
+          PINNED DIVERGENCE: ES blends the per-field document
+          frequencies into one synthetic statistic before scoring;
+          here each field keeps its own df and the max picks the
+          winner — same intent (kill the idf skew between fields),
+          different arithmetic, documented not guessed.
 
         Each field scores with its OWN BM25 statistics (df, docCount,
         avgdl — Lucene per-field stats via the namespaced postings).
 
-        Plan shape: one exact per-shard kernel pass per field (full
-        scored match sets, work bounded by shard_range), union -> ONE
-        doc_id shuffle of the candidate-sized sets -> TakeOrdered(k).
-        Nothing data-sized reaches the driver."""
-        if match_type not in ("most_fields", "best_fields"):
+        Plan shape: one exact per-shard kernel pass per field (per
+        (term, field) for cross_fields — bounded by |terms|x|fields|,
+        both query-sized), union -> ONE doc_id shuffle of the
+        candidate-sized sets -> TakeOrdered(k). Nothing data-sized
+        reaches the driver."""
+        if match_type not in ("most_fields", "best_fields",
+                              "cross_fields"):
             raise ValueError(
                 f"unknown multi_match type {match_type!r} "
-                "(most_fields / best_fields)"
+                "(most_fields / best_fields / cross_fields)"
             )
         if not (0.0 <= tie_breaker <= 1.0):
             raise ValueError("tie_breaker must be in [0, 1]")
@@ -1959,6 +1973,24 @@ class SearchEngine:
         uniq = sorted(set(terms))
         if not uniq:
             return self._empty()
+        if match_type == "cross_fields":
+            parts = [
+                self.match_ids([t], "disjunctive", field=f_,
+                               with_scores=True)
+                .withColumn("_t", F.lit(t))
+                for t in uniq for f_ in fields
+            ]
+            unioned = parts[0]
+            for p in parts[1:]:
+                unioned = unioned.unionByName(p)
+            per_term = unioned.groupBy("doc_id", "_t").agg(
+                F.max("score").alias("best"))
+            return (
+                per_term.groupBy("doc_id")
+                .agg(F.sum("best").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
         parts = [
             self.match_ids(uniq, "disjunctive", field=f_, with_scores=True)
             for f_ in fields
@@ -1980,6 +2012,40 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
+        """ES `span_first` query: the term must occur within the first
+        `end` TOKEN positions of the document (Lucene SpanFirstQuery —
+        "title words must appear early"). Score = the term's BM25 (the
+        underlying span term's weight, the Lucene contract).
+
+        Plan: the term's scored match set, semi-joined against the
+        positional payload filtered to pos < end — positions decode
+        only for blocks holding matched docs (the term_offsets
+        cogroup), so cost follows the match set, not the posting
+        list."""
+        if end <= 0:
+            raise ValueError("end must be positive")
+        m = self.match_ids([term], "disjunctive", with_scores=True)
+        early = (
+            self.term_offsets([term], m.select("doc_id"))
+            .filter(F.col("pos") < end)
+            .select("doc_id").distinct()
+        )
+        return (
+            m.join(early, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    @staticmethod
+    def analyze(text: str) -> list[str]:
+        """ES `_analyze` API: the token stream the index-time analyzer
+        produces for `text` — THE analyzer (one regex, three identical
+        impls: JVM build path, SQL oracle, this python form), so what
+        this returns is exactly what got indexed."""
+        from picdexer_spark.functions.tokenize import tokenize_py
+        return tokenize_py(text)
 
     def filters_agg(self, named_queries: dict[str, str]) -> DataFrame:
         """ES `filters` aggregation (the Kibana "split by filters" bucket

@@ -126,8 +126,10 @@ def test_multi_match_most_and_best_fields(spark, built):
     # tie_breaker=1.0 degenerates to most_fields
     assert _rows(eng.multi_match(terms, 10, "best_fields",
                                  tie_breaker=1.0)) == got_most
+    # cross_fields is implemented since round 5 wave 5 (its own test
+    # below); a genuinely unknown type still refuses
     with pytest.raises(ValueError):
-        eng.multi_match(terms, 10, "cross_fields")
+        eng.multi_match(terms, 10, "bool_prefix_fields")
     with pytest.raises(ValueError):
         eng.multi_match(terms, 10, "best_fields", tie_breaker=1.5)
 
@@ -210,3 +212,56 @@ def test_mutations_keep_url_stats_exact(spark, tmp_path):
     eng2 = SearchEngine(spark, idx)
     assert (eng2.url_total_len, eng2.url_n_docs) == (want_len, want_n)
     assert eng2.url_avgdl == pytest.approx(want_len / want_n)
+
+
+def test_cross_fields_is_per_term_best_field_sum(spark, built):
+    """multi_match cross_fields (term-centric): every term contributes
+    its best single-field score, summed — vs the two oracles."""
+    idx, text_oracle, url_oracle = built
+    eng = SearchEngine(spark, idx)
+    terms = ["spark", "site3"]  # one content word, one url word
+    got = _rows(eng.multi_match(terms, 20, "cross_fields"))
+    want = {}
+    for d in range(N):
+        s = 0.0
+        matched = False
+        for t in terms:
+            ts = text_oracle.score_one(t, d)
+            us = url_oracle.score_one(t, d)
+            if ts or us:
+                matched = True
+            s += max(ts, us)
+        if matched:
+            want[d] = s
+    top = sorted(want.items(), key=lambda it: (-it[1], it[0]))[:20]
+    assert got == [(d, round(s, 9)) for d, s in top] and got
+    with pytest.raises(ValueError):
+        eng.multi_match(terms, 5, "phrase_fields")
+
+
+def test_span_first_requires_early_position(spark, built):
+    """ES span_first: the term must occur within the first `end` token
+    positions; score = the term's BM25 — vs the oracle token lists."""
+    idx, text_oracle, _ = built
+    eng = SearchEngine(spark, idx)
+    term = "w0"
+    base = dict(text_oracle.search([term], "disjunctive", N))
+    for end in (1, 3, 10):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               eng.span_first(term, end, N).collect()]
+        want = sorted(
+            ((d, round(s, 9)) for d, s in base.items()
+             if term in text_oracle.tokens[d][:end]),
+            key=lambda it: (-it[1], it[0]))
+        assert got == want, end
+    # tightening `end` strictly shrinks the match set on this corpus
+    n1 = eng.span_first(term, 1, N).count()
+    n200 = eng.span_first(term, 200, N).count()
+    assert 0 < n1 < n200
+    with pytest.raises(ValueError):
+        eng.span_first(term, 0)
+
+
+def test_analyze_is_the_index_analyzer():
+    assert SearchEngine.analyze("Foo-BAR 42 baz!") == ["foo", "bar", "42", "baz"]
+    assert SearchEngine.analyze("") == []
