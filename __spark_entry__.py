@@ -812,11 +812,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ct = dash.categorize_text(docs, "text", max_tokens=10, k=10) \
             .select(F.lit("cattext").alias("gate"), F.col("key"),
                     F.col("doc_count").cast("double").alias("value"))
+        # 'fis' — ES frequent_item_sets (round 5 wave 5): exact
+        # level-wise Apriori over the token transactions, support 0.68,
+        # sizes 1-3, top-15 (the sampled-ECLAT divergence is pinned in
+        # the operator docstring)
+        fis = dash.frequent_item_sets(
+            docs.select(tokens_col("text").alias("toks")), "toks",
+            min_support=0.68, min_set_size=1, max_set_size=3, size=15,
+        ).select(F.lit("fis").alias("gate"),
+                 F.array_join("items", ",").alias("key"),
+                 F.col("doc_count").cast("double").alias("value"))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
             .unionByName(adj).unionByName(topm).unionByName(ct)
+            .unionByName(fis)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -2164,7 +2175,37 @@ def oracle_sql() -> dict[str, str]:
                   ' ') AS key
                 FROM documents)
           WHERE key <> ''
-          GROUP BY key ORDER BY count(*) DESC, key ASC LIMIT 10)
+          GROUP BY key ORDER BY count(*) DESC, key ASC LIMIT 10),
+        ftx AS MATERIALIZED (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_distinct(
+              regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+            FROM documents)),
+        fl1 AS MATERIALIZED (
+          SELECT tok, count(*) AS n FROM ftx GROUP BY tok
+          HAVING count(*) >= ceil(0.68 * (SELECT count(*) FROM documents
+                                          WHERE len(regexp_extract_all(
+                                            lower(text), '[a-z0-9]+')) > 0))),
+        ft AS MATERIALIZED (
+          SELECT doc_id, tok FROM ftx WHERE tok IN (SELECT tok FROM fl1)),
+        fmin AS (SELECT ceil(0.68 * (SELECT count(*) FROM documents
+                   WHERE len(regexp_extract_all(lower(text),
+                                                '[a-z0-9]+')) > 0)) AS m),
+        fl2 AS (
+          SELECT a.tok AS t1, b.tok AS t2, count(*) AS n
+          FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM fmin)),
+        fl3 AS (
+          SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3, count(*) AS n
+          FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+               JOIN ft c ON a.doc_id = c.doc_id AND b.tok < c.tok
+          GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM fmin)),
+        fis AS (
+          SELECT 'fis' AS gate, key, n::double AS value FROM (
+            SELECT tok AS key, n FROM fl1
+            UNION ALL SELECT t1 || ',' || t2, n FROM fl2
+            UNION ALL SELECT t1 || ',' || t2 || ',' || t3, n FROM fl3)
+          ORDER BY n DESC, key ASC LIMIT 15)
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
@@ -2178,7 +2219,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM mb
           UNION ALL SELECT * FROM adj
           UNION ALL SELECT * FROM topm
-          UNION ALL SELECT * FROM cat)
+          UNION ALL SELECT * FROM cat
+          UNION ALL SELECT * FROM fis)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor

@@ -1346,3 +1346,94 @@ def categorize_text(df: DataFrame, col: str, max_tokens: int = 10,
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(k)
     )
+
+
+def frequent_item_sets(df: DataFrame, items_col: str,
+                       min_support: float = 0.1,
+                       min_set_size: int = 1, max_set_size: int = 3,
+                       size: int = 10) -> DataFrame:
+    """ES `frequent_item_sets` aggregation (8.x) — market-basket
+    mining over a multi-valued field. PINNED: ES runs an approximate
+    sampled ECLAT; this is EXACT level-wise Apriori up to
+    `max_set_size` 3 (the ES default), deterministic at any shard
+    order — same intent, exactness documented not guessed.
+
+    `items_col` is an array column (one transaction per row; duplicate
+    items within a row count once, the ES rule). Support = fraction of
+    transactions containing ALL items of the set.
+
+    Scale shape — textbook distributed Apriori: each level k broadcasts
+    the frequent (k-1)-sets and enumerates per-transaction k-combos
+    ONLY over items frequent at level 1 (candidate arrays are
+    |frequent items in the row| choose k, bounded by the support
+    threshold, never |vocabulary| choose k); counts are map-side-
+    combinable groupBys. Only the frequent-set lists (result-sized)
+    reach the driver between levels."""
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("min_support must be in (0, 1]")
+    if not (1 <= min_set_size <= max_set_size <= 3):
+        raise ValueError("need 1 <= min_set_size <= max_set_size <= 3")
+    tx = df.select(F.array_distinct(F.col(items_col)).alias("items"))
+    tx = tx.filter(F.size("items") > 0).cache()
+    n_tx = tx.count()
+    if n_tx == 0:
+        return df.sparkSession.createDataFrame(
+            [], "items array<string>, doc_count long, support double")
+    min_n = int(min_support * n_tx + 0.9999999)  # ceil, >= 1
+    min_n = max(min_n, 1)
+    levels = []
+    l1 = (tx.select(F.explode("items").alias("i"))
+          .groupBy("i").agg(F.count("*").alias("n"))
+          .filter(F.col("n") >= min_n))
+    l1_rows = l1.collect()  # result-sized: frequent singletons only
+    levels.append([([r["i"]], r["n"]) for r in l1_rows])
+    freq1 = sorted(r["i"] for r in l1_rows)
+    if freq1 and max_set_size >= 2:
+        f1 = F.array(*[F.lit(t) for t in freq1])
+        fi = F.array_sort(F.array_intersect("items", f1))
+        # ordered pairs (i < j) via nested transforms — pure JVM
+        pairs = F.flatten(F.transform(
+            fi, lambda x, i: F.transform(
+                F.slice(fi, i + F.lit(2),
+                        F.greatest(F.size(fi) - i - 1, F.lit(0))),
+                lambda y: F.array(x, y))))
+        l2 = (tx.select(F.explode(pairs).alias("s"))
+              .groupBy("s").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= min_n))
+        l2_rows = l2.collect()
+        levels.append([(list(r["s"]), r["n"]) for r in l2_rows])
+        if l2_rows and max_set_size >= 3:
+            # Apriori prune: a frequent triple's three sub-pairs are
+            # all frequent — enumerate triples only over items that
+            # appear in some frequent pair, then verify sub-pairs
+            pair_set = {tuple(r["s"]) for r in l2_rows}
+            pitems = sorted({t for p in pair_set for t in p})
+            f2 = F.array(*[F.lit(t) for t in pitems])
+            fi2 = F.array_sort(F.array_intersect("items", f2))
+            triples = F.flatten(F.transform(
+                fi2, lambda x, i: F.flatten(F.transform(
+                    F.slice(fi2, i + F.lit(2),
+                            F.greatest(F.size(fi2) - i - 1, F.lit(0))),
+                    lambda y, j: F.transform(
+                        F.slice(fi2, i + j + F.lit(3),
+                                F.greatest(F.size(fi2) - i - j - 2,
+                                           F.lit(0))),
+                        lambda z: F.array(x, y, z))))))
+            l3 = (tx.select(F.explode(triples).alias("s"))
+                  .groupBy("s").agg(F.count("*").alias("n"))
+                  .filter(F.col("n") >= min_n))
+            l3_rows = [
+                (list(r["s"]), r["n"]) for r in l3.collect()
+                if (r["s"][0], r["s"][1]) in pair_set
+                and (r["s"][0], r["s"][2]) in pair_set
+                and (r["s"][1], r["s"][2]) in pair_set
+            ]
+            levels.append(l3_rows)
+    tx.unpersist()
+    out = [(items, n) for lvl in levels[min_set_size - 1:max_set_size]
+           for items, n in lvl]
+    out.sort(key=lambda it: (-it[1], it[0]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(items, n, n / n_tx) for items, n in out[:size]],
+        "items array<string>, doc_count long, support double")

@@ -479,3 +479,41 @@ def test_categorize_text_signature_categories(spark):
     one = categorize_text(df, "msg", max_tokens=1).collect()
     assert [(r["key"], r["doc_count"]) for r in one] == \
         [("connection", 2), ("user", 1)]
+
+
+def test_frequent_item_sets_matches_brute_force(spark):
+    from itertools import combinations
+    from collections import Counter
+    from picdexer_spark.operators.dashboards import frequent_item_sets
+    import random
+    rng = random.Random(13)
+    pool = [f"i{j}" for j in range(12)]
+    baskets = [rng.sample(pool, rng.randrange(1, 7)) for _ in range(80)]
+    baskets[0] = ["i0", "i0", "i1"]  # dup within a row counts once
+    df = spark.createDataFrame([(b,) for b in baskets],
+                               "items array<string>")
+    for ms in (0.15, 0.3):
+        got = [(tuple(r["items"]), r["doc_count"]) for r in
+               frequent_item_sets(df, "items", min_support=ms,
+                                  size=1000).collect()]
+        cnt = Counter()
+        for b in baskets:
+            s = sorted(set(b))
+            for k in (1, 2, 3):
+                for c in combinations(s, k):
+                    cnt[c] += 1
+        import math
+        min_n = max(math.ceil(ms * len(baskets)), 1)
+        want = sorted(((c, m) for c, m in cnt.items() if m >= min_n),
+                      key=lambda it: (-it[1], list(it[0])))
+        assert got == want, ms
+    # min_set_size trims the small levels; support fraction is n/n_tx
+    only23 = frequent_item_sets(df, "items", min_support=0.15,
+                                min_set_size=2, size=1000).collect()
+    assert all(len(r["items"]) >= 2 for r in only23)
+    assert all(abs(r["support"] - r["doc_count"] / 80) < 1e-12
+               for r in only23)
+    with pytest.raises(ValueError):
+        frequent_item_sets(df, "items", min_support=0.0)
+    with pytest.raises(ValueError):
+        frequent_item_sets(df, "items", max_set_size=4)
