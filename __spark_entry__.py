@@ -1270,9 +1270,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term || ':df', cast(df AS DOUBLE), "
             "term || ':idf', idf, term || ':score', score) AS (key, nval)"
         ).withColumn("sval", F.lit(None).cast("string"))
+        # wave 5: ES _rank_eval — 2 rated requests x 4 metrics over a
+        # fixed judged set (doc_id < 200; rating 2 on %7==0, 1 on
+        # %5==0, judged-irrelevant 0 otherwise). One search_batch job
+        # per metric call; metric math on the k-row top lists.
+        ratings = {d: (2 if d % 7 == 0 else (1 if d % 5 == 0 else 0))
+                   for d in range(200)}
+        reqs = [{"id": "q_disj", "terms": DISJ_TERMS, "ratings": ratings},
+                {"id": "q_batch", "terms": ["batch"], "ratings": ratings}]
+        re_rows = [
+            ("rankeval", f"{rid}|{mm}", None, float(v))
+            for rid, mm, v in eng.rank_eval(
+                reqs, k=10, metric=("precision", "recall",
+                                    "mean_reciprocal_rank", "ndcg"))]
+        re_df = s.createDataFrame(
+            re_rows, "part string, key string, sval string, nval double")
         return (
             doc.select("part", "key", "sval", "nval")
             .unionByName(ex.select("part", "key", "sval", "nval"))
+            .unionByName(re_df)
             .select("part", "key", "sval", F.round("nval", 6).alias("nval"))
             .orderBy("part", "key")
         )
@@ -3164,6 +3180,68 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE event_type = 'click'
     """
     # round-5 fold: point lookup (doc 42) + _explain breakdown (doc 45)
+
+    # _rank_eval oracle: per-query top-10 (exact-score ranking) + the
+    # four metric formulas; judged set = doc_id < 200 (2 on %7, 1 on %5)
+    def _re_ranked(terms):
+        return f"""(
+          WITH rtok AS (SELECT doc_id, unnest(regexp_extract_all(
+                          lower(text), '[a-z0-9]+')) AS term
+                        FROM documents),
+          rdl AS (SELECT doc_id, count(*) AS dl FROM rtok GROUP BY doc_id),
+          rst AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT coalesce(sum(dl), 0) FROM rdl)
+                           AS total_len),
+          rtf AS (SELECT doc_id, term, count(*) AS tf FROM rtok
+                  WHERE term IN ({sql_terms(terms)})
+                  GROUP BY doc_id, term),
+          rdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM rtok
+                  WHERE term IN ({sql_terms(terms)}) GROUP BY term),
+          rsc AS (
+            SELECT rtf.doc_id,
+                   sum( ln(1 + (rst.n_docs - rdf.df + 0.5) / (rdf.df + 0.5))
+                        * (rtf.tf * 2.2)
+                        / (rtf.tf + 1.2 * (1 - 0.75 + 0.75 * rdl.dl
+                             / (rst.total_len::double / rst.n_docs))) ) AS s
+            FROM rtf JOIN rdf USING (term) JOIN rdl USING (doc_id)
+            CROSS JOIN rst GROUP BY rtf.doc_id)
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk,
+                 CASE WHEN doc_id < 200 THEN
+                   CASE WHEN doc_id % 7 = 0 THEN 2
+                        WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                 ELSE 0 END AS rel
+          FROM rsc QUALIFY rk <= 10)"""
+
+    def _re_q(qid, terms):
+        r = _re_ranked(terms)
+        jrel = ("(SELECT count(*) FROM range(0, 200) t(d) "
+                "WHERE d % 7 = 0 OR d % 5 = 0)")
+        idcg = "(SELECT sum(3.0 / log2(j + 2)) FROM range(0, 10) t(j))"
+        return f"""
+          SELECT '{qid}|precision' AS k2,
+                 sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)::double
+                 / count(*) AS v FROM {r}
+          UNION ALL SELECT '{qid}|recall',
+                 sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)::double
+                 / {jrel} FROM {r}
+          UNION ALL SELECT '{qid}|mean_reciprocal_rank',
+                 coalesce(1.0 / min(rk) FILTER (rel >= 1), 0) FROM {r}
+          UNION ALL SELECT '{qid}|ndcg',
+                 sum((pow(2, rel) - 1) / log2(rk + 1)) / {idcg} FROM {r}
+        """
+
+    _re_all = (f"SELECT k2, v FROM ({_re_q('q_disj', DISJ_TERMS)}) "
+               f"UNION ALL SELECT k2, v FROM ({_re_q('q_batch', ['batch'])})")
+    _re_union = f"""
+          UNION ALL
+          SELECT 'rankeval', k2, NULL::varchar, v FROM ({_re_all})
+          UNION ALL
+          SELECT 'rankeval',
+                 '_overall|' || split_part(k2, '|', 2), NULL::varchar,
+                 avg(v)
+          FROM ({_re_all}) GROUP BY split_part(k2, '|', 2)"""
+
     o["doc_inspect_multi"] = f"""
         WITH tok AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -3203,7 +3281,7 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'explain', term || ':idf', NULL::varchar, idf
           FROM ex
           UNION ALL SELECT 'explain', term || ':score', NULL::varchar,
-                    score FROM ex)
+                    score FROM ex{_re_union})
         ORDER BY part, key
     """
     # stopword literal shared by the quality / lang-ID feature columns

@@ -1698,6 +1698,77 @@ class SearchEngine:
                         "aggregatable": es_type != "text"})
         return out
 
+    def rank_eval(self, requests: list[dict], k: int = 10,
+                  metric: str | tuple = "precision",
+                  relevant_threshold: int = 1) -> list[tuple]:
+        """ES `_rank_eval` API — search-quality evaluation over a set
+        of rated requests. `requests`: [{"id", "terms", "mode"?
+        (default disjunctive), "ratings": {doc_id: graded_rating}}].
+        Metrics (ES rank_eval metric set, formulas per its docs):
+
+        - 'precision': P@k, unjudged docs count as irrelevant (the ES
+          default), denominator = retrieved count;
+        - 'recall': relevant-retrieved / judged-relevant;
+        - 'mean_reciprocal_rank': 1/rank of the first doc with rating
+          >= relevant_threshold (0 when none retrieved);
+        - 'dcg' / 'ndcg': sum (2^rating - 1) / log2(rank + 1), ndcg
+          normalized by the ideal ordering of the JUDGED docs.
+
+        Returns [(query_id, metric, value), ..., ('_overall', metric,
+        mean)]. ALL requests run as ONE distributed search_batch job;
+        the metric arithmetic happens on the collected k-row top lists
+        — the same coordinator reduction the ES rank_eval endpoint
+        performs."""
+        import math
+
+        metrics = (metric,) if isinstance(metric, str) else tuple(metric)
+        known = ("precision", "recall", "mean_reciprocal_rank",
+                 "dcg", "ndcg")
+        bad = [m for m in metrics if m not in known]
+        if bad or not metrics:
+            raise ValueError(f"unknown rank_eval metric(s) {bad!r}")
+        if not requests:
+            return [("_overall", m, 0.0) for m in metrics]
+        qs = [{"query_id": i, "terms": r["terms"],
+               "mode": r.get("mode", "disjunctive"), "k": k}
+              for i, r in enumerate(requests)]
+        top = self.search_batch(qs).collect()  # k rows per request
+        by_q: dict[int, list] = {}
+        for row in top:
+            by_q.setdefault(row["query_id"], []).append(
+                (row["rank"], row["doc_id"]))
+        out = []
+        totals = dict.fromkeys(metrics, 0.0)
+        for i, req in enumerate(requests):
+            ratings = req["ratings"]
+            hits = sorted(by_q.get(i, []))
+            rels = [ratings.get(d, 0) for _, d in hits]
+            for m in metrics:
+                if m == "precision":
+                    v = (sum(1 for r in rels if r >= relevant_threshold)
+                         / len(hits)) if hits else 0.0
+                elif m == "recall":
+                    judged_rel = sum(1 for r in ratings.values()
+                                     if r >= relevant_threshold)
+                    v = (sum(1 for r in rels if r >= relevant_threshold)
+                         / judged_rel) if judged_rel else 0.0
+                elif m == "mean_reciprocal_rank":
+                    v = next((1.0 / rk for (rk, d), r in zip(hits, rels)
+                              if r >= relevant_threshold), 0.0)
+                else:
+                    v = sum((2 ** r - 1) / math.log2(rk + 1)
+                            for (rk, _), r in zip(hits, rels))
+                    if m == "ndcg":
+                        ideal = sorted(ratings.values(), reverse=True)[:k]
+                        idcg = sum((2 ** r - 1) / math.log2(j + 2)
+                                   for j, r in enumerate(ideal))
+                        v = v / idcg if idcg else 0.0
+                out.append((req["id"], m, v))
+                totals[m] += v
+        for m in metrics:
+            out.append(("_overall", m, totals[m] / len(requests)))
+        return out
+
     def _sqs_clause_scored(self, clause) -> DataFrame | None:
         """One simple_query_string clause -> its FULL scored match set
         (doc_id, score), or None when the clause cannot match anything

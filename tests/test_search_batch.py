@@ -175,3 +175,44 @@ def test_query_string_end_to_end(spark, built):
     assert via_string == via_api
     exp = oracle.search(["w0", "w5"], "conjunctive", 10)
     assert [d for d, _ in via_string] == [d for d, _ in exp]
+
+
+def test_rank_eval_metrics_match_python_reference(spark, built):
+    """ES _rank_eval over the batch path: all four metric formulas vs a
+    hand-rolled reference on the oracle's exact top-10 rankings."""
+    import math
+    idx, oracle = built[0], built[1]
+    eng = SearchEngine(spark, idx)
+    ratings = {d: (2 if d % 7 == 0 else (1 if d % 5 == 0 else 0))
+               for d in range(300)}
+    reqs = [{"id": "a", "terms": ["w0", "w3"], "ratings": ratings},
+            {"id": "b", "terms": ["w11"], "ratings": ratings}]
+    got = {(r, m): v for r, m, v in eng.rank_eval(
+        reqs, k=10, metric=("precision", "recall",
+                            "mean_reciprocal_rank", "dcg", "ndcg"))}
+    judged_rel = sum(1 for v in ratings.values() if v >= 1)
+    ideal = sorted(ratings.values(), reverse=True)[:10]
+    idcg = sum((2 ** r - 1) / math.log2(j + 2) for j, r in enumerate(ideal))
+    want_overall = {m: 0.0 for m in
+                    ("precision", "recall", "mean_reciprocal_rank",
+                     "dcg", "ndcg")}
+    for req in reqs:
+        top = oracle.search(req["terms"], "disjunctive", 10)
+        rels = [ratings.get(d, 0) for d, _ in top]
+        p = sum(1 for r in rels if r >= 1) / len(top)
+        rc = sum(1 for r in rels if r >= 1) / judged_rel
+        mrr = next((1.0 / (i + 1) for i, r in enumerate(rels) if r >= 1),
+                   0.0)
+        dcg = sum((2 ** r - 1) / math.log2(i + 2)
+                  for i, r in enumerate(rels))
+        for m, v in (("precision", p), ("recall", rc),
+                     ("mean_reciprocal_rank", mrr), ("dcg", dcg),
+                     ("ndcg", dcg / idcg)):
+            assert abs(got[(req["id"], m)] - v) < 1e-9, (req["id"], m)
+            want_overall[m] += v / len(reqs)
+    for m, v in want_overall.items():
+        assert abs(got[("_overall", m)] - v) < 1e-9, m
+    with pytest.raises(ValueError):
+        eng.rank_eval(reqs, metric="f1")
+    assert eng.rank_eval([], metric="precision") == \
+        [("_overall", "precision", 0.0)]
