@@ -31,7 +31,7 @@ from picdexer_spark.operators import geo  # noqa: E402
 from picdexer_spark.operators import multimodal as mm  # noqa: E402
 from picdexer_spark.operators import similarity as sim  # noqa: E402
 from picdexer_spark.operators import textops as tx  # noqa: E402
-from picdexer_spark.query.bm25 import SearchEngine  # noqa: E402
+from picdexer_spark.query.bm25 import SearchEngine, rrf_fuse  # noqa: E402
 from picdexer_spark.sources.catalog import IndexCatalog  # noqa: E402
 
 # ---------------------------------------------------------------------------
@@ -1536,7 +1536,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("cos_sim").cast("double").alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"),
             )
-        return cos.unionAll(lsh).unionAll(cfl)
+        # 'rrf' — ES hybrid search (the 8.x rrf retriever): the BM25
+        # top-20 for QSTRING_TERMS fused with the vec-0 cosine top-20
+        # by reciprocal-rank (1/(60+rank)); vec ids align with doc ids
+        eng = SearchEngine(s, _get_index(s, d))
+        r1 = eng.search(QSTRING_TERMS, "disjunctive", 20)
+        r2 = sim.cosine_topk(emb, "vec_id", "embedding", [0], k=20) \
+            .select(F.col("neighbor_id").alias("doc_id"),
+                    F.col("cos_sim").alias("score"))
+        fused = rrf_fuse([r1, r2], k=10).select(
+            F.lit("rrf").alias("arm"),
+            nul("long").alias("id_a"),
+            F.col("doc_id").cast("long").alias("id_b"),
+            F.round("score", 6).alias("cos_sim"),
+            nul("int").alias("rank"),
+        )
+        return cos.unionAll(lsh).unionAll(cfl).unionAll(fused)
     q["ann_pair_multi"] = ann_pair_multi
     q["ann_ivf_topk"] = lambda s, d: sim.ivf_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding",
@@ -3829,7 +3844,7 @@ def oracle_sql() -> dict[str, str]:
 
     # exact cosine top-k + hyperplane-LSH pairs in ONE gate; the LSH arm
     # reuses ANN_LSH_BASE's `scored` CTE, the cosine arm its own chain
-    o["ann_pair_multi"] = ANN_LSH_BASE + """,
+    o["ann_pair_multi"] = ANN_LSH_BASE + f""",
         cq AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
         cs AS (
@@ -3841,7 +3856,23 @@ def oracle_sql() -> dict[str, str]:
         cr AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-          FROM cs)
+          FROM cs),
+        rb AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+          FROM ({text_scored.format(terms=sql_terms(QSTRING_TERMS))})),
+        rv AS (
+          SELECT neighbor_id AS doc_id,
+                 row_number() OVER (ORDER BY cos_sim DESC,
+                                    neighbor_id ASC) AS rn
+          FROM cs WHERE query_id = 0),
+        rru AS (
+          SELECT doc_id, 1.0 / (60 + rn) AS rr FROM rb WHERE rn <= 20
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + rn) FROM rv WHERE rn <= 20),
+        rrf AS (
+          SELECT doc_id, sum(rr) AS s FROM rru GROUP BY doc_id
+          ORDER BY s DESC, doc_id ASC LIMIT 10)
         SELECT 'cos_topk' AS arm, query_id AS id_a, neighbor_id AS id_b,
                cos_sim, rank::INT AS rank
         FROM cr WHERE rank <= 10
@@ -3854,5 +3885,8 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos_sim DESC, neighbor_id ASC) AS frank
               FROM cs WHERE neighbor_id % 2 = 0)
         WHERE frank <= 5
+        UNION ALL
+        SELECT 'rrf', NULL::BIGINT, doc_id, round(s, 6), NULL::INT
+        FROM rrf
     """
     return o

@@ -1698,6 +1698,17 @@ class SearchEngine:
                         "aggregatable": es_type != "text"})
         return out
 
+    def rrf(self, term_results: DataFrame, other_results: DataFrame,
+            k: int = 10, rank_constant: int = 60,
+            window_size: int = 100) -> DataFrame:
+        """Convenience wrapper: fuse THIS engine's BM25 results with any
+        other retriever's (doc_id, score) list via :func:`rrf_fuse` —
+        the ES hybrid-search (`retriever: rrf`) shape, lexical + vector
+        in one ranked list."""
+        return rrf_fuse([term_results, other_results], k=k,
+                        rank_constant=rank_constant,
+                        window_size=window_size)
+
     def rank_eval(self, requests: list[dict], k: int = 10,
                   metric: str | tuple = "precision",
                   relevant_threshold: int = 1) -> list[tuple]:
@@ -2782,3 +2793,51 @@ class SearchEngine:
             .filter(F.col("rank") <= F.col("k"))
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+def rrf_fuse(inputs: list[DataFrame], k: int = 10,
+             rank_constant: int = 60,
+             window_size: int = 100) -> DataFrame:
+    """ES Reciprocal Rank Fusion (the 8.x `rrf` retriever — the
+    standard hybrid-search combiner for BM25 + kNN):
+
+        score(doc) = sum over retrievers of 1 / (rank_constant +
+                     rank_in_that_retriever(doc))
+
+    computed over each retriever's top `window_size` (the ES
+    rank_window_size), final order (rrf score desc, doc_id asc).
+    `inputs` are (doc_id, score) DataFrames — any retriever output
+    (search(), cosine_topk reshaped, a reranker); ranks are re-derived
+    per input by (score desc, doc_id asc) so ties fuse identically no
+    matter which engine produced the list.
+
+    Scale shape: each input is already a top-list (retrievers return
+    k-sized windows — pass top-N results, not full match sets); the
+    per-input window rank runs on those window-sized sets, the union
+    is at most len(inputs) * window_size rows, and the only global
+    action is TakeOrdered(k)."""
+    from pyspark.sql import Window
+
+    if not inputs:
+        raise ValueError("rrf_fuse needs at least one input")
+    if rank_constant < 1 or window_size < 1:
+        raise ValueError("rank_constant and window_size must be >= 1")
+    ranked = []
+    for df in inputs:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked.append(
+            df.select("doc_id", "score")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= window_size)
+            .select("doc_id",
+                    (1.0 / (F.lit(float(rank_constant)) + F.col("_rk")))
+                    .alias("_rr"))
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionAll(r)
+    return (
+        u.groupBy("doc_id").agg(F.sum("_rr").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

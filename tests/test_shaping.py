@@ -277,3 +277,39 @@ def test_boosting_refusals(spark, built):
         eng.boosting([], ["w1"], 10)
     with pytest.raises(ValueError):
         eng.boosting(["w0"], ["w1"], 10, negative_boost=-0.1)
+
+
+def test_rrf_fuse_reciprocal_rank_formula(spark):
+    """ES rrf retriever: score = sum 1/(rank_constant + rank) over each
+    retriever's window; ranks re-derived by (score desc, doc_id asc)."""
+    from picdexer_spark.query.bm25 import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0)], "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(3, 0.9), (1, 0.8), (5, 0.7)], "doc_id long, score double")
+    got = {r["doc_id"]: r["score"]
+           for r in rrf_fuse([a, b], k=10, rank_constant=60).collect()}
+    want = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 64,
+        5: 1 / 63,
+    }
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-15, d
+    # window_size truncates each retriever before fusing
+    w2 = {r["doc_id"]: r["score"]
+          for r in rrf_fuse([a, b], k=10, window_size=2).collect()}
+    assert set(w2) == {1, 2, 3}
+    assert abs(w2[1] - (1 / 61 + 1 / 62)) < 1e-15
+    # ties within a retriever break doc_id-asc, deterministically
+    t = spark.createDataFrame([(7, 1.0), (6, 1.0)], "doc_id long, score double")
+    rt = {r["doc_id"]: r["score"] for r in rrf_fuse([t], k=2).collect()}
+    assert abs(rt[6] - 1 / 61) < 1e-15 and abs(rt[7] - 1 / 62) < 1e-15
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+    with _pt.raises(ValueError):
+        rrf_fuse([a], rank_constant=0)
