@@ -1214,6 +1214,10 @@ def t_test_p_value(t_stat: float, deg_f: float) -> float:
     if deg_f <= 0:
         raise ValueError("deg_f must be positive")
     x = deg_f / (deg_f + t_stat * t_stat)
+    if x >= 1.0:   # t = 0 -> the two-sided p-value is exactly 1
+        return 1.0
+    if x <= 0.0:   # |t| astronomically large
+        return 0.0
     a, b = deg_f / 2.0, 0.5
 
     def betacf(a, b, x):
