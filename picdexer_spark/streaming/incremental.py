@@ -296,6 +296,64 @@ def compact(
     return res
 
 
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    *,
+    query_terms: list[str] | None = None,
+    mode: str = "disjunctive",
+    filters: list = (),
+    cfg: IndexConfig | None = None,
+) -> BuildResult:
+    """ES `_reindex` API: copy the source index's LIVE docs into a
+    fresh index at `dst_index_dir`, optionally restricted by a query
+    and/or typed filters — the reindex-with-query form every ES
+    migration/subsetting runbook uses.
+
+    The restriction runs through the SAME machinery as search:
+    `query_terms` resolve via match_ids' exact shard kernels (a
+    candidate-sized semi-join against the live docs — never a second
+    matching code path), `filters` through the schema-driven typed
+    compiler. The destination is a from-scratch build: doc_ids
+    re-assign dense by url rank (the ES contract — a new index has new
+    internal ids), per-term statistics are exact, and the index config
+    is inherited from the source's committed stats unless overridden.
+
+    Scale shape: one docs-table scan + (optionally) one candidate
+    semi-join, then the standard single-exchange build at dst. Nothing
+    data-sized reaches the driver."""
+    from picdexer_spark.query.bm25 import SearchEngine
+
+    cat = IndexCatalog(src_index_dir)
+    committed = cat.committed_stats(spark) or {}
+    if cfg is None:
+        cfg = IndexConfig(
+            shard_range=int(committed.get("shard_range")
+                            or IndexConfig().shard_range),
+            store_positions=bool(committed.get("positions") or False),
+            index_url_field=bool(committed.get("url_field") or False),
+        )
+    live = cat.read(spark, "docs").join(
+        cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
+    )
+    if query_terms is not None or filters:
+        eng = SearchEngine(spark, src_index_dir)
+        keep = eng.match_ids(list(query_terms or []), mode, filters)
+        live = live.join(keep, "doc_id", "left_semi")
+    pages = live.select(
+        "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    return build_index(
+        spark, pages, dst_index_dir,
+        IndexConfig(shard_range=cfg.shard_range, block_size=cfg.block_size,
+                    import_id=f"reindex-{cat.current_snapshot()}",
+                    store_positions=cfg.store_positions,
+                    index_url_field=cfg.index_url_field),
+    )
+
+
 def run_dropzone_stream(
     spark: SparkSession,
     input_dir: str,

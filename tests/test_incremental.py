@@ -234,3 +234,55 @@ def test_dropzone_stream(spark, corpus, tmp_path):
                              available_now=True)
     q2.awaitTermination(300)
     assert IndexCatalog(idx).parent_chain() == chain_before
+
+
+def test_reindex_with_query_equals_fresh_subset_build(spark, corpus,
+                                                      tmp_path):
+    """ES _reindex with a query: the destination index must equal a
+    from-scratch build over exactly the live docs matching the query —
+    tombstones excluded, typed filter applied, stats exact."""
+    from picdexer_spark.streaming.incremental import (delete_by_query,
+                                                      reindex)
+
+    pdf = corpus
+    src = str(tmp_path / "resrc")
+    build_index(spark, spark.createDataFrame(pdf), src, CFG)
+    # tombstone some docs first: reindex must not resurrect them
+    n_del = delete_by_query(spark, src, ["w13"], "disjunctive")
+    assert n_del > 0
+    dst = str(tmp_path / "redst")
+    reindex(spark, src, dst, query_terms=["w0"],
+            filters=[("lang", "=", "en")])
+
+    seng = SearchEngine(spark, src)
+    keep_urls = {
+        r["url"] for r in
+        seng.cat.read_live_docs(spark, seng.snapshot_id)
+        .join(seng.match_ids(["w0"], "disjunctive",
+                             [("lang", "=", "en")]), "doc_id")
+        .select("url").collect()
+    }
+    assert keep_urls  # the query selects something
+    by_url = pdf.set_index("url")
+    fresh_pdf = by_url.loc[sorted(keep_urls)].reset_index()[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    fidx = str(tmp_path / "refresh")
+    build_index(spark, spark.createDataFrame(fresh_pdf), fidx, CFG)
+    deng, feng = SearchEngine(spark, dst), SearchEngine(spark, fidx)
+    assert deng.n_docs == feng.n_docs == len(keep_urls)
+    assert deng.avgdl == feng.avgdl
+    assert sorted(
+        (r["term"], int(r["df"])) for r in
+        deng.term_stats.select("term", "df").collect()
+    ) == sorted(
+        (r["term"], int(r["df"])) for r in
+        feng.term_stats.select("term", "df").collect()
+    )
+    for terms, mode in ((["w0", "w3"], "disjunctive"),
+                        (["w2"], "conjunctive")):
+        assert deng.search_topk(terms, mode, 15) == \
+            feng.search_topk(terms, mode, 15), (terms, mode)
+    # unrestricted reindex = compact-into-a-new-dir (all live docs)
+    dst2 = str(tmp_path / "redst2")
+    reindex(spark, src, dst2)
+    assert SearchEngine(spark, dst2).n_docs == seng.n_docs
