@@ -49,7 +49,9 @@ def date_histogram(df: DataFrame, ts_col: str, bucket: str) -> DataFrame:
 
 
 def top_terms_with_other(
-    df: DataFrame, col: str, k: int = 20, explode: bool = False
+    df: DataFrame, col: str, k: int = 20, explode: bool = False,
+    include: str | None = None, exclude: str | None = None,
+    missing: str | None = None,
 ) -> DataFrame:
     """Q3 — terms agg, top-k by count desc + "Other" bucket
     (kibana.ndjson:4 TopKeywords, :5 TopFolders; otherBucket:true).
@@ -57,10 +59,24 @@ def top_terms_with_other(
     `explode=True` treats `col` as an array field (per-value buckets, the
     Keywords semantics). Other = total value count - sum(top-k counts).
     Tie-break: count desc, key asc (pinned; ES breaks ties by key too).
-    """
+
+    Round 5: the ES terms-agg key knobs — `include`/`exclude` regexes
+    (whole-value anchored, the Lucene RegExp contract; exclude wins on
+    overlap) filter which keys the agg COLLECTS, so the Other bucket
+    counts only the included universe; `missing` buckets NULL keys
+    under the given value instead of dropping them. All three are
+    pre-aggregation row filters/substitutions — they narrow the scan,
+    never add a pass."""
     vals = df.select(F.explode(F.col(col)).alias("key")) if explode else df.select(
         F.col(col).alias("key")
     )
+    if missing is not None:
+        vals = vals.select(
+            F.coalesce("key", F.lit(missing)).alias("key"))
+    if include is not None:
+        vals = vals.filter(F.col("key").rlike(f"^(?:{include})$"))
+    if exclude is not None:
+        vals = vals.filter(~F.col("key").rlike(f"^(?:{exclude})$"))
     counts = vals.groupBy("key").agg(F.count("*").alias("n"))
     topk = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
     # total from the counts AGGREGATE (sum n == count of vals), not a second

@@ -1698,6 +1698,36 @@ class SearchEngine:
                         "aggregatable": es_type != "text"})
         return out
 
+    def termvectors(self, doc_id: int) -> DataFrame:
+        """ES `_termvectors` API: the per-term statistics of ONE stored
+        document — (term, tf, positions) from re-analyzing the stored
+        text with THE analyzer, plus the corpus df joined in (the ES
+        `term_statistics: true` form). Positions are 0-based analyzer
+        ordinals, the same numbers the positional postings store.
+
+        Plan: the doc_id filter pushes into the docs scan (one row
+        survives), tokens posexplode JVM-side, the df lookup is a
+        pushed In(term) scan over term_stats — all row-bounded by one
+        document's vocabulary."""
+        from picdexer_spark.functions.tokenize import tokens_col
+
+        live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        doc = live.filter(F.col("doc_id") == int(doc_id))
+        tv = (
+            doc.select(F.posexplode(tokens_col("text"))
+                       .alias("pos", "term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+        )
+        stats = self.term_stats.select("term", "df")
+        return (
+            tv.join(stats, "term", "left")
+            .select("term", "tf",
+                    F.coalesce("df", F.lit(0)).alias("df"), "positions")
+            .orderBy("term")
+        )
+
     def rrf(self, term_results: DataFrame, other_results: DataFrame,
             k: int = 10, rank_constant: int = 60,
             window_size: int = 100) -> DataFrame:

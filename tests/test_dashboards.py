@@ -517,3 +517,28 @@ def test_frequent_item_sets_matches_brute_force(spark):
         frequent_item_sets(df, "items", min_support=0.0)
     with pytest.raises(ValueError):
         frequent_item_sets(df, "items", max_set_size=4)
+
+
+def test_terms_agg_include_exclude_missing(spark):
+    from picdexer_spark.operators.dashboards import top_terms_with_other
+    df = spark.createDataFrame(
+        [("apple",)] * 5 + [("banana",)] * 3 + [("avocado",)] * 2
+        + [(None,)] * 4, "k string")
+    base = {r["key"]: r["n"]
+            for r in top_terms_with_other(df, "k", k=2).collect()}
+    assert base["apple"] == 5 and base["__other__"] > 0
+    # include: whole-value anchored regex narrows the collected universe
+    inc = {r["key"]: r["n"] for r in
+           top_terms_with_other(df, "k", k=1, include="a.*").collect()}
+    assert inc == {"apple": 5, "__other__": 2}  # Other = avocado only
+    # exclude wins over include on overlap
+    exc = {r["key"]: r["n"] for r in
+           top_terms_with_other(df, "k", k=5, include="a.*",
+                                exclude="apple").collect()}
+    assert exc == {"avocado": 2}
+    # missing buckets the NULL keys under the given value
+    mis = {r["key"]: r["n"] for r in
+           top_terms_with_other(df, "k", k=5, missing="N/A").collect()}
+    assert mis["N/A"] == 4
+    # the regex is whole-value: 'a' must NOT match 'apple'
+    assert top_terms_with_other(df, "k", k=5, include="a").count() == 0

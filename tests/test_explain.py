@@ -106,3 +106,21 @@ def test_explain_url_field(spark, built):
     assert rows[0]["df"] == N  # every url carries it
     assert sum(r["score"] for r in rows) == pytest.approx(
         hits[0]["score"], abs=1e-12)
+
+
+def test_termvectors_matches_reanalysis(spark, built):
+    """ES _termvectors: tf + 0-based positions from re-analyzing the
+    stored text, corpus df joined in — vs the oracle token lists."""
+    idx, oracle = built[0], built[1]
+    eng = SearchEngine(spark, idx)
+    d = 17
+    got = {r["term"]: (r["tf"], r["df"], list(r["positions"]))
+           for r in eng.termvectors(d).collect()}
+    toks = oracle.tokens[d]
+    want = {}
+    for pos, t in enumerate(toks):
+        tf, df_, ps = want.get(t, (0, oracle.df(t), []))
+        want[t] = (tf + 1, df_, ps + [pos])
+    assert got == want and got
+    # a tombstone-free unknown doc id yields an empty vector
+    assert eng.termvectors(10**9).count() == 0
