@@ -816,6 +816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # level-wise Apriori over the token transactions, support 0.68,
         # sizes 1-3, top-15 (the sampled-ECLAT divergence is pinned in
         # the operator docstring)
+        # 'vwh' — ES variable_width_histogram (round 5 wave 5): the
+        # pinned value-atomic equal-depth form over token length,
+        # 5 buckets; per bucket (weighted-mean key, min, max, count)
+        vwh = dash.variable_width_histogram(dld, "dl", 5).selectExpr(
+            "'vwh' AS gate",
+            "stack(4, bucket || '|key', key, "
+            "bucket || '|min', cast(min AS DOUBLE), "
+            "bucket || '|max', cast(max AS DOUBLE), "
+            "bucket || '|n', cast(doc_count AS DOUBLE)) AS (key, value)")
         fis = dash.frequent_item_sets(
             docs.select(tokens_col("text").alias("toks")), "toks",
             min_support=0.68, min_set_size=1, max_set_size=3, size=15,
@@ -827,7 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
             .unionByName(adj).unionByName(topm).unionByName(ct)
-            .unionByName(fis)
+            .unionByName(fis).unionByName(vwh)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -2236,7 +2245,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS key, n FROM fl1
             UNION ALL SELECT t1 || ',' || t2, n FROM fl2
             UNION ALL SELECT t1 || ',' || t2 || ',' || t3, n FROM fl3)
-          ORDER BY n DESC, key ASC LIMIT 15)
+          ORDER BY n DESC, key ASC LIMIT 15),
+        vvc AS (SELECT dl AS v, count(*) AS c FROM dl
+                WHERE dl IS NOT NULL GROUP BY dl),
+        vas AS (SELECT v, c,
+                       (sum(c) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) - c) AS before,
+                       (SELECT sum(c) FROM vvc) AS n
+                FROM vvc),
+        vbk AS (SELECT (before * 5 // n)::BIGINT AS bucket, v, c FROM vas),
+        vwh AS (
+          SELECT 'vwh' AS gate, key, value FROM (
+            SELECT bucket::varchar || '|key' AS key,
+                   sum(v::double * c) / sum(c) AS value, bucket
+            FROM vbk GROUP BY bucket
+            UNION ALL SELECT bucket::varchar || '|min', min(v)::double,
+              bucket FROM vbk GROUP BY bucket
+            UNION ALL SELECT bucket::varchar || '|max', max(v)::double,
+              bucket FROM vbk GROUP BY bucket
+            UNION ALL SELECT bucket::varchar || '|n', sum(c)::double,
+              bucket FROM vbk GROUP BY bucket))
         SELECT gate, key, round(value, 6) AS value FROM (
           SELECT * FROM hist
           UNION ALL SELECT * FROM mt
@@ -2251,7 +2280,8 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM adj
           UNION ALL SELECT * FROM topm
           UNION ALL SELECT * FROM cat
-          UNION ALL SELECT * FROM fis)
+          UNION ALL SELECT * FROM fis
+          UNION ALL SELECT * FROM vwh)
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor

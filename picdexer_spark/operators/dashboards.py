@@ -1457,3 +1457,40 @@ def frequent_item_sets(df: DataFrame, items_col: str,
     return spark.createDataFrame(
         [(items, n, n / n_tx) for items, n in out[:size]],
         "items array<string>, doc_count long, support double")
+
+
+def variable_width_histogram(df: DataFrame, col: str,
+                             buckets: int = 10) -> DataFrame:
+    """ES `variable_width_histogram` aggregation — buckets sized by the
+    data rather than a fixed interval. PINNED DETERMINISTIC FORM: ES
+    clusters with a shard-order-dependent streaming merge; this engine
+    uses value-atomic equal-depth buckets — every distinct VALUE maps
+    whole to bucket floor(rows_before * buckets / n), so equal values
+    never split and identical inputs always bucket identically. Output
+    mirrors ES: per bucket (key = weighted mean, min, max, doc_count).
+
+    Scale shape: one distributed value-count groupBy, then the
+    cumulative window runs over the DISTINCT-VALUE table (cardinality-
+    sized, not data-sized — the same reduction ES's per-shard cluster
+    sketches perform), then a buckets-sized final aggregate."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    vc = (df.filter(F.col(col).isNotNull())
+          .groupBy(F.col(col).alias("v"))
+          .agg(F.count("*").alias("c")))
+    tot = vc.agg(F.sum("c").alias("n"))
+    assigned = (
+        vc.crossJoin(F.broadcast(tot))
+        .withColumn("before", F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("c"))
+        .withColumn("bucket", F.floor(F.col("before") * buckets
+                                      / F.col("n")))
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg((F.sum(F.col("v") * F.col("c")) / F.sum("c")).alias("key"),
+             F.min("v").alias("min"), F.max("v").alias("max"),
+             F.sum("c").alias("doc_count"))
+        .orderBy("bucket")
+    )

@@ -542,3 +542,23 @@ def test_terms_agg_include_exclude_missing(spark):
     assert mis["N/A"] == 4
     # the regex is whole-value: 'a' must NOT match 'apple'
     assert top_terms_with_other(df, "k", k=5, include="a").count() == 0
+
+
+def test_variable_width_histogram_value_atomic_equal_depth(spark):
+    from picdexer_spark.operators.dashboards import variable_width_histogram
+    vals = [1, 1, 1, 2, 5, 6, 7, 20, 21, 22, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [(r["bucket"], r["key"], r["min"], r["max"], r["doc_count"])
+           for r in variable_width_histogram(df, "v", 3).collect()]
+    # equal values never split (the three 1s stay in bucket 0); NULL
+    # drops; per-bucket key is the weighted mean
+    assert got == [(0, 1.25, 1, 2, 4), (1, 6.0, 5, 7, 3),
+                   (2, 21.0, 20, 22, 3)]
+    # doc counts tile the non-null input for any bucket count
+    for b in (1, 2, 5, 100):
+        rows = variable_width_histogram(df, "v", b).collect()
+        assert sum(r["doc_count"] for r in rows) == 10
+        mins = [r["min"] for r in rows]
+        assert mins == sorted(mins)  # buckets are ordered, disjoint
+    with pytest.raises(ValueError):
+        variable_width_histogram(df, "v", 0)
