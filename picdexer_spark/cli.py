@@ -171,19 +171,24 @@ def cmd_setup(conf: dict) -> int:
 
 
 def cmd_search(conf: dict, q: str, k: int,
-               snapshot: str | None = None) -> int:
+               snapshot: str | None = None,
+               simple: bool = False) -> int:
     """Query the committed index with a kuery string (the discover box;
     boolean/parenthesized queries, filters, prefix/fuzzy/phrase-slop all
     ride search_query_string). Prints doc_id<TAB>score<TAB>url.
     `snapshot` pins an older committed snapshot (time travel — the
-    Iceberg snapshot-read the catalog chain provides)."""
+    Iceberg snapshot-read the catalog chain provides). `simple` is the
+    Kibana "KQL off" toggle: the query runs through the forgiving
+    simple_query_string parser instead (never a syntax error — a bad
+    query is exit 0 with fewer results, the ES contract)."""
     from pyspark.sql import functions as F
 
     from picdexer_spark.query.bm25 import SearchEngine
 
     spark = _spark(conf, "search")
     eng = SearchEngine(spark, conf["index"]["dir"], snapshot_id=snapshot)
-    res = eng.search_query_string(q, k)
+    res = (eng.simple_query_string(q, k) if simple
+           else eng.search_query_string(q, k))
     docs = eng.cat.read_live_docs(spark, eng.snapshot_id) \
         .select("doc_id", "url")
     for r in res.join(docs, "doc_id", "left") \
@@ -241,6 +246,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--snapshot", default=None,
                    help="pin an older committed snapshot (time travel)")
+    p.add_argument("--simple", action="store_true",
+                   help="forgiving simple_query_string parser "
+                        "(the Kibana KQL-off toggle; never a syntax "
+                        "error)")
 
     with_conf(sub.add_parser("compact", help="rewrite live corpus fresh"))
 
@@ -265,7 +274,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "setup":
             return cmd_setup(conf)
         if args.cmd == "search":
-            return cmd_search(conf, args.query, args.k, args.snapshot)
+            return cmd_search(conf, args.query, args.k, args.snapshot,
+                              simple=args.simple)
         if args.cmd == "compact":
             return cmd_compact(conf)
         if args.cmd == "delete-by-query":

@@ -61,6 +61,15 @@ def test_full_then_search_then_setup(env, capsys):
                  "(w0 OR w1) AND w2"]) == 0
     assert capsys.readouterr().out.strip()
 
+    # --simple: the Kibana KQL-off toggle — forgiving parser, CNF ops
+    assert main(["search", "-c", conf_path, "-q", "w0 | w1 + w2",
+                 "--simple", "-k", "3"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 3
+    # a query that would be a kuery SYNTAX ERROR is fine under --simple
+    assert main(["search", "-c", conf_path, "-q", "(((",
+                 "--simple"]) == 0
+    assert capsys.readouterr().out.strip() == ""  # no hits, no error
+
     assert main(["setup", "-c", conf_path]) == 0
     views = capsys.readouterr().out.split()
     assert "dash_doc_count" in views
