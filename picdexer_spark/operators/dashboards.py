@@ -1292,9 +1292,17 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     contract, same device as extended_stats). Output is long-form
     (field, stat, other_field, value) so the matrix rows and the
     per-field rows share one schema. The aggregate state is
-    O(len(cols)^2) scalars — driver-safe at any data size."""
+    O(len(cols)^2) scalars — driver-safe at any data size.
+
+    Complete-observations rule: ES matrix_stats EXCLUDES a document
+    missing ANY of the fields, so rows with a NULL in any of `cols`
+    are filtered out before the scan — otherwise every mean/variance/
+    covariance would divide by a row count the per-field NULL-skipping
+    power sums never saw."""
     if len(cols) < 2:
         raise ValueError("matrix_stats needs >= 2 columns")
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         x = F.col(c).cast("double")

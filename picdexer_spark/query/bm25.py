@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from picdexer_spark.oracle.reference import B, K1
 from picdexer_spark.query.wand import (
@@ -737,7 +738,8 @@ class SearchEngine:
         return va
 
     def expand_fuzzy(self, term: str, max_edits: int = 2,
-                     max_expansions: int | None = None) -> list[str]:
+                     max_expansions: int | None = None,
+                     prefix: str | None = None) -> list[str]:
         """Dictionary terms within `max_edits` edits of `term` — the ES
         fuzzy query (Lucene FuzzyQuery re-expressed as a length-banded
         dictionary scan instead of an FST automaton intersection).
@@ -748,16 +750,26 @@ class SearchEngine:
 
         Distance is OSA Damerau (damerau_capped): an adjacent
         TRANSPOSITION costs one edit, the Lucene fuzziness default —
-        `baord~1` finds `board`. Cached path: length band + the
-        vectorized numpy kernel (osa_distances) over the whole vocab
-        matrix, zero per-term Python. Distributed path (no df cache —
-        web-scale vocab): the length band `BETWEEN l-d AND l+d` (valid
-        for OSA too: |len diff| <= OSA) prunes the scan, then the JVM
-        early-abandon `levenshtein(a, b, 2d)` built-in is a COMPLETE
-        classic-distance prefilter (a swap costs two classic edits, so
-        OSA <= d implies classic <= 2d); only that near-neighborhood
-        candidate set reaches the driver for the exact OSA re-check and
-        rank. Both paths rank identically (pytest-pinned)."""
+        `baord~1` finds `board`. `prefix` (the term suggester's
+        prefix_length constraint) prunes candidates DURING generation,
+        before any truncation — the ES contract, so prefix-sharing
+        candidates can never be crowded out of the expansion window by
+        non-prefix terms. Cached path: length band + the vectorized
+        numpy kernel (osa_distances) over the whole vocab matrix, zero
+        per-term Python. Distributed path (no df cache — web-scale
+        vocab): the length band `BETWEEN l-d AND l+d` (valid for OSA
+        too: |len diff| <= OSA) prunes the scan, the JVM early-abandon
+        `levenshtein(a, b, 2d)` built-in prefilters (COMPLETE for OSA:
+        a swap costs two classic edits, so OSA <= d implies classic <=
+        2d), then the EXACT OSA distance is computed executor-side (an
+        Arrow-batched pandas_udf over the banded slice — the same
+        osa_distances numpy kernel, per batch) and only the top-n
+        ranked winners are collected: the driver pull is n rows no
+        matter how fat the short-term band is (for len(term) <=
+        2*max_edits the classic-2d prefilter passes essentially the
+        whole band — bounding happens AFTER the exact distance, via
+        orderBy/limit, never via an unranked truncation). Both paths
+        rank identically (pytest-pinned)."""
         n = self.MAX_PREFIX_EXPANSIONS if max_expansions is None \
             else max_expansions
         if max_edits not in (1, 2):
@@ -766,7 +778,10 @@ class SearchEngine:
             if not self._df_cache:
                 return []
             t_arr, mat, lens, dfs = self._vocab_arrays()
-            idx = np.nonzero(np.abs(lens - len(term)) <= max_edits)[0]
+            band = np.abs(lens - len(term)) <= max_edits
+            if prefix:
+                band &= np.char.startswith(t_arr, prefix)
+            idx = np.nonzero(band)[0]
             if not len(idx):
                 return []
             sub_lens = lens[idx]
@@ -778,25 +793,38 @@ class SearchEngine:
                               t_arr[kept].tolist()))
             return [t for _d, _df, t in hits[:n]]
         lo, hi = len(term) - max_edits, len(term) + max_edits
-        rows = (
+        cand = (
             self.term_stats.filter(F.length("term").between(lo, hi))
             # content dictionary only — see the _vocab_arrays exclusion
             .filter(~F.col("term").startswith("\x1f"))
-            .select(
-                "term", "df",
-                F.levenshtein(F.lit(term), F.col("term"),
-                              2 * max_edits).alias("d0"),
-            )
-            .filter(F.col("d0") >= 0)  # -1 = beyond the classic prefilter
+        )
+        if prefix:
+            cand = cand.filter(F.col("term").startswith(prefix))
+        cand = cand.select(
+            "term", "df",
+            F.levenshtein(F.lit(term), F.col("term"),
+                          2 * max_edits).alias("d0"),
+        ).filter(F.col("d0") >= 0)  # -1 = beyond the classic prefilter
+
+        @pandas_udf("int")
+        def _osa(terms: pd.Series) -> pd.Series:
+            vals = terms.to_numpy(dtype="U")
+            if not len(vals):
+                return pd.Series([], dtype="int32")
+            m = vals.view(np.int32).reshape(len(vals), -1)
+            ls = np.char.str_len(vals).astype(np.int64)
+            return pd.Series(osa_distances(term, m, ls))
+
+        rows = (
+            cand.withColumn("osa", _osa("term"))
+            .filter(F.col("osa") <= max_edits)
+            # the exact rank, pushed distributed: TakeOrdered of n rows
+            # is the ONLY thing that crosses to the driver
+            .orderBy(F.asc("osa"), F.desc("df"), F.asc("term"))
+            .limit(n)
             .collect()
         )
-        hits = []
-        for r in rows:  # candidate neighborhood only, never the vocab
-            d = damerau_capped(term, r["term"], max_edits)
-            if d <= max_edits:
-                hits.append((d, -int(r["df"]), r["term"]))
-        hits.sort()
-        return [t for _d, _df, t in hits[:n]]
+        return [r["term"] for r in rows]
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Search-bar autocomplete (the ES term suggester / Kibana
@@ -863,11 +891,15 @@ class SearchEngine:
         in_df = self.term_dfs([t]).get(t, 0)
         if suggest_mode == "missing" and in_df > 0:
             return []
-        cands = self.expand_fuzzy(
-            t, max_edits, max_expansions=max(50, size * 10))
+        # the prefix constraint is applied INSIDE candidate generation
+        # (before any expansion truncation) — ES prunes by prefix during
+        # the automaton walk, so prefix-sharing suggestions can never be
+        # crowded out of the candidate window by non-prefix terms
         pre = t[:prefix_length]
-        cands = [c for c in cands
-                 if c != t and c[:prefix_length] == pre]
+        cands = self.expand_fuzzy(
+            t, max_edits, max_expansions=max(50, size * 10),
+            prefix=pre or None)
+        cands = [c for c in cands if c != t]
         dfs = self.term_dfs(cands)
         hits = []
         for c in cands:
@@ -1672,12 +1704,16 @@ class SearchEngine:
         schema (the same source the typed-filter compiler uses, so the
         two can never disagree): every stored field is filterable
         (`searchable`), numeric/timestamp fields are `aggregatable`,
-        and the analyzed full-text fields (content, plus url when the
-        index was built with index_url_field) are reported as `text`
-        with their keyword twin — the ES multi-field mapping shape.
+        and the analyzed full-text fields (`text` — the name the query
+        surface itself accepts for the content field in _field_stats /
+        explain / per-field search — plus url when the index was built
+        with index_url_field) are reported as `text` type with their
+        stored column as the `.keyword` twin — the ES multi-field
+        mapping shape, consistent for BOTH scored fields so a client
+        acting on field_caps can actually query what it lists.
         Metadata-sized; no data scan."""
         out = []
-        scored = {"content": True}
+        scored = {"text": True}
         if self.has_url_field:
             scored["url"] = True
         for name in sorted(scored):

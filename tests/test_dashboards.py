@@ -462,6 +462,28 @@ def test_matrix_stats_matches_numpy_moments(spark):
         matrix_stats(df, ["x"])
 
 
+def test_matrix_stats_excludes_incomplete_observations(spark):
+    """ES matrix_stats drops a document missing ANY field: rows with a
+    NULL in either column contribute to NO statistic — count, means,
+    variances, and covariances all agree with the complete-rows-only
+    numpy answer (not a mixed denominator)."""
+    import numpy as np
+    from picdexer_spark.operators.dashboards import matrix_stats
+    rows = [(1.0, 10.0), (2.0, None), (3.0, 30.0), (None, 40.0),
+            (5.0, 50.0), (None, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r["field"], r["stat"], r["other_field"]): r["value"]
+           for r in matrix_stats(df, ["x", "y"]).collect()}
+    x = np.array([1.0, 3.0, 5.0])
+    y = np.array([10.0, 30.0, 50.0])
+    assert got[("x", "count", None)] == 3.0
+    assert got[("y", "count", None)] == 3.0
+    assert abs(got[("x", "mean", None)] - x.mean()) < 1e-12
+    assert abs(got[("y", "variance", None)] - y.var()) < 1e-9
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert abs(got[("x", "covariance", "y")] - cov) < 1e-9
+
+
 def test_categorize_text_signature_categories(spark):
     from picdexer_spark.operators.dashboards import categorize_text
     df = spark.createDataFrame(

@@ -139,9 +139,14 @@ def test_field_caps_reports_the_queryable_surface(spark, built):
     idx, _, _ = built
     eng = SearchEngine(spark, idx)
     caps = {c["field"]: c for c in eng.field_caps()}
-    assert caps["content"]["type"] == "text"
-    assert caps["content"]["searchable"] is True
-    assert caps["content"]["aggregatable"] is False
+    # the content field is reported under the name the engine's own
+    # query surface accepts ('text'), with its stored docs column as
+    # the .keyword twin — same multi-field shape as url/url.keyword
+    assert caps["text"]["type"] == "text"
+    assert caps["text"]["searchable"] is True
+    assert caps["text"]["aggregatable"] is False
+    assert caps["text.keyword"]["type"] == "keyword"
+    assert "content" not in caps
     if eng.has_url_field:
         # the ES text + .keyword multi-field shape
         assert caps["url"]["type"] == "text"

@@ -186,6 +186,15 @@ def test_expand_fuzzy_order_cap_and_distributed_parity(spark, built):
     assert dist_eng.expand_fuzzy("w1", 1) == brute("w1", 1)[:50]
     assert dist_eng.expand_fuzzy("w123", 1, max_expansions=4) == \
         brute("w123", 1)[:4]
+    # prefix constraint prunes DURING generation (before the cap), on
+    # both paths identically
+    def brute_pre(term, d, pre):
+        return [t for t in brute(term, d) if t.startswith(pre)]
+    want_pre = brute_pre("w1", 2, "w1")
+    assert len(want_pre) > 1
+    assert eng.expand_fuzzy("w1", 2, prefix="w1") == want_pre[:50]
+    assert dist_eng.expand_fuzzy("w1", 2, max_expansions=3,
+                                 prefix="w1") == want_pre[:3]
     with pytest.raises(ValueError):
         eng.expand_fuzzy("w1", 3)
 
