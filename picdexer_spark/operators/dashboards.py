@@ -1376,6 +1376,27 @@ def categorize_text(df: DataFrame, col: str, max_tokens: int = 10,
     )
 
 
+def _restrict_to_frequent(tx: DataFrame, freq_items: list[str],
+                          out: str = "fi") -> DataFrame:
+    """Per-transaction sorted array of FREQUENT items only, with the
+    frequent-item list shipped as a BROADCAST one-row array — never as
+    a plan literal. At the ES default min_support=0.001 over a
+    web-scale item vocabulary the frequent-singleton list reaches
+    10^4-10^5 elements; `F.array(*[F.lit(t) ...])` at that size is a
+    driver-side plan/codegen blowup (every element becomes an
+    expression in the generated Java source). A one-row LocalRelation
+    cross-joined with `F.broadcast` travels as data (one
+    BroadcastExchange of ~MBs), keeps the per-row work a JVM
+    array_intersect, and adds ZERO shuffles."""
+    spark = tx.sparkSession
+    f_df = spark.createDataFrame([(sorted(freq_items),)],
+                                 "_freq array<string>")
+    return (tx.crossJoin(F.broadcast(f_df))
+            .withColumn(out, F.array_sort(
+                F.array_intersect("items", "_freq")))
+            .drop("_freq"))
+
+
 def frequent_item_sets(df: DataFrame, items_col: str,
                        min_support: float = 0.1,
                        min_set_size: int = 1, max_set_size: int = 3,
@@ -1391,12 +1412,14 @@ def frequent_item_sets(df: DataFrame, items_col: str,
     transactions containing ALL items of the set.
 
     Scale shape — textbook distributed Apriori: each level k broadcasts
-    the frequent (k-1)-sets and enumerates per-transaction k-combos
-    ONLY over items frequent at level 1 (candidate arrays are
-    |frequent items in the row| choose k, bounded by the support
-    threshold, never |vocabulary| choose k); counts are map-side-
-    combinable groupBys. Only the frequent-set lists (result-sized)
-    reach the driver between levels."""
+    the frequent (k-1)-sets (as DATA via :func:`_restrict_to_frequent`'s
+    broadcast one-row array, never as a plan literal) and enumerates
+    per-transaction k-combos ONLY over items frequent at level 1
+    (candidate arrays are |frequent items in the row| choose k, bounded
+    by the support threshold, never |vocabulary| choose k); counts are
+    map-side-combinable groupBys. Only the frequent-set lists
+    (result-sized, bounded by n_tx * min_support^-1 per level) reach
+    the driver between levels."""
     if not (0.0 < min_support <= 1.0):
         raise ValueError("min_support must be in (0, 1]")
     if not (1 <= min_set_size <= max_set_size <= 3):
@@ -1417,15 +1440,15 @@ def frequent_item_sets(df: DataFrame, items_col: str,
     levels.append([([r["i"]], r["n"]) for r in l1_rows])
     freq1 = sorted(r["i"] for r in l1_rows)
     if freq1 and max_set_size >= 2:
-        f1 = F.array(*[F.lit(t) for t in freq1])
-        fi = F.array_sort(F.array_intersect("items", f1))
+        fi = F.col("fi")
         # ordered pairs (i < j) via nested transforms — pure JVM
         pairs = F.flatten(F.transform(
             fi, lambda x, i: F.transform(
                 F.slice(fi, i + F.lit(2),
                         F.greatest(F.size(fi) - i - 1, F.lit(0))),
                 lambda y: F.array(x, y))))
-        l2 = (tx.select(F.explode(pairs).alias("s"))
+        l2 = (_restrict_to_frequent(tx, freq1)
+              .select(F.explode(pairs).alias("s"))
               .groupBy("s").agg(F.count("*").alias("n"))
               .filter(F.col("n") >= min_n))
         l2_rows = l2.collect()
@@ -1436,8 +1459,7 @@ def frequent_item_sets(df: DataFrame, items_col: str,
             # appear in some frequent pair, then verify sub-pairs
             pair_set = {tuple(r["s"]) for r in l2_rows}
             pitems = sorted({t for p in pair_set for t in p})
-            f2 = F.array(*[F.lit(t) for t in pitems])
-            fi2 = F.array_sort(F.array_intersect("items", f2))
+            fi2 = F.col("fi")
             triples = F.flatten(F.transform(
                 fi2, lambda x, i: F.flatten(F.transform(
                     F.slice(fi2, i + F.lit(2),
@@ -1447,7 +1469,8 @@ def frequent_item_sets(df: DataFrame, items_col: str,
                                 F.greatest(F.size(fi2) - i - j - 2,
                                            F.lit(0))),
                         lambda z: F.array(x, y, z))))))
-            l3 = (tx.select(F.explode(triples).alias("s"))
+            l3 = (_restrict_to_frequent(tx, pitems)
+                  .select(F.explode(triples).alias("s"))
                   .groupBy("s").agg(F.count("*").alias("n"))
                   .filter(F.col("n") >= min_n))
             l3_rows = [
@@ -1477,21 +1500,64 @@ def variable_width_histogram(df: DataFrame, col: str,
     never split and identical inputs always bucket identically. Output
     mirrors ES: per bucket (key = weighted mean, min, max, doc_count).
 
-    Scale shape: one distributed value-count groupBy, then the
-    cumulative window runs over the DISTINCT-VALUE table (cardinality-
-    sized, not data-sized — the same reduction ES's per-shard cluster
-    sketches perform), then a buckets-sized final aggregate."""
+    Scale shape: one distributed value-count groupBy reduces the data
+    to the DISTINCT-VALUE table; the running total over that table is
+    a RANGE-PARTITIONED TWO-PASS cumulative sum. Slice boundaries come
+    from one approxQuantile probe (a second cardinality-sized pass —
+    the same two-pass cost ES's per-shard sketches pay); each distinct
+    value maps to slice `#{boundaries < v}` — a DETERMINISTIC, monotone
+    function of the value (never spark_partition_id, whose mapping two
+    AQE-coalesced reads of one exchange need not share). The cumsum
+    then runs WITHIN each slice under a pid-partitioned window
+    (parallel tasks), plus per-slice offsets from a ledger whose row
+    count is the slice count — the ONLY single-task window in the
+    operator. On a continuous double column the distinct-value table
+    approaches the data itself, so a global `Window.orderBy(v)` would
+    be a single-task sort of ~the dataset at 100x — this shape never
+    sorts more than one value slice per task."""
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     vc = (df.filter(F.col(col).isNotNull())
           .groupBy(F.col(col).alias("v"))
           .agg(F.count("*").alias("c")))
     tot = vc.agg(F.sum("c").alias("n"))
+    spark = df.sparkSession
+    # slice count = cumsum parallelism; capped so the boundary list (a
+    # driver-side, config-sized expression) stays small at any
+    # spark.sql.shuffle.partitions setting
+    n_slices = min(max(int(spark.conf.get(
+        "spark.sql.shuffle.partitions", "32")), 1), 1024)
+    bnds: list[float] = []
+    if n_slices > 1:
+        qs = [i / n_slices for i in range(1, n_slices)]
+        bnds = sorted(set(
+            vc.select(F.col("v").cast("double").alias("vd"))
+            .approxQuantile("vd", qs, 0.001)))
+    if bnds:
+        # pid = #{boundaries < v}: a plain sum of comparisons (a lambda
+        # HOF referencing the outer column trips a Catalyst
+        # INTERNAL_ERROR when the expression is folded into the ledger
+        # groupBy); monotone in v, so slices are contiguous ranges
+        vd = F.col("v").cast("double")
+        pid = sum(((F.lit(float(b)) < vd).cast("int") for b in bnds),
+                  start=F.lit(0))
+    else:
+        pid = F.lit(0)
+    parts = vc.withColumn("pid", pid)
+    off = (parts.groupBy("pid").agg(F.sum("c").alias("pc"))
+           .withColumn("off", F.coalesce(
+               F.sum("pc").over(
+                   Window.orderBy("pid")
+                   .rowsBetween(Window.unboundedPreceding, -1)),
+               F.lit(0)))
+           .select("pid", "off"))
     assigned = (
-        vc.crossJoin(F.broadcast(tot))
-        .withColumn("before", F.sum("c").over(
-            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
-            - F.col("c"))
+        parts.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("run", F.sum("c").over(
+            Window.partitionBy("pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("before", F.col("off") + F.col("run") - F.col("c"))
         .withColumn("bucket", F.floor(F.col("before") * buckets
                                       / F.col("n")))
     )

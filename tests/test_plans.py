@@ -287,3 +287,49 @@ def test_frequent_item_sets_counts_combine_map_side(spark):
     # contract is in the counting jobs — assert the results instead
     got = {tuple(r["items"]) for r in out.collect()}
     assert ("a", "b") in got and ("b", "c") in got
+
+
+def test_frequent_item_restriction_broadcasts_not_literal(spark):
+    """The frequent-item list travels as a BROADCAST one-row array, not
+    as a plan literal: with a 5000-item frequent set the physical plan
+    shows a BroadcastExchange/BroadcastNestedLoopJoin and stays small —
+    the F.array(*lits) form would embed all 5000 strings in the
+    generated code (a driver-side plan/codegen blowup at web-scale
+    item vocabularies)."""
+    from picdexer_spark.operators.dashboards import _restrict_to_frequent
+    tx = spark.createDataFrame(
+        [(["item1", "item4999", "nope"],), (["item2"],)],
+        "items array<string>")
+    big = [f"item{j}" for j in range(5000)]
+    r = _restrict_to_frequent(tx, big)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no literal: the item values never appear in the plan text, and
+    # the plan is orders of magnitude smaller than the 5000-lit form
+    assert "item4999" not in plan
+    assert len(plan) < 20_000
+    got = {tuple(x["fi"]) for x in r.collect()}
+    assert got == {("item1", "item4999"), ("item2",)}
+
+
+def test_variable_width_histogram_cumsum_is_slice_partitioned(spark):
+    """The running total over the distinct-value table runs under a
+    pid-PARTITIONED window (parallel range slices), never a global
+    Window.orderBy(v) — which on a continuous double column is a
+    single-task sort of ~the dataset. The only SinglePartition window
+    left is the slice-count offsets ledger."""
+    from picdexer_spark.operators.dashboards import (
+        variable_width_histogram)
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id * 1.0009 AS DOUBLE) AS v")
+    out = variable_width_histogram(df, "v", 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-sized cumsum window is partitioned by the slice id
+    assert "windowspecdefinition(pid" in plan
+    # no window whose spec starts at the value column (the old global
+    # orderBy(v) shape)
+    assert "windowspecdefinition(v#" not in plan
+    rows = out.collect()
+    assert [r["doc_count"] for r in rows] == [500, 500, 500, 500]
+    assert rows[0]["min"] == 0.0
+    assert abs(rows[-1]["max"] - 1999 * 1.0009) < 1e-9
