@@ -1237,6 +1237,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tile_x").cast("double").alias("lat"),
             F.col("tile_y").cast("double").alias("lon"),
             F.col("doc_count").cast("long").alias("n"))
+        # round 6: ES geo_bounding_box (the Kibana map viewport filter)
+        # — one ordinary box and one ANTIMERIDIAN-CROSSING box (left >
+        # right -> lon wrap-around disjunction). Box edges (x.1/x.2/...)
+        # sit off the DMS value grid (quantum ~2.8e-6 deg) and both
+        # engines build lat/lon from the identical IEEE expression, so
+        # the comparisons can never disagree at the edge.
+        bbox = geo.geo_bounding_box(
+            pt, "lat", "lon", top=80.1, left=-30.3, bottom=10.2,
+            right=60.7
+        ).select(
+            F.lit("bbox").alias("arm"), "doc_id",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            F.lit(None).cast("long").alias("n"))
+        bbox_am = geo.geo_bounding_box(
+            pt, "lat", "lon", top=45.3, left=120.2, bottom=-60.7,
+            right=-120.4
+        ).select(
+            F.lit("bbox_am").alias("arm"), "doc_id",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            F.lit(None).cast("long").alias("n"))
         # round 5 wave 5: ES geo_line — per user-bucket LineString over
         # the first 500 events (integer synthetic coords, so the point
         # strings are float-format-free), size=70 so some buckets
@@ -1256,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("complete").cast("string")).alias("line"))
         base = dms.unionAll(grid).unionAll(bmax).unionAll(bmin) \
             .unionAll(cent).unionAll(rings).unionAll(tile) \
+            .unionAll(bbox).unionAll(bbox_am) \
             .withColumn("line", F.lit(None).cast("string"))
         return base.unionByName(gl)
     q["geo_multi"] = geo_multi
@@ -3452,6 +3475,20 @@ def oracle_sql() -> dict[str, str]:
                              85.0511287798066) AS clat, lon
                 FROM pt WHERE lat IS NOT NULL AND lon IS NOT NULL))
         GROUP BY tx, ty
+        UNION ALL
+        SELECT 'bbox', doc_id, round(lat, 6), round(lon, 6),
+               NULL::BIGINT, NULL::VARCHAR
+        FROM pt
+        WHERE lat IS NOT NULL AND lon IS NOT NULL
+          AND lat BETWEEN 10.2 AND 80.1
+          AND lon BETWEEN -30.3 AND 60.7
+        UNION ALL
+        SELECT 'bbox_am', doc_id, round(lat, 6), round(lon, 6),
+               NULL::BIGINT, NULL::VARCHAR
+        FROM pt
+        WHERE lat IS NOT NULL AND lon IS NOT NULL
+          AND lat BETWEEN -60.7 AND 45.3
+          AND (lon >= 120.2 OR lon <= -120.4)
         UNION ALL
         SELECT 'line', g, NULL::DOUBLE, NULL::DOUBLE, n,
                line || '|' || comp

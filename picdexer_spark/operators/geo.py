@@ -165,6 +165,53 @@ def geo_distance_filter(df: DataFrame, lat_col: str, lon_col: str,
         & (d <= F.lit(float(radius_km))))
 
 
+def geo_bbox_cond(lat_col: Column | str, lon_col: Column | str,
+                  top: float, left: float, bottom: float,
+                  right: float) -> Column:
+    """ES `geo_bounding_box` query predicate — the filter the Kibana
+    map issues on EVERY viewport pan/zoom (reference kibana.ndjson:7,
+    the map panel). Corners are the ES top_left/(top, left) and
+    bottom_right/(bottom, right) convention. A box whose `left` >
+    `right` CROSSES THE ANTIMERIDIAN (the Pacific-centered viewport):
+    longitude matches the wrap-around disjunction lon >= left OR
+    lon <= right, the ES dateline rule. NULL coordinates never match.
+    Degenerate refusals mirror ES validation: top must be >= bottom,
+    latitudes within [-90, 90], longitudes within [-180, 180].
+
+    Pure JVM comparisons — Catalyst pushes the predicate into the docs
+    scan (it shows under PushedFilters on a parquet source), so the
+    viewport prunes row groups before anything is read."""
+    top, left = float(top), float(left)
+    bottom, right = float(bottom), float(right)
+    if not (-90.0 <= bottom <= top <= 90.0):
+        raise ValueError(
+            f"geo_bounding_box needs -90 <= bottom <= top <= 90 "
+            f"(got top={top}, bottom={bottom})")
+    if not (-180.0 <= left <= 180.0 and -180.0 <= right <= 180.0):
+        raise ValueError(
+            f"geo_bounding_box longitudes must be within [-180, 180] "
+            f"(got left={left}, right={right})")
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    lat_ok = (lat >= F.lit(bottom)) & (lat <= F.lit(top))
+    if left <= right:
+        lon_ok = (lon >= F.lit(left)) & (lon <= F.lit(right))
+    else:  # antimeridian-crossing viewport
+        lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
+    return lat.isNotNull() & lon.isNotNull() & lat_ok & lon_ok
+
+
+def geo_bounding_box(df: DataFrame, lat_col: str, lon_col: str,
+                     top: float, left: float, bottom: float,
+                     right: float) -> DataFrame:
+    """ES `geo_bounding_box` QUERY over a points frame: rows inside the
+    viewport box (see :func:`geo_bbox_cond` for corner conventions,
+    the antimeridian rule, and validation). A plain filter — no
+    shuffle, predicate pushed to the scan."""
+    return df.filter(
+        geo_bbox_cond(lat_col, lon_col, top, left, bottom, right))
+
+
 def geo_distance_rings(df: DataFrame, lat_col: str, lon_col: str,
                        lat0: float, lon0: float,
                        ranges: list[tuple]) -> DataFrame:

@@ -1375,6 +1375,24 @@ class SearchEngine:
         field in `analyzed_fields` is the ES text-field match contract
         (see _analyzed_match_cond); `field.keyword` forces exact."""
         f, op, v = flt if len(flt) == 3 else (flt[0], "=", flt[1])
+        if op == "geo_bbox":
+            # ES geo_bounding_box as a filter leaf — the Kibana map
+            # viewport filter, composing with every other kuery leaf
+            # through the same AND/OR/NOT machinery. Leaf shape:
+            # ((lat_field, lon_field), "geo_bbox", (top, left, bottom,
+            # right)); fields must be numeric docs columns.
+            from picdexer_spark.operators.geo import geo_bbox_cond
+
+            lat_f, lon_f = f
+            for gf in (lat_f, lon_f):
+                typ = self._docs_fields.get(gf, "").split("(")[0]
+                if typ not in ("double", "float", "bigint", "int",
+                               "smallint", "decimal"):
+                    raise ValueError(
+                        f"geo_bounding_box field {gf!r} must be a "
+                        f"numeric docs column (is "
+                        f"{self._docs_fields.get(gf, 'unknown')})")
+            return geo_bbox_cond(lat_f, lon_f, *v)
         quoted = op.endswith("q")
         op = op[:-1] if quoted else op
         keyword = f.endswith(".keyword")

@@ -295,3 +295,40 @@ def test_exists_query(spark, tmp_path):
     assert len(rows) == n_missing
     with pytest.raises(ValueError, match="unknown filter field"):
         eng.count([], "disjunctive", [("nope", "exists", None)])
+
+
+def test_geo_bbox_leaf_composes_with_kuery_filters(spark, built):
+    """The geo_bounding_box filter leaf — ((lat_f, lon_f), 'geo_bbox',
+    (top, left, bottom, right)) — rides the same _filter_cond machinery
+    as every other kuery leaf (the Kibana map viewport composing with
+    the query bar). Docs numeric columns stand in for coordinates; the
+    wiring, validation, and AND-composition are what's under test."""
+    from pyspark.sql import functions as F
+
+    idx, _pdf = built
+    eng = SearchEngine(spark, idx)
+    box = (90.0, -180.0, 10.0, 180.0)  # doc_id in [10, 90], any doc_len
+    flt = [("lang", "en"), (("doc_id", "doc_len"), "geo_bbox", box)]
+    got = sorted(r["doc_id"] for r in
+                 eng.match_ids(["w1"], "disjunctive", flt).collect())
+    live = eng.cat.read_live_docs(spark, eng.snapshot_id)
+    want_meta = {
+        r["doc_id"] for r in live.filter(
+            (F.col("lang") == "en") & F.col("doc_id").between(10, 90)
+            & F.col("doc_len").between(-180, 180)).collect()}
+    base = {r["doc_id"] for r in
+            eng.match_ids(["w1"], "disjunctive", [("lang", "en")])
+            .collect()}
+    assert got == sorted(base & want_meta) and got
+    assert set(got) < base  # the box really restricted something
+    # scored path accepts the same leaf
+    top = eng.search_filtered(["w1"], "disjunctive", flt, 5).collect()
+    assert {r["doc_id"] for r in top} <= set(got)
+    # refusals: non-numeric field, malformed box
+    with pytest.raises(ValueError, match="numeric"):
+        eng.match_ids(["w1"], "disjunctive",
+                      [(("lang", "doc_len"), "geo_bbox", box)])
+    with pytest.raises(ValueError, match="bottom"):
+        eng.match_ids(["w1"], "disjunctive",
+                      [(("doc_id", "doc_len"), "geo_bbox",
+                        (0.0, 0.0, 10.0, 5.0))])

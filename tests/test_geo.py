@@ -184,3 +184,47 @@ def test_geo_line_orders_caps_and_flags(spark):
             geo_line(pts, "g", "s", "lat", "lon", size=10).collect()}
     assert full["a"]["line"] == "11 21;12 22;10 20"
     assert full["a"]["complete"] is True
+
+
+# -------------------------------------- geo_bounding_box (round 6)
+
+def test_geo_bounding_box_basic_and_antimeridian(spark, geo_pts):
+    # plain viewport: Europe-ish box keeps Paris + next door, not
+    # London (lon < left edge) — corners are (top, left, bottom, right)
+    ids = sorted(r["id"] for r in geo.geo_bounding_box(
+        geo_pts, "lat", "lon", top=50.0, left=1.0, bottom=45.0,
+        right=3.0).collect())
+    assert ids == [1, 4]
+    # London enters when the box widens west
+    ids = sorted(r["id"] for r in geo.geo_bounding_box(
+        geo_pts, "lat", "lon", top=52.0, left=-1.0, bottom=45.0,
+        right=3.0).collect())
+    assert ids == [0, 1, 4]
+    # antimeridian-crossing box (left > right): Pacific viewport
+    # catches Sydney (lon 151.2 >= 140) but nothing in the Atlantic
+    ids = sorted(r["id"] for r in geo.geo_bounding_box(
+        geo_pts, "lat", "lon", top=0.0, left=140.0, bottom=-60.0,
+        right=-140.0).collect())
+    assert ids == [3]
+    # NULL coordinates never match, even in a whole-world box
+    ids = sorted(r["id"] for r in geo.geo_bounding_box(
+        geo_pts, "lat", "lon", top=90.0, left=-180.0, bottom=-90.0,
+        right=180.0).collect())
+    assert ids == [0, 1, 2, 3, 4]
+    # boundary is inclusive on all four edges
+    ids = sorted(r["id"] for r in geo.geo_bounding_box(
+        geo_pts, "lat", "lon", top=48.8566, left=2.3522,
+        bottom=48.8566, right=2.3522).collect())
+    assert ids == [1]
+
+
+def test_geo_bounding_box_refusals(spark, geo_pts):
+    with pytest.raises(ValueError):  # top < bottom
+        geo.geo_bounding_box(geo_pts, "lat", "lon", top=-10.0,
+                             left=0.0, bottom=10.0, right=5.0)
+    with pytest.raises(ValueError):  # latitude out of range
+        geo.geo_bounding_box(geo_pts, "lat", "lon", top=91.0,
+                             left=0.0, bottom=0.0, right=5.0)
+    with pytest.raises(ValueError):  # longitude out of range
+        geo.geo_bounding_box(geo_pts, "lat", "lon", top=10.0,
+                             left=-181.0, bottom=0.0, right=5.0)
