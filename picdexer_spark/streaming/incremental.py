@@ -354,6 +354,121 @@ def reindex(
     )
 
 
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    transform,
+    terms: list[str] | None = None,
+    mode: str = "disjunctive",
+    filters: list = (),
+    source_id: str | None = None,
+) -> int:
+    """ES `_update_by_query`: match set -> in-place transform ->
+    upsert — the third member of the ES mutation triad beside
+    `_delete_by_query` and `_reindex`, composed entirely from existing
+    machinery (match_ids' exact shard kernels for the match set,
+    :func:`build_incremental`'s content-addressed upsert for the
+    write — the reference's upsert-by-_id commit path,
+    internal/elasticsearch/elasticsearch.go:185-190).
+
+    `transform` is the "script": a callable taking the matched LIVE
+    pages frame (url, warc_ts, html=NULL, text, lang) and returning the
+    transformed frame over the same columns. ES contract pins:
+    - `url` is the document _id and MUST be preserved — a transform
+      that introduces unknown urls, drops rows, or forks a url into
+      several rows is refused (ES scripts cannot change _id);
+    - a doc whose transformed content is UNCHANGED is a noop (not
+      reindexed, no version bump) — the `ctx.op = 'noop'` behaviour,
+      pinned as the default here;
+    - changed docs tombstone their old doc_id and reindex under a
+      fresh one (delete-bitmap semantics, never in-place rewrites), so
+      the final index is bit-identical to delete_by_query of the match
+      set + re-ingest of the transformed pages.
+
+    Returns the number of docs actually UPDATED (changed content);
+    noops are not counted. Scale shape: the transform and the
+    md5-diffed upsert run distributed end-to-end — only metadata-sized
+    aggregate rows (validation counts, tombstone ledger) reach the
+    driver."""
+    from picdexer_spark.query.bm25 import SearchEngine
+
+    cat = IndexCatalog(index_dir)
+    parent = cat.current_snapshot()
+    if parent is None:
+        raise ValueError(f"no committed snapshot in {index_dir}")
+    eng = SearchEngine(spark, index_dir, snapshot_id=parent)
+    matched = eng.match_ids(list(terms or []), mode, list(filters))
+    live = cat.read_live_docs(spark, parent)
+    pages = (
+        live.join(matched, "doc_id", "left_semi")
+        .select("url", "warc_ts",
+                F.lit(None).cast("binary").alias("html"), "text", "lang")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_matched = pages.count()
+        if n_matched == 0:
+            return 0
+        out = transform(pages)
+        required = ["url", "warc_ts", "html", "text", "lang"]
+        if sorted(out.columns) != sorted(required):
+            raise ValueError(
+                f"transform must return exactly the pages columns "
+                f"{required} (got {sorted(out.columns)})")
+        out = out.select(*required)
+        vrow = (
+            out.join(pages.select("url").withColumn("_in", F.lit(1)),
+                     "url", "left")
+            .agg(F.count("*").alias("n_out"),
+                 F.coalesce(F.sum("_in"), F.lit(0)).alias("n_known"),
+                 F.countDistinct("url").alias("n_dist"))
+            .first()
+        )
+        if int(vrow["n_known"]) != int(vrow["n_out"]):
+            raise ValueError(
+                "transform introduced urls outside the match set — "
+                "_update_by_query cannot change or mint document _ids")
+        if not (int(vrow["n_out"]) == int(vrow["n_dist"]) == n_matched):
+            raise ValueError(
+                f"transform must return exactly one row per matched doc "
+                f"(matched {n_matched}, got {vrow['n_out']} rows / "
+                f"{vrow['n_dist']} distinct urls)")
+        # per-row identity is content-addressed on text md5 (the
+        # reference's FileID, common.go:44-63): a metadata-only change
+        # (lang/warc_ts edited, text identical) would silently drop as
+        # a redelivery noop — refuse it rather than lose the update
+        n_meta_only = (
+            out.join(live.select("url", "text_md5",
+                                 F.col("lang").alias("_ol"),
+                                 F.col("warc_ts").alias("_ot")), "url")
+            .filter(F.md5("text").eqNullSafe(F.col("text_md5"))
+                    & (~F.col("lang").eqNullSafe(F.col("_ol"))
+                       | ~F.col("warc_ts").eqNullSafe(F.col("_ot"))))
+            .count()
+        )
+        if n_meta_only:
+            raise ValueError(
+                f"{n_meta_only} docs changed only metadata (lang/"
+                f"warc_ts) with text unchanged — unsupported: upsert "
+                f"identity is content-addressed on text; change the "
+                f"text or reindex instead")
+        res = build_incremental(
+            spark, out, index_dir,
+            IndexConfig(import_id="update_by_query"),
+            source_id=source_id or f"update_by_query-{parent}",
+        )
+    finally:
+        pages.unpersist()
+    if res is None:  # source_id already committed — idempotent redelivery
+        return 0
+    return int(
+        cat.read(spark, "deletes")
+        .filter((F.col("snapshot_id") == res.snapshot_id)
+                & (F.col("reason") == "upsert"))
+        .count()
+    )
+
+
 def run_dropzone_stream(
     spark: SparkSession,
     input_dir: str,

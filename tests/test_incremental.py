@@ -286,3 +286,124 @@ def test_reindex_with_query_equals_fresh_subset_build(spark, corpus,
     dst2 = str(tmp_path / "redst2")
     reindex(spark, src, dst2)
     assert SearchEngine(spark, dst2).n_docs == seng.n_docs
+
+
+def test_update_by_query_equals_delete_plus_reingest(spark, corpus,
+                                                     tmp_path):
+    """ES _update_by_query: match set -> transform -> upsert must land
+    the SAME index as delete_by_query of the match set + re-ingest of
+    the transformed pages — checked bit-identically through compact()
+    (posting payload md5s + stats), plus the live docs table directly.
+    Noop pin: matched docs whose transformed text is unchanged are not
+    reindexed and not counted."""
+    from picdexer_spark.streaming.incremental import (
+        compact, delete_by_query, update_by_query)
+
+    pdf = corpus
+
+    def fresh_idx(name):
+        idx = str(tmp_path / name)
+        build_index(spark, spark.createDataFrame(pdf), idx, CFG)
+        return idx
+
+    def transform(pages):
+        # "script": uppercase the language token inside the text of
+        # every matched doc (changes content deterministically), keep
+        # url/warc_ts/lang
+        return pages.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updatedmark")))
+
+    idx_a = fresh_idx("ubq_a")
+    eng0 = SearchEngine(spark, idx_a)
+    match_urls = {
+        r["url"] for r in
+        eng0.cat.read_live_docs(spark, eng0.snapshot_id)
+        .join(eng0.match_ids(["w7"], "disjunctive", [("lang", "en")]),
+              "doc_id").select("url").collect()}
+    assert match_urls
+    n_upd = update_by_query(spark, idx_a, transform, ["w7"],
+                            "disjunctive", [("lang", "en")])
+    assert n_upd == len(match_urls)  # every transform changed content
+
+    # route B: delete the match set, re-ingest the transformed pages
+    idx_b = fresh_idx("ubq_b")
+    n_del = delete_by_query(spark, idx_b, ["w7"], "disjunctive",
+                            [("lang", "en")])
+    assert n_del == len(match_urls)
+    by_url = pdf.set_index("url")
+    sub = by_url.loc[sorted(match_urls)].reset_index()[
+        ["url", "warc_ts", "html", "text", "lang"]]
+    sub["html"] = None
+    sub["text"] = sub["text"] + " updatedmark"
+    build_incremental(spark, spark.createDataFrame(sub), idx_b,
+                      IndexConfig(import_id="reingest"),
+                      source_id="reingest-after-delete")
+
+    # live docs identical (url, text, lang, doc_len) — doc_ids too,
+    # since both routes assign fresh ids from the same next_doc_id
+    def live_sig(idx):
+        e = SearchEngine(spark, idx)
+        return sorted(
+            (r["doc_id"], r["url"], r["text_md5"], r["doc_len"])
+            for r in e.cat.read_live_docs(spark, e.snapshot_id)
+            .select("doc_id", "url", "text_md5", "doc_len").collect())
+
+    assert live_sig(idx_a) == live_sig(idx_b)
+
+    # compact both: bit-identical posting payloads and stats
+    compact(spark, idx_a, CFG)
+    compact(spark, idx_b, CFG)
+
+    def block_sig(i):
+        return {
+            tuple(r) for r in IndexCatalog(i).read(spark, "postings")
+            .selectExpr("term", "shard_id", "block_no",
+                        "md5(doc_ids_enc) AS m1", "md5(tfs_enc) AS m2",
+                        "md5(dls_enc) AS m3").collect()}
+
+    assert block_sig(idx_a) == block_sig(idx_b)
+    sa = IndexCatalog(idx_a).committed_stats(spark)
+    sb = IndexCatalog(idx_b).committed_stats(spark)
+    assert (sa["n_docs"], sa["total_len"], sa["avgdl"]) == \
+           (sb["n_docs"], sb["total_len"], sb["avgdl"])
+
+    # the updated docs really match the new content
+    enga = SearchEngine(spark, idx_a)
+    hits = enga.match_ids(["updatedmark"], "disjunctive").count()
+    assert hits == len(match_urls)
+
+
+def test_update_by_query_noop_and_refusals(spark, corpus, tmp_path):
+    from picdexer_spark.streaming.incremental import update_by_query
+
+    pdf = corpus
+    idx = str(tmp_path / "ubq_noop")
+    build_index(spark, spark.createDataFrame(pdf), idx, CFG)
+    cat = IndexCatalog(idx)
+    snap0 = cat.current_snapshot()
+
+    # identity transform: every matched doc is a noop -> 0 updated
+    assert update_by_query(spark, idx, lambda p: p, ["w7"]) == 0
+    # empty match set: 0, nothing committed
+    assert update_by_query(
+        spark, idx, lambda p: p, ["zz_no_such_term_zz"]) == 0
+
+    with pytest.raises(ValueError, match="_id"):
+        update_by_query(
+            spark, idx,
+            lambda p: p.withColumn("url", F.concat(F.col("url"),
+                                                   F.lit("x"))),
+            ["w7"])
+    with pytest.raises(ValueError, match="one row per matched doc"):
+        update_by_query(spark, idx, lambda p: p.limit(1), ["w7"])
+    with pytest.raises(ValueError, match="pages columns"):
+        update_by_query(spark, idx, lambda p: p.drop("lang"), ["w7"])
+    with pytest.raises(ValueError, match="metadata"):
+        update_by_query(
+            spark, idx,
+            lambda p: p.withColumn("lang", F.lit("xx")), ["w7"])
+    # refusals never committed anything on top of the noop snapshots
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == N
+    assert cat.read(spark, "deletes").count() == 0
+    assert snap0 is not None
