@@ -39,6 +39,7 @@ from picdexer_spark.sources.catalog import IndexCatalog  # noqa: E402
 # index once per sf_dir (cached across queries() calls in this process)
 # ---------------------------------------------------------------------------
 _INDEX_CACHE: dict[str, str] = {}
+_COMPLETION_CACHE: dict[str, str] = {}
 _SHIPPED_SESSIONS: set[int] = set()
 
 
@@ -269,6 +270,34 @@ def _get_index(spark: SparkSession, sf_dir: str) -> str:
         )
     _INDEX_CACHE[key] = index_dir
     return index_dir
+
+
+def _get_completions(spark: SparkSession, sf_dir: str) -> str:
+    """Completion-suggester index over `documents`: one entry per doc,
+    surface = the doc's first three whitespace tokens (the search-box
+    phrase a user would type back), weight = n_chars — deterministic
+    and oracle-expressible. Built once per sf_dir (it's a 473-surface
+    model-sized table at sf0.01)."""
+    from picdexer_spark.query.completion import build_completions
+
+    key = os.path.abspath(sf_dir)
+    got = _COMPLETION_CACHE.get(key)
+    if got and os.path.isdir(os.path.join(got, "completions")):
+        return got
+    docs = _tbl(spark, sf_dir, "documents")
+    comp_dir = tempfile.mkdtemp(prefix="picdexer_entry_comp_")
+    build_completions(
+        docs.select(
+            F.array_join(
+                F.slice(F.split("text", " "), 1, 3), " "
+            ).alias("input"),
+            F.col("n_chars").cast("long").alias("weight"),
+        ),
+        comp_dir,
+        buckets=4,
+    )
+    _COMPLETION_CACHE[key] = comp_dir
+    return comp_dir
 
 
 def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], mode: str, k: int) -> DataFrame:
@@ -565,7 +594,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(p, i + 1) for i, (p, _sc, _h) in enumerate(ph)] or [],
             "term string, df long"
         ).select(F.lit("phrase").alias("part"), "term", "df")
-        return comp.unionByName(dy).unionByName(phr)
+        # round-6 fold: the ES COMPLETION suggester (type: completion —
+        # explicit surfaces + index-time weights, NOT df-ranked terms).
+        # `fst` = exact weight-ordered prefix walk with skip_duplicates;
+        # `fstf` = fuzzy completion (1 edit inside the typed prefix,
+        # first char exact, exact-prefix hits ranked first). Rows carry
+        # the RANK in df so the oracle pins the exact ordering.
+        from picdexer_spark.query.completion import CompletionSuggester
+
+        cs = CompletionSuggester(s, _get_completions(s, d))
+        fst = (
+            cs.complete(PREFIX_STEM, size=10, skip_duplicates=True)
+            .select(F.lit("fst").alias("part"),
+                    F.col("input").alias("term"),
+                    F.col("weight").alias("df"))
+        )
+        fstf = (
+            cs.complete(DYM_INPUT, size=10, fuzziness=1,
+                        skip_duplicates=True)
+            .select(F.lit("fstf").alias("part"),
+                    F.col("input").alias("term"),
+                    F.col("weight").alias("df"))
+        )
+        return (comp.unionByName(dy).unionByName(phr)
+                .unionByName(fst).unionByName(fstf))
     q["suggest_terms_s"] = suggest_terms_s
 
     def metric_aggs_multi(s, d):
@@ -2413,6 +2465,35 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY score DESC, phrase ASC)
                    AS df
           FROM combos ORDER BY df LIMIT 5)
+        UNION ALL
+        SELECT 'fst', input, w FROM (
+          SELECT input, max(n_chars) AS w
+          FROM (SELECT array_to_string(string_split(text, ' ')[1:3], ' ')
+                         AS input,
+                       n_chars
+                FROM documents)
+          GROUP BY input HAVING input LIKE '{PREFIX_STEM}%'
+          ORDER BY w DESC, input ASC LIMIT 10)
+        UNION ALL
+        SELECT 'fstf', input, w FROM (
+          SELECT input, max(n_chars) AS w,
+                 max(CASE WHEN input LIKE '{DYM_INPUT}%'
+                          THEN 1 ELSE 0 END) AS ex
+          FROM (SELECT array_to_string(string_split(text, ' ')[1:3], ' ')
+                         AS input,
+                       n_chars
+                FROM documents)
+          GROUP BY input
+          HAVING input LIKE '{DYM_INPUT[0]}%'
+             AND (input LIKE '{DYM_INPUT}%'
+                  OR least(
+                       levenshtein(substr(input, 1, {len(DYM_INPUT) - 1}),
+                                   '{DYM_INPUT}'),
+                       levenshtein(substr(input, 1, {len(DYM_INPUT)}),
+                                   '{DYM_INPUT}'),
+                       levenshtein(substr(input, 1, {len(DYM_INPUT) + 1}),
+                                   '{DYM_INPUT}')) <= 1)
+          ORDER BY ex DESC, w DESC, input ASC LIMIT 10)
     """
 
     # more_like_this: the interesting-term selection (tf>=2, df>=5,
