@@ -127,6 +127,12 @@ PHRASE = ["part", "filter"]  # an adjacent bigram present in the fixture
 PHRASE_SLOP = 1  # '"part filter"~1': one extra gap allowed, in order
 PP_STEM = "fil"  # '"part fil*"' match_phrase_prefix stem
 DYM_INPUT = "sparc"  # term-suggester misspelling ('spark' at OSA 1)
+# round 6 analyzer gates: a synonym equivalence class (query-time, Lucene
+# SynonymQuery blending) and an index-time stop set (domain stopwords —
+# corpus vocabulary, so dfs/norms really shift)
+SYN_QUERY = ["spark", "dup"]
+SYN_CLASS = ["spark", "batch"]
+STOP_SET = ("data", "value")
 # phrase-suggester input: both slots misspelled ('spark vale' -> the
 # noisy channel must rank both-corrected > value-corrected >
 # spark-corrected); OSA==unrestricted-DL over this vocab is verified
@@ -269,6 +275,34 @@ def _get_index(spark: SparkSession, sf_dir: str) -> str:
             "engine doc_id == source doc_id no longer holds"
         )
     _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+_STOP_INDEX_CACHE: dict[str, str] = {}
+
+
+def _get_index_stop(spark: SparkSession, sf_dir: str) -> str:
+    """Second engine index, built with the index-time STOP FILTER
+    (stopwords=STOP_SET) — gates the whole analysis chain end to end:
+    stopped terms leave the dictionary, norms/avgdl count kept tokens
+    only, scores shift accordingly."""
+    _ensure_shipped(spark)
+    key = os.path.abspath(sf_dir)
+    got = _STOP_INDEX_CACHE.get(key)
+    if got and IndexCatalog(got).current_snapshot():
+        return got
+    index_dir = tempfile.mkdtemp(prefix="picdexer_entry_stopidx_")
+    pages = _documents_as_pages(spark, sf_dir)
+    res = build_index(
+        spark, pages, index_dir,
+        IndexConfig(shard_range=1 << 20, stopwords=STOP_SET,
+                    import_id=f"entry-stop-{os.path.basename(key)}"),
+    )
+    if res.docs_dropped:
+        raise AssertionError(
+            f"{res.docs_dropped} source rows dropped during stop-index "
+            "build; engine doc_id == source doc_id no longer holds")
+    _STOP_INDEX_CACHE[key] = index_dir
     return index_dir
 
 
@@ -421,7 +455,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cross = eng.multi_match(MM_TERMS, 10, "cross_fields").select(
             F.lit("mm_cross").alias("gate"), "doc_id",
             F.round("score", 4).alias("score"))
+        # round 6: 'syn' — query-time synonym class scored as ONE
+        # blended Lucene SynonymQuery clause (tf summed per doc,
+        # df = max over the class) beside a plain singleton clause
+        syn = eng.search_synonyms(SYN_QUERY, [SYN_CLASS], k=10).select(
+            F.lit("syn").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
+        # round 6: 'stop' — the SAME disjunction against the second
+        # index built with the index-time stop filter (STOP_SET):
+        # tf/df of the query terms are unchanged, but dl and avgdl
+        # count kept tokens only, so every score shifts
+        eng_stop = SearchEngine(s, _get_index_stop(s, d))
+        stop = eng_stop.search(SYN_QUERY, "disjunctive", 10).select(
+            F.lit("stop").alias("gate"), "doc_id",
+            F.round("score", 4).alias("score"))
         return u.unionByName(most).unionByName(best).unionByName(cross) \
+            .unionByName(syn).unionByName(stop) \
             .orderBy("gate", F.desc("score"), F.asc("doc_id"))
     q["bm25_multifield"] = bm25_multifield
 
@@ -2815,6 +2864,75 @@ def oracle_sql() -> dict[str, str]:
             ON x.doc_id = y.doc_id)
         ORDER BY s DESC, doc_id ASC LIMIT 10
     """
+    # round 6 'syn' arm: Lucene SynonymQuery blending — the class
+    # {SYN_CLASS} folds to ONE clause with tf = sum of member tfs per doc
+    # and df = max member df; the singleton term stays a plain clause
+    syn_members = sql_terms(sorted(set(SYN_CLASS)))
+    syn_all = sql_terms(sorted(set(SYN_CLASS) | set(SYN_QUERY)))
+    syn_top = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tfc AS (SELECT doc_id,
+                       CASE WHEN term IN ({syn_members})
+                            THEN 'c0' ELSE term END AS cls,
+                       count(*) AS tf
+                FROM tok WHERE term IN ({syn_all})
+                GROUP BY doc_id, cls),
+        dfc AS (SELECT CASE WHEN term IN ({syn_members})
+                            THEN 'c0' ELSE term END AS cls,
+                       max(df) AS df
+                FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                      WHERE term IN ({syn_all}) GROUP BY term)
+                GROUP BY cls),
+        scored AS (
+          SELECT tfc.doc_id,
+                 sum( ln(1 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+                      * (tfc.tf * 2.2)
+                      / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                            / (st.total_len::double / st.n_docs))) ) AS s
+          FROM tfc JOIN dfc USING (cls) JOIN dl USING (doc_id)
+          CROSS JOIN st GROUP BY tfc.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+    # round 6 'stop' arm: the index-time stop filter — the token stream
+    # loses STOP_SET before dl/avgdl form (norms count kept tokens only;
+    # query-term tf/df are untouched since the query terms aren't stopped)
+    stop_lits = ", ".join(f"'{w}'" for w in STOP_SET)
+    stop_top = f"""
+        WITH tok AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS term
+            FROM documents)
+          WHERE term NOT IN ({stop_lits})),
+        dl0 AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        dl AS (SELECT doc_id, coalesce(dl, 0) AS dl
+               FROM documents LEFT JOIN dl0 USING (doc_id)),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT coalesce(sum(dl), 0) FROM dl) AS total_len),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({sql_terms(SYN_QUERY)})
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term IN ({sql_terms(SYN_QUERY)}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                            / (st.total_len::double / st.n_docs))) ) AS s
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
     o["bm25_multifield"] = f"""
         SELECT * FROM (
           SELECT 'url' AS gate, doc_id, score FROM ({u_top})
@@ -2824,6 +2942,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'mm_best' AS gate, doc_id, score FROM ({mm_best_top})
           UNION ALL
           SELECT 'mm_cross' AS gate, doc_id, score FROM ({mm_cross_top})
+          UNION ALL
+          SELECT 'syn' AS gate, doc_id, score FROM ({syn_top})
+          UNION ALL
+          SELECT 'stop' AS gate, doc_id, score FROM ({stop_top})
         ) ORDER BY gate, score DESC, doc_id ASC
     """
 

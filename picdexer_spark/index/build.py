@@ -62,6 +62,10 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from picdexer_spark.functions.extract import extract_text_col
+from picdexer_spark.functions.analysis import (
+    kept_len_col,
+    stopped_tokens_col,
+)
 from picdexer_spark.functions.tokenize import tokens_col
 from picdexer_spark.index.codec import (
     BLOCK_SIZE,
@@ -101,7 +105,21 @@ class IndexConfig:
     #: ~200 content tokens). Enables SearchEngine.search(field="url")
     #: and multi_match.
     index_url_field: bool = True
+    #: index-time STOP FILTER for the content field (Lucene StopFilter
+    #: semantics: position gaps preserved, norms count kept tokens only
+    #: — functions/analysis.py). Accepts an iterable of analyzed terms or
+    #: the ES '_english_' shorthand; normalized to a sorted tuple. The
+    #: set is persisted in the snapshot's analyzer.json — queries and
+    #: incremental appends MUST analyze with the same set (SearchEngine
+    #: and the incremental path read it back). The url field is never
+    #: stop-filtered (urls carry no stopwords; pinned).
+    stopwords: tuple = ()
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        from picdexer_spark.functions.analysis import normalize_stopwords
+
+        self.stopwords = normalize_stopwords(self.stopwords)
 
 
 @dataclass
@@ -302,7 +320,7 @@ STATS_PA_SCHEMA = pa.schema(
      ("import_id", pa.string()), ("next_doc_id", pa.int64()),
      ("shard_range", pa.int64()), ("positions", pa.bool_()),
      ("url_field", pa.bool_()), ("url_total_len", pa.int64()),
-     ("url_n_docs", pa.int64())]
+     ("url_n_docs", pa.int64()), ("stopwords", pa.string())]
 )
 
 PARTIAL_SCHEMA = (
@@ -374,13 +392,24 @@ def _make_arrow_partial_encoder(shard_range: int, with_positions: bool):
         total = len(flat)
         if total == 0:
             return None
-        denc = pc.dictionary_encode(flat)
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = denc.dictionary.to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(doc, lens)
         dl_rep = np.repeat(dl, lens)
         tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         pos = np.arange(total, dtype=np.int64) - np.repeat(tok_starts, lens)
+        if flat.null_count:
+            # stop filter: stopped slots arrive as NULL tokens — masked
+            # HERE, after `pos` is assigned from the raw ordinals, so
+            # position GAPS survive (Lucene StopFilter's position
+            # increments; phrase queries never match across a stopword)
+            valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            flat = flat.drop_null()
+            doc_rep, dl_rep, pos = doc_rep[valid], dl_rep[valid], pos[valid]
+            total = len(flat)
+            if total == 0:
+                return None
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary.to_numpy(zero_copy_only=False)
         order = np.lexsort((doc_rep, codes))  # by code, then doc; stable
         c = codes[order]
         d = doc_rep[order]
@@ -542,8 +571,16 @@ def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     comment above. The map side ships token ARRAYS (one row per doc)
     straight into the Arrow partial encoder — no explode, no JVM sort, no
     per-token Python objects."""
+    # stop filter: stopped slots become NULL (ordinals = Lucene positions
+    # with gaps preserved); the Arrow encoder masks them. doc_len is
+    # already the KEPT-token count (computed in build_index via
+    # kept_len_col — the Lucene norm contract).
+    content_tok = (
+        stopped_tokens_col("text", cfg.stopwords) if cfg.stopwords
+        else tokens_col("text")
+    )
     toks = docs.select(
-        "doc_id", "doc_len", tokens_col("text").alias("tokens")
+        "doc_id", "doc_len", content_tok.alias("tokens")
     )
     if cfg.index_url_field:
         # url-FIELD postings (the ES multi-field mapping made scored):
@@ -672,7 +709,7 @@ def build_index(
     # range exchange, so the id-counting pass can harvest the corpus length
     # sum in the same metadata collect (no post-write doc-stats scan).
     extracted = extract_text(pages).drop("html").withColumn(
-        "doc_len", F.size(tokens_col("text")).cast("long")
+        "doc_len", kept_len_col("text", cfg.stopwords)
     )
 
     # B: identity + doc store (one counting pass also yields lineage counts,
@@ -844,6 +881,11 @@ def build_index(
             "url_field": [bool(cfg.index_url_field)],
             "url_total_len": [int(url_total_len)],
             "url_n_docs": [int(url_n_docs)],
+            # the content field's stop set travels WITH the index (space-
+            # joined — analyzed tokens can't contain spaces): queries and
+            # incremental appends re-analyze with the same set, or dfs
+            # and norms silently diverge
+            "stopwords": [" ".join(cfg.stopwords)],
         },
         schema=STATS_PA_SCHEMA,
     )

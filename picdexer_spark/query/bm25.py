@@ -41,6 +41,7 @@ from picdexer_spark.query.wand import (
     score_groups,
     score_phrase,
     score_phrase_prefix,
+    score_synonyms,
 )
 from picdexer_spark.sources.catalog import URL_FIELD_NS, IndexCatalog
 
@@ -161,6 +162,14 @@ def _score_blocks(mode, asc, ordered, blocks, idf_map, avgdl, k_eff, prune,
     if mode == "groups":
         return score_groups(groups, blocks, idf_map, K1, B, avgdl, k_eff,
                             prune=prune, allowed=allowed, after=after)
+    if mode in ("synonyms", "synonyms_conj"):
+        # `groups` carries [(rep, members)] synonym classes; idf keyed
+        # by rep with BLENDED df (max over members) — see score_synonyms
+        return score_synonyms(
+            groups, blocks, idf_map, K1, B, avgdl, k_eff,
+            mode=("conjunctive" if mode == "synonyms_conj"
+                  else "disjunctive"),
+            allowed=allowed, after=after)
     if mode == "conjunctive":
         return score_conjunctive(asc, blocks, idf_map, K1, B, avgdl, k_eff,
                                  prune=prune, allowed=allowed, after=after)
@@ -258,6 +267,13 @@ class SearchEngine:
         #: queries are refused DRIVER-side otherwise — not as an opaque
         #: executor stack trace)
         self.has_positions = bool(st_d.get("positions") or False)
+        #: the index-time stop set (functions/analysis.py) — analyzed
+        #: query paths re-apply it so a stopword query term vanishes
+        #: (the ES analyzed-away contract) instead of matching nothing
+        #: or, worse, failing a conjunction
+        self.stopwords: tuple[str, ...] = tuple(
+            (st_d.get("stopwords") or "").split()
+        )
         # tombstones (upserted/deleted docs) stay DISTRIBUTED: only the
         # per-shard COUNTS come to the driver (metadata-sized — one row per
         # shard with tombstones). Each shard scorer over-fetches
@@ -521,6 +537,82 @@ class SearchEngine:
             per_shard = per_shard.join(
                 F.broadcast(self.deletes), "doc_id", "left_anti"
             )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_synonyms(
+        self,
+        terms: list[str],
+        synonyms: list[list[str]],
+        mode: str = "disjunctive",
+        k: int = 10,
+        field: str | None = None,
+    ) -> DataFrame:
+        """Top-k with QUERY-TIME synonym expansion — each query term
+        belonging to an equivalence class scores as Lucene's
+        `SynonymQuery`: one blended clause with tf = sum of member tfs
+        per doc and df = max member df (never a bool-OR of members,
+        which would double-count idf for docs containing several).
+        `synonyms` is the analyzer config's equivalence-class list
+        (functions/analysis.py — ES `synonym_graph` filter, query-time
+        as ES's own docs recommend); terms outside any class are
+        singleton clauses, so with `synonyms=[]` this bit-matches
+        :meth:`search`. Two query terms of the same class collapse to
+        one clause (the analyzer emits one SynonymQuery per position
+        set). `mode`: disjunctive (any clause) or conjunctive (every
+        clause — a bool MUST of SynonymQuery clauses).
+
+        Scale shape: identical to :meth:`search` — the candidate scan
+        is `term IN (all members)` (bloom + row-group pruned), the
+        per-shard kernel is score_synonyms' bulk path, results reduce
+        to one k-row driver merge."""
+        from picdexer_spark.functions.analysis import synonym_classes
+
+        if mode not in ("disjunctive", "conjunctive"):
+            raise ValueError(f"unknown mode {mode!r}")
+        cls_map = synonym_classes(synonyms)
+        ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        # expand each term to its class; dedup classes (set-of-classes)
+        classes: list[tuple[str, ...]] = []
+        seen: set[tuple[str, ...]] = set()
+        for t in terms:
+            cls = cls_map.get(t, (t,))
+            if cls not in seen:
+                seen.add(cls)
+                classes.append(cls)
+        if not classes:
+            return self._empty()
+        members_all = sorted({ns + m for cls in classes for m in cls})
+        dfs = self.term_dfs(members_all)
+        kernel_classes: list[tuple[str, tuple[str, ...]]] = []
+        idf_map: dict[str, float] = {}
+        for cls in classes:
+            present = tuple(ns + m for m in cls if (ns + m) in dfs)
+            if not present:
+                if mode == "conjunctive":
+                    return self._empty()  # a required clause matches nothing
+                continue
+            rep = present[0]
+            # Lucene SynonymQuery#docFreq: the blended clause's df is the
+            # MAX over member dfs (tf blending would otherwise pair with
+            # an overcounted union-df and under-score every synonym hit)
+            idf_map[rep] = idf(n_docs_sc, max(dfs[m] for m in present))
+            kernel_classes.append((rep, present))
+        if not kernel_classes:
+            return self._empty()
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        src = self.postings_url if ns else self.postings
+        flat = [m for _, ms in kernel_classes for m in ms]
+        cand = src.filter(F.col("term").isin(flat)).select(*pay_cols)
+        kmode = "synonyms_conj" if mode == "conjunctive" else "synonyms"
+        scorer = _make_shard_scorer(
+            flat, idf_map, k, kmode, avgdl_sc, prune=False,
+            tomb_counts=self._tomb_counts, groups=kernel_classes)
+        per_shard = cand.groupBy("shard_id").applyInPandas(
+            scorer, RESULT_SCHEMA)
+        if self._tomb_counts:
+            per_shard = per_shard.join(
+                F.broadcast(self.deletes), "doc_id", "left_anti")
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     #: Lucene top_terms_N rewrite cap for prefix expansion (ES default 50)
@@ -1200,6 +1292,27 @@ class SearchEngine:
             return self.search(flat, "groups", k, prune, groups=expanded)
 
         terms, mode, filters = parse_kuery(q)
+        if self.stopwords:
+            # the query analyzer re-applies the index's stop filter (the
+            # ES analyzed-away contract): a stopped term VANISHES from
+            # the clause list — it must not fail a conjunction (it is
+            # not in the index) nor stay as a dead disjunct. Plain
+            # tokens only: operator-bearing terms (*, ~, ^, /re/) can't
+            # be bare stopwords. Phrase queries with a stopped slot are
+            # REFUSED (matching across the index-side position gap
+            # needs query-side gap support — not approximated).
+            stop = set(self.stopwords)
+            plain = [t for t in terms if t not in stop]
+            if len(plain) != len(terms):
+                if mode.startswith("phrase"):
+                    raise ValueError(
+                        "phrase query contains stop-filtered term(s) "
+                        f"{sorted(set(terms) & stop)} — the index "
+                        "stopped them (position gaps); rephrase without "
+                        "the stopwords")
+                terms = plain
+                if not terms:
+                    return self._empty()
         if mode == "phrase_prefix":
             # '"part fil*"' — ES match_phrase_prefix; filters with it are
             # refused (not approximated) until the whitelist path learns
@@ -2204,14 +2317,14 @@ class SearchEngine:
             .limit(k)
         )
 
-    @staticmethod
-    def analyze(text: str) -> list[str]:
+    def analyze(self, text: str) -> list[str]:
         """ES `_analyze` API: the token stream the index-time analyzer
         produces for `text` — THE analyzer (one regex, three identical
-        impls: JVM build path, SQL oracle, this python form), so what
-        this returns is exactly what got indexed."""
-        from picdexer_spark.functions.tokenize import tokenize_py
-        return tokenize_py(text)
+        impls: JVM build path, SQL oracle, this python form) plus this
+        snapshot's stop filter, so what this returns is exactly what got
+        indexed."""
+        from picdexer_spark.functions.analysis import analyze_py
+        return analyze_py(text, self.stopwords)
 
     def filters_agg(self, named_queries: dict[str, str]) -> DataFrame:
         """ES `filters` aggregation (the Kibana "split by filters" bucket

@@ -460,6 +460,78 @@ def score_disjunctive(
     return _topk(top_ids, top_scores, k)
 
 
+def score_synonyms(
+    classes: list[tuple[str, tuple[str, ...]]],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    mode: str = "disjunctive",
+    allowed: np.ndarray | None = None,
+    after: tuple | None = None,
+):
+    """Lucene SynonymQuery top-k: each CLASS (rep, members) scores as ONE
+    BM25 clause with tf = sum of member tfs in the doc and idf keyed by
+    `rep` (the caller blends df = max member df — Lucene
+    SynonymQuery#docFreq). Classes combine by `mode`: disjunctive = any
+    class matches, conjunctive = every class must match (a bool of
+    SynonymQuery clauses).
+
+    Exactness note: this is the BULK path (decode every member block
+    once, one np.unique merge per class) — the same exact no-segment
+    formulation as score_disjunctive(prune=False). Block-max pruning
+    over blended clauses is possible (BM25 saturation is subadditive,
+    so summed member ubs bound the blended score) but synonym classes
+    are config-sized and their members share doc ranges, so the sweep's
+    bookkeeping outweighs its skips; pinned to bulk until measured
+    otherwise."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    per_class = []
+    for rep, members in classes:
+        parts = []
+        for t in members:
+            tb = blocks.get(t)
+            if tb is None or tb.n_blocks() == 0:
+                continue
+            ids, tfs, dls = tb.decode_many(np.arange(tb.n_blocks()))
+            if ids.size:
+                parts.append((ids, tfs, dls))
+        if not parts:
+            if mode == "conjunctive":
+                return empty  # a required clause matches nothing here
+            continue
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        u, inv = np.unique(ids, return_inverse=True)
+        tf_sum = np.zeros(u.size, np.int64)
+        np.add.at(tf_sum, inv, tfs.astype(np.int64))
+        dl_u = np.zeros(u.size, np.int64)
+        dl_u[inv] = dls.astype(np.int64)  # same doc -> same dl
+        per_class.append((rep, u, tf_sum, dl_u))
+    if not per_class:
+        return empty
+    all_ids = np.unique(np.concatenate([c[1] for c in per_class]))
+    scores = np.zeros(all_ids.size, np.float64)
+    nmatch = np.zeros(all_ids.size, np.int64)
+    for rep, u, tf_sum, dl_u in per_class:
+        pos = np.searchsorted(all_ids, u)
+        scores[pos] += _score_part(tf_sum, dl_u, idf[rep], k1, b, avgdl)
+        nmatch[pos] += 1
+    if mode == "conjunctive":
+        keep = nmatch == len(classes)
+        all_ids, scores = all_ids[keep], scores[keep]
+    if allowed is not None:
+        keep = _in_sorted(all_ids, allowed)
+        all_ids, scores = all_ids[keep], scores[keep]
+    if after is not None:
+        am = _after_mask(all_ids, scores, after)
+        all_ids, scores = all_ids[am], scores[am]
+    return _topk(all_ids.astype(np.int64), scores, k)
+
+
 def score_groups(
     groups: list[list[str]],
     blocks: dict[str, TermBlocks],

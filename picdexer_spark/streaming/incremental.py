@@ -184,6 +184,10 @@ def build_incremental(
         id_offset=next_id,
         store_positions=store_pos,
         index_url_field=url_field,
+        # the analyzer is a property of the committed INDEX too: a delta
+        # batch analyzed with a different stop set would emit postings
+        # for terms the parent filtered out (df/norm divergence)
+        stopwords=tuple((committed.get("stopwords") or "").split()),
     )
     # write the delta snapshot WITHOUT committing, patch in whole-index
     # stats + tombstones, then commit atomically with the parent pointer
@@ -247,6 +251,7 @@ def build_incremental(
             "url_field": [url_field],
             "url_total_len": [url_total_len],
             "url_n_docs": [url_n_docs],
+            "stopwords": [" ".join(delta_cfg.stopwords)],
         },
         schema=STATS_PA_SCHEMA,
     )
@@ -276,6 +281,7 @@ def compact(
             shard_range=int(committed.get("shard_range") or IndexConfig().shard_range),
             store_positions=bool(committed.get("positions") or False),
             index_url_field=bool(committed.get("url_field") or False),
+            stopwords=tuple((committed.get("stopwords") or "").split()),
         )
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
@@ -289,7 +295,8 @@ def compact(
         IndexConfig(shard_range=cfg.shard_range, block_size=cfg.block_size,
                     import_id=f"compact-{parent}",
                     store_positions=cfg.store_positions,
-                    index_url_field=cfg.index_url_field),
+                    index_url_field=cfg.index_url_field,
+                    stopwords=cfg.stopwords),
         sources=[], commit=False,
     )
     cat.commit(res.snapshot_id, [], parent=None)
@@ -333,6 +340,7 @@ def reindex(
                             or IndexConfig().shard_range),
             store_positions=bool(committed.get("positions") or False),
             index_url_field=bool(committed.get("url_field") or False),
+            stopwords=tuple((committed.get("stopwords") or "").split()),
         )
     live = cat.read(spark, "docs").join(
         cat.read(spark, "deletes").select("doc_id"), "doc_id", "left_anti"
@@ -614,6 +622,7 @@ def delete_by_query(
                 (int(committed.get("url_n_docs") or 0) - del_url_n)
                 if url_field else 0
             ],
+            "stopwords": [committed.get("stopwords") or ""],
         },
         schema=STATS_PA_SCHEMA,
     )

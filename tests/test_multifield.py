@@ -262,6 +262,7 @@ def test_span_first_requires_early_position(spark, built):
         eng.span_first(term, 0)
 
 
-def test_analyze_is_the_index_analyzer():
-    assert SearchEngine.analyze("Foo-BAR 42 baz!") == ["foo", "bar", "42", "baz"]
-    assert SearchEngine.analyze("") == []
+def test_analyze_is_the_index_analyzer(spark, built):
+    eng = SearchEngine(spark, built[0])
+    assert eng.analyze("Foo-BAR 42 baz!") == ["foo", "bar", "42", "baz"]
+    assert eng.analyze("") == []
