@@ -270,19 +270,25 @@ def run_ab_vs_ref(ref: str, n_docs: int, cpus: int,
     gates: list[dict] = []
     ab_gate = float(os.environ.get("BENCH_AB_GATE", "0.88"))
     try:
-        for side in ("new", "old", "old", "new"):
-            # host-gate each slot like the scaling slots (r5 lesson: a
-            # throttle window longer than one slot defeats the
-            # interleave — one run recorded a 135 s slot beside a 13 s
-            # one; min-per-side can't cancel a half-run-long stall)
+        # r6 protocol: SIX alternating slots, min per side. The round-6
+        # bisect showed throttle windows of several MINUTES that pass the
+        # pre-slot gate yet double a slot's build time (same commit: 9.6s
+        # and 22.1s back to back) — with 2 slots/side a window covering
+        # both of one side's slots fabricates a 2x "regression" (that is
+        # exactly what the r5 artifact's 1.04x margin was). Three slots
+        # per side, strictly alternated, make min-per-side robust to any
+        # window shorter than ~4 slots; the post-slot gate re-measure
+        # records whether the host changed DURING a slot.
+        for side in ("new", "old", "new", "old", "new", "old"):
             scale, deferred = wait_host_healthy(ab_gate)
-            gates.append({"side": side, "host_scale": scale,
-                          "deferred": deferred})
             r = subprocess.run(
                 [sys.executable, probe, str(n_docs), str(cpus),
                  str(shard_range)],
                 cwd=sides[side], capture_output=True, text=True,
             )
+            gates.append({"side": side, "host_scale": scale,
+                          "deferred": deferred,
+                          "host_scale_post": quick_host_scale()})
             line = r.stdout.strip().splitlines()[-1]
             out[side].append(json.loads(line))
     finally:
@@ -294,7 +300,7 @@ def run_ab_vs_ref(ref: str, n_docs: int, cpus: int,
     }
     return {
         "ref": ref, "n_docs": n_docs, "cpus": cpus,
-        "order": "new,old,old,new (min per side)",
+        "order": "new,old x3 alternating (min per side)",
         "slot_gates": gates,
         "runs": out,
         "build_t_old": best["old"]["t_build"],
