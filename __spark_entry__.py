@@ -1492,7 +1492,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("id_b").cast("long").alias("id_b"),
                 F.col("est_jaccard").cast("double").alias("jaccard"),
             )
-        return exact.unionAll(ngram).unionAll(mh).unionAll(clus)
+        # round 6: SPAN-level cross-doc dedup — duplicated substrings
+        # inside otherwise-unique docs (winnowing-positional selections,
+        # shared-fp span merge; textops.duplicate_spans). Columns ride
+        # the pair slots: id_a = span_start, id_b = span_end,
+        # n_dups = span_len, keep_id = doc, jaccard = n_fps.
+        sp = tx.duplicate_spans(docs, "doc_id", "text",
+                                k=25, window=8, min_span=120).select(
+            F.lit("spans").alias("arm"), nul("string").alias("text_md5"),
+            F.col("span_len").cast("long").alias("n_dups"),
+            F.col("id").cast("long").alias("keep_id"),
+            F.col("span_start").cast("long").alias("id_a"),
+            F.col("span_end").cast("long").alias("id_b"),
+            F.col("n_fps").cast("double").alias("jaccard"),
+        )
+        return exact.unionAll(ngram).unionAll(mh).unionAll(clus) \
+            .unionAll(sp)
     q["dedup_multi"] = dedup_multi
 
     # ---- multimodal binary columns ---------------------------------------
@@ -3876,6 +3891,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'cluster', NULL, NULL, min(r)::BIGINT, n::BIGINT,
                NULL, NULL
         FROM reach GROUP BY n
+        UNION ALL
+        SELECT 'spans', NULL, span_end - span_start + 1, doc_id,
+               span_start, span_end, n_fps::DOUBLE
+        FROM (
+          WITH wt AS (
+            SELECT doc_id, array_to_string(
+                     regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+                     AS norm
+            FROM documents),
+          wh AS MATERIALIZED (
+            SELECT doc_id,
+                   [('0x' || substr(md5(substr(norm, i, 25)), 1, 15))::BIGINT
+                    FOR i IN range(1, length(norm) - 25 + 2)] AS hashes
+            FROM wt),
+          sel AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_distinct(CASE
+                     WHEN len(hashes) >= 8 THEN
+                       [list_position(hashes[j:j+7],
+                                      list_min(hashes[j:j+7])) + j - 1
+                        FOR j IN range(1, len(hashes) - 8 + 2)]
+                     WHEN len(hashes) > 0 THEN
+                       [list_position(hashes, list_min(hashes))]
+                     ELSE [] END)) AS pos
+            FROM wh),
+          fps AS (SELECT s.doc_id, s.pos, wh.hashes[s.pos] AS fp
+                  FROM sel s JOIN wh USING (doc_id)),
+          shared AS (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(DISTINCT doc_id) >= 2),
+          hits AS (SELECT doc_id, pos FROM fps JOIN shared USING (fp)),
+          sp AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                          PARTITION BY doc_id ORDER BY pos) <= 33
+                        THEN 0 ELSE 1 END AS new_span
+            FROM hits),
+          sp2 AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_id
+            FROM sp)
+          SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + 25 - 1 AS span_end, count(*) AS n_fps
+          FROM sp2 GROUP BY doc_id, span_id)
+        WHERE span_end - span_start + 1 >= 120
     """
 
     BITS = 16

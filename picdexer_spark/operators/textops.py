@@ -573,3 +573,131 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                     F.col("ntok")).alias("tok_end"),
         )
     )
+
+
+def winnow_positional(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, window: int = 6,
+) -> DataFrame:
+    """Winnowing fingerprints WITH positions — the span-dedup primitive.
+
+    Same scheme as :func:`winnow_fingerprints` (hash every char k-gram of
+    the analyzer-normalized text, keep each ``window``'s minimum) but each
+    selection also carries the 1-based char position of its k-gram in the
+    normalized text (ties -> LEFTMOST position, pinned so the DuckDB
+    oracle's `list_position(.., list_min(..))` matches bit-for-bit).
+    Returns exploded (id, pos, fp) rows, one per distinct selected
+    position. All JVM expressions — no UDF, no shuffle.
+    """
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    n = F.length(norm)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: hash60(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
+    h = F.col("_h")
+    nh = F.size(h)
+    # per window j: leftmost position of the window minimum
+    sel = (
+        F.when(
+            nh >= window,
+            F.transform(
+                F.sequence(F.lit(1), nh - window + 1),
+                lambda j: (
+                    F.array_position(
+                        F.slice(h, j, window),
+                        F.array_min(F.slice(h, j, window)),
+                    ) + j - 1
+                ).cast("long"),
+            ),
+        )
+        .when(nh > 0,
+              F.array(F.array_position(h, F.array_min(h)).cast("long")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    exploded = staged.select(
+        "id", "_h", F.explode(F.array_distinct(sel)).alias("pos")
+    )
+    return exploded.select(
+        "id", "pos", F.element_at("_h", F.col("pos").cast("int")).alias("fp")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, window: int = 6,
+    min_docs: int = 2, min_span: int = 30,
+    gap: int | None = None,
+) -> DataFrame:
+    """SPAN-level cross-document dedup — duplicated SUBSTRINGS inside
+    otherwise-unique documents (headers, boilerplate, quoted blocks),
+    the thing document-granular dedup structurally misses and what
+    large pretraining corpora actually scrub (the suffix-array dedup of
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", approximated here with winnowing fingerprints instead of a
+    corpus-wide suffix array — local fingerprints distribute; a suffix
+    array does not).
+
+    Pipeline (positions are 1-based chars in the analyzer-normalized
+    text — lowercase, alnum runs joined by single spaces):
+
+    1. positional winnowing selections per doc (:func:`winnow_positional`
+       — JVM expressions, no shuffle);
+    2. fingerprints appearing in >= ``min_docs`` DISTINCT docs: one
+       partial-agged groupBy(fp) — Zipfian boilerplate fps are exactly
+       the hot keys the map-side combine collapses;
+    3. join back (shuffle on fp), then per doc merge selections whose
+       positions are within ``gap`` chars (default k + window: winnowing
+       guarantees a selection in every window of `window` consecutive
+       k-grams, so inside a continuing duplicated region consecutive
+       selections sit <= window apart) into spans via lag + running-sum
+       — window functions partitioned BY DOC, never corpus-wide;
+    4. keep spans of >= ``min_span`` chars.
+
+    Divergence from exact suffix-array dedup, pinned: a merged span is
+    the union of fingerprint-shared regions and may span material whose
+    duplicate partners are DIFFERENT docs; winnowing guarantees
+    detection only for duplicated regions >= k + window - 1 chars.
+
+    Returns (id, span_start, span_end, span_len, n_fps), one row per
+    span. 100 TB shape: two shuffles (fp agg, fp join), both on the
+    fingerprint key; everything per-doc afterwards.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (a span needs a partner)")
+    g = (k + window) if gap is None else gap
+    sel = winnow_positional(df, id_col, text_col, k=k, window=window)
+    shared = (
+        sel.groupBy("fp")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("fp")
+    )
+    hits = sel.join(shared, "fp").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "new_span",
+            F.when(
+                F.col("pos") - F.lag("pos", 1).over(w) <= g, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + 1
+        )
+    )
+    return spans.filter(F.col("span_len") >= min_span).select(
+        "id", "span_start", "span_end", "span_len", "n_fps"
+    )

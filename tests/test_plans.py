@@ -333,3 +333,22 @@ def test_variable_width_histogram_cumsum_is_slice_partitioned(spark):
     assert [r["doc_count"] for r in rows] == [500, 500, 500, 500]
     assert rows[0]["min"] == 0.0
     assert abs(rows[-1]["max"] - 1999 * 1.0009) < 1e-9
+
+
+def test_duplicate_spans_scale_shape(spark):
+    """Span dedup: the shared-fp aggregation partial-aggs BEFORE its
+    exchange (Zipfian boilerplate fps collapse map-side) and the span
+    merge windows are partitioned BY DOC, never corpus-global."""
+    from picdexer_spark.operators.textops import duplicate_spans
+    df = spark.createDataFrame(
+        [(i, f"doc {i} shared boilerplate passage tail") for i in range(50)],
+        "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", k=8, window=4, min_span=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # doc-partitioned span windows only
+    assert "windowspecdefinition(id" in plan
+    import re as _re
+    # no single-partition (global) window exchange
+    assert "Exchange SinglePartition" not in plan
+    # the count_distinct(id) per fp agg shows a partial_count phase
+    assert _re.search(r"partial_count", plan)
