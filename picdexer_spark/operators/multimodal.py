@@ -98,11 +98,19 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray, int]:
 def _decode_image(buf: bytes) -> tuple[int, int, int, float]:
     """Decode kernel: (width, height, channels, mean_luma in [0,1]).
 
-    Real for binary PPM (the analogue of the reference's ImageMagick decode,
-    binary_resizer.go:35-49, for the one format decodable without codec
-    libs). Compressed formats raise — the caller records decode_ok=false —
+    Real for binary PPM and (round 6) BASELINE JPEG — the reference's own
+    golden fixture is a JPEG it really decodes and resizes
+    (binary_resizer.go:35-49, testdata/picture.jpg) — via the pure-numpy
+    SOF0 codec in functions/jpeg.py. Remaining compressed formats (PNG,
+    progressive JPEG, ...) raise — the caller records decode_ok=false —
     until the cluster image ships Pillow/turbojpeg; only this dispatch
     grows a branch then."""
+    if buf[:3] == b"\xFF\xD8\xFF":
+        from picdexer_spark.functions.jpeg import decode_jpeg
+
+        rgb = decode_jpeg(buf)
+        return (rgb.shape[1], rgb.shape[0], rgb.shape[2],
+                float(rgb.mean()) / 255.0)
     w, h, px, maxval = _decode_ppm(buf)
     return w, h, 3, float(px.mean()) / float(maxval)
 
@@ -167,6 +175,20 @@ def resize_ppm_bytes(buf: bytes, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n%d\n" % (width, height, maxval) + out.tobytes()
 
 
+def resize_jpeg_bytes(buf: bytes, width: int, height: int,
+                      quality: int = 85) -> bytes:
+    """Decode -> nearest-neighbor resize -> re-encode one baseline JPEG
+    (the reference's ImageMagick `-resize` subprocess,
+    binary_resizer.go:35-49, done in-process: functions/jpeg.py)."""
+    from picdexer_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = decode_jpeg(buf)
+    h, w = rgb.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_jpeg(rgb[rows][:, cols], quality=quality)
+
+
 def resize_media(
     df: DataFrame, id_col: str, media_col: str, width: int, height: int
 ) -> DataFrame:
@@ -182,7 +204,13 @@ def resize_media(
             ok = np.zeros(len(pdf), bool)
             for i, buf in enumerate(pdf["media"]):
                 try:
-                    out_media.append(resize_ppm_bytes(bytes(buf), width, height))
+                    raw = bytes(buf)
+                    if raw[:3] == b"\xFF\xD8\xFF":
+                        out_media.append(
+                            resize_jpeg_bytes(raw, width, height))
+                    else:
+                        out_media.append(
+                            resize_ppm_bytes(raw, width, height))
                     ok[i] = True
                 except Exception:
                     out_media.append(None)
