@@ -1497,8 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared-fp span merge; textops.duplicate_spans). Columns ride
         # the pair slots: id_a = span_start, id_b = span_end,
         # n_dups = span_len, keep_id = doc, jaccard = n_fps.
-        sp = tx.duplicate_spans(docs, "doc_id", "text",
-                                k=25, window=8, min_span=120).select(
+        sp_raw = tx.duplicate_spans(docs, "doc_id", "text",
+                                    k=25, window=8, min_span=120)
+        sp = sp_raw.select(
             F.lit("spans").alias("arm"), nul("string").alias("text_md5"),
             F.col("span_len").cast("long").alias("n_dups"),
             F.col("id").cast("long").alias("keep_id"),
@@ -1506,8 +1507,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("span_end").cast("long").alias("id_b"),
             F.col("n_fps").cast("double").alias("jaccard"),
         )
+        # round 6: 'scrub' — the removal ACTION: duplicate spans cut out
+        # of the normalized text; md5 of the cleaned text pins the whole
+        # surgery byte-for-byte. Only docs that had spans (the rest pass
+        # through unchanged — row-count noise, not signal).
+        scr = (
+            tx.scrub_spans(docs, sp_raw, "doc_id", "text")
+            .filter(F.col("n_spans") > 0)
+            .select(
+                F.lit("scrub").alias("arm"),
+                F.md5("text_clean").alias("text_md5"),
+                F.col("n_removed_chars").cast("long").alias("n_dups"),
+                F.col("id").cast("long").alias("keep_id"),
+                F.col("n_spans").cast("long").alias("id_a"),
+                nul("long").alias("id_b"), nul("double").alias("jaccard"),
+            )
+        )
         return exact.unionAll(ngram).unionAll(mh).unionAll(clus) \
-            .unionAll(sp)
+            .unionAll(sp).unionAll(scr)
     q["dedup_multi"] = dedup_multi
 
     # ---- multimodal binary columns ---------------------------------------
@@ -3831,7 +3848,67 @@ def oracle_sql() -> dict[str, str]:
     # Jaccard pairs (same `sh` shingle CTE), banded MinHash-LSH pairs —
     # each arm verbatim from its per-gate oracle, wide-nullable union
     o["dedup_multi"] = f"""
-        WITH RECURSIVE sh AS MATERIALIZED (
+        WITH RECURSIVE wt AS (
+            SELECT doc_id, array_to_string(
+                     regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+                     AS norm
+            FROM documents),
+        wh AS MATERIALIZED (
+            SELECT doc_id,
+                   [('0x' || substr(md5(substr(norm, i, 25)), 1, 15))::BIGINT
+                    FOR i IN range(1, length(norm) - 25 + 2)] AS hashes
+            FROM wt),
+        selx AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_distinct(CASE
+                     WHEN len(hashes) >= 8 THEN
+                       [list_position(hashes[j:j+7],
+                                      list_min(hashes[j:j+7])) + j - 1
+                        FOR j IN range(1, len(hashes) - 8 + 2)]
+                     WHEN len(hashes) > 0 THEN
+                       [list_position(hashes, list_min(hashes))]
+                     ELSE [] END)) AS pos
+            FROM wh),
+        fpx AS (SELECT s.doc_id, s.pos, wh.hashes[s.pos] AS fp
+                FROM selx s JOIN wh USING (doc_id)),
+        sharedx AS (SELECT fp FROM fpx GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+        hitx AS (SELECT doc_id, pos FROM fpx JOIN sharedx USING (fp)),
+        spx AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                          PARTITION BY doc_id ORDER BY pos) <= 33
+                        THEN 0 ELSE 1 END AS new_span
+            FROM hitx),
+        spx2 AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_id
+            FROM spx),
+        spansx AS (
+            SELECT * FROM (
+              SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + 25 - 1 AS span_end, count(*) AS n_fps
+              FROM spx2 GROUP BY doc_id, span_id)
+            WHERE span_end - span_start + 1 >= 120),
+        segx AS (
+            SELECT doc_id,
+                   coalesce(lag(span_end) OVER (
+                     PARTITION BY doc_id ORDER BY span_start) + 1, 1) AS s,
+                   span_start - 1 AS e
+            FROM spansx
+            UNION ALL
+            SELECT doc_id, max(span_end) + 1, NULL
+            FROM spansx GROUP BY doc_id),
+        cleanx AS (
+            SELECT g.doc_id,
+                   trim(regexp_replace(string_agg(
+                     CASE WHEN e IS NULL THEN substr(norm, s)
+                          ELSE substr(norm, s, greatest(e - s + 1, 0)) END,
+                     ' ' ORDER BY s), ' +', ' ', 'g')) AS text_clean
+            FROM segx g JOIN wt USING (doc_id) GROUP BY g.doc_id),
+        sh AS MATERIALIZED (
           SELECT doc_id AS id,
                  list_sort(list_distinct([
                    array_to_string(toks[i:i+2], ' ')
@@ -3894,49 +3971,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'spans', NULL, span_end - span_start + 1, doc_id,
                span_start, span_end, n_fps::DOUBLE
-        FROM (
-          WITH wt AS (
-            SELECT doc_id, array_to_string(
-                     regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
-                     AS norm
-            FROM documents),
-          wh AS MATERIALIZED (
-            SELECT doc_id,
-                   [('0x' || substr(md5(substr(norm, i, 25)), 1, 15))::BIGINT
-                    FOR i IN range(1, length(norm) - 25 + 2)] AS hashes
-            FROM wt),
-          sel AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_distinct(CASE
-                     WHEN len(hashes) >= 8 THEN
-                       [list_position(hashes[j:j+7],
-                                      list_min(hashes[j:j+7])) + j - 1
-                        FOR j IN range(1, len(hashes) - 8 + 2)]
-                     WHEN len(hashes) > 0 THEN
-                       [list_position(hashes, list_min(hashes))]
-                     ELSE [] END)) AS pos
-            FROM wh),
-          fps AS (SELECT s.doc_id, s.pos, wh.hashes[s.pos] AS fp
-                  FROM sel s JOIN wh USING (doc_id)),
-          shared AS (SELECT fp FROM fps GROUP BY fp
-                     HAVING count(DISTINCT doc_id) >= 2),
-          hits AS (SELECT doc_id, pos FROM fps JOIN shared USING (fp)),
-          sp AS (
-            SELECT doc_id, pos,
-                   CASE WHEN pos - lag(pos) OVER (
-                          PARTITION BY doc_id ORDER BY pos) <= 33
-                        THEN 0 ELSE 1 END AS new_span
-            FROM hits),
-          sp2 AS (
-            SELECT doc_id, pos,
-                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS span_id
-            FROM sp)
-          SELECT doc_id, min(pos) AS span_start,
-                 max(pos) + 25 - 1 AS span_end, count(*) AS n_fps
-          FROM sp2 GROUP BY doc_id, span_id)
-        WHERE span_end - span_start + 1 >= 120
+        FROM spansx
+        UNION ALL
+        SELECT 'scrub', md5(c.text_clean), st.rem, c.doc_id, st.nsp,
+               NULL, NULL
+        FROM cleanx c JOIN (
+          SELECT doc_id, count(*) AS nsp,
+                 sum(span_end - span_start + 1) AS rem
+          FROM spansx GROUP BY doc_id) st USING (doc_id)
     """
 
     BITS = 16

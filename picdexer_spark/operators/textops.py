@@ -701,3 +701,97 @@ def duplicate_spans(
     return spans.filter(F.col("span_len") >= min_span).select(
         "id", "span_start", "span_end", "span_len", "n_fps"
     )
+
+
+def scrub_spans(
+    df: DataFrame, spans: DataFrame,
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """The span-dedup REMOVAL action: cut every duplicate span found by
+    :func:`duplicate_spans` out of the analyzer-normalized text — the
+    step a training-data pipeline actually takes after detection (Lee et
+    al. cut exact duplicate spans; boilerplate scrubbing pipelines cut
+    shared ones).
+
+    Formulation (all JVM, windows doc-partitioned): per doc, the KEPT
+    segments are the complement intervals of its spans (lag over the
+    span list), each segment a `substring` of the normalized text;
+    segments reassemble ordered (array_sort over (start, piece)
+    structs) and the cut joints collapse to single spaces. Docs without
+    spans pass through with their normalized text unchanged. Output
+    coordinates and text are NORMALIZED space (lowercase, alnum runs,
+    single spaces) — spans were detected there; cutting raw text would
+    need a char-offset map the tokenizer doesn't keep (pinned).
+
+    Returns (id, text_clean, n_spans, n_removed_chars).
+    """
+    norm_docs = df.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(" ", tokens_col(text_col)).alias("norm"),
+    )
+    sp = spans.select("id", "span_start", "span_end")
+    w = Window.partitionBy("id").orderBy("span_start")
+    # complement intervals: the gap BEFORE each span + one tail segment
+    before = sp.select(
+        "id",
+        F.coalesce(F.lag("span_end", 1).over(w) + 1, F.lit(1))
+        .alias("seg_start"),
+        (F.col("span_start") - 1).alias("seg_end"),
+    )
+    tail = sp.groupBy("id").agg(
+        (F.max("span_end") + 1).alias("seg_start"),
+        F.lit(None).cast("long").alias("seg_end"),  # to end of string
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .alias("n_removed_chars"),
+    )
+    segs = before.unionByName(
+        tail.select("id", "seg_start", "seg_end")
+    ).join(norm_docs, "id")
+    pieces = segs.select(
+        "id",
+        "seg_start",
+        F.when(
+            F.col("seg_end").isNotNull(),
+            F.col("norm").substr(
+                F.col("seg_start").cast("int"),
+                F.greatest(
+                    F.col("seg_end") - F.col("seg_start") + 1, F.lit(0)
+                ).cast("int"),
+            ),
+        ).otherwise(
+            F.col("norm").substr(
+                F.col("seg_start").cast("int"),
+                F.greatest(
+                    F.length("norm") - F.col("seg_start") + 1, F.lit(0)
+                ).cast("int"),
+            )
+        ).alias("piece"),
+    )
+    rebuilt = (
+        pieces.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_start", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("glued")
+        )
+        .select(
+            "id",
+            F.trim(F.regexp_replace("glued", " +", " ")).alias("text_clean"),
+        )
+        .join(tail.select("id", "n_spans", "n_removed_chars"), "id")
+    )
+    untouched = norm_docs.join(sp.select("id").distinct(), "id",
+                               "left_anti").select(
+        "id", F.col("norm").alias("text_clean"),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_removed_chars"),
+    )
+    return rebuilt.select("id", "text_clean", "n_spans",
+                          "n_removed_chars").unionByName(untouched)

@@ -96,3 +96,47 @@ def test_identical_docs_one_full_span(spark):
     assert {r["id"] for r in spans} == {0, 1}
     for r in spans:
         assert r["span_len"] >= len(norm(t)) - 2 * (8 + 4)
+
+
+def test_scrub_spans_removes_shared_passage(spark):
+    from picdexer_spark.operators.textops import scrub_spans
+
+    a = "alpha beta gamma " + BOILER + " delta epsilon"
+    b = "totally different opening words here " + BOILER + " and a tail"
+    c = "nothing in common with anybody at all whatsoever in this one"
+    docs = _docs(spark, [(0, a), (1, b), (2, c)])
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, window=4,
+                            min_span=20)
+    out = {r["id"]: r for r in
+           scrub_spans(docs, spans, "doc_id", "text").collect()}
+    assert set(out) == {0, 1, 2}
+    # the boilerplate is gone from both carriers, untouched doc intact
+    assert BOILER not in out[0]["text_clean"]
+    assert BOILER not in out[1]["text_clean"]
+    assert out[0]["text_clean"].startswith("alpha beta gamma")
+    assert out[0]["text_clean"].endswith("delta epsilon")
+    assert out[2]["text_clean"] == norm(c)
+    assert out[2]["n_spans"] == 0 and out[2]["n_removed_chars"] == 0
+    for did in (0, 1):
+        assert out[did]["n_spans"] == 1
+        assert out[did]["n_removed_chars"] >= len(BOILER) - 2 * (8 + 4)
+    # kept words survive: removal is span surgery, not token filtering
+    assert "different opening words" in out[1]["text_clean"]
+
+
+def test_scrub_spans_multiple_spans_one_doc(spark):
+    from picdexer_spark.operators.textops import scrub_spans
+
+    filler = "x y z w v u t s r q p o n m l k j i h g f e d c b"
+    a = BOILER + " " + filler + " " + BOILER2
+    b = BOILER + " completely different middle content here " + BOILER2
+    docs = _docs(spark, [(0, a), (1, b)])
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, window=4,
+                            min_span=20)
+    out = {r["id"]: r for r in
+           scrub_spans(docs, spans, "doc_id", "text").collect()}
+    assert out[0]["n_spans"] == 2
+    assert BOILER not in out[0]["text_clean"]
+    assert BOILER2 not in out[0]["text_clean"]
+    # the unique middle filler survives between the two cuts
+    assert "x y z" in out[0]["text_clean"]
