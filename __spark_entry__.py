@@ -1701,6 +1701,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("cos_sim").cast("double").alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"),
             )
+        # round 6: 'cos_q8' — int8-quantized coarse scoring + exact
+        # rescore (the FAISS/Lucene SQ8 shape; 4x less scan bandwidth
+        # at 10^9 vectors); generous window so the gate also pins that
+        # the rescored result is deterministic
+        cq8 = sim.cosine_topk_int8(emb, "vec_id", "embedding", [0, 1, 2],
+                                   k=10, rescore_factor=4).select(
+            F.lit("cos_q8").alias("arm"),
+            F.col("query_id").cast("long").alias("id_a"),
+            F.col("neighbor_id").cast("long").alias("id_b"),
+            F.col("cos_sim").cast("double").alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
         # 'rrf' — ES hybrid search (the 8.x rrf retriever): the BM25
         # top-20 for QSTRING_TERMS fused with the vec-0 cosine top-20
         # by reciprocal-rank (1/(60+rank)); vec ids align with doc ids
@@ -1716,7 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 6).alias("cos_sim"),
             nul("int").alias("rank"),
         )
-        return cos.unionAll(lsh).unionAll(cfl).unionAll(fused)
+        return cos.unionAll(lsh).unionAll(cfl).unionAll(cq8) \
+            .unionAll(fused)
     q["ann_pair_multi"] = ann_pair_multi
     q["ann_ivf_topk"] = lambda s, d: sim.ivf_topk(
         _tbl(s, d, "embeddings"), "vec_id", "embedding",
@@ -4220,6 +4233,42 @@ def oracle_sql() -> dict[str, str]:
     o["ann_pair_multi"] = ANN_LSH_BASE + f""",
         cq AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        q8 AS (
+          SELECT vec_id, list_transform(embedding, x ->
+                   greatest(least(round(x::DOUBLE / scale, 0), 127), -127)
+                 ) AS qv
+          FROM (SELECT vec_id, embedding,
+                       greatest(list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))) / 127.0, 1e-30) AS scale
+                FROM embeddings)),
+        q8q AS (SELECT vec_id AS query_id, qv AS qq FROM q8
+                WHERE vec_id IN (0, 1, 2)),
+        q8c AS (
+          SELECT q8q.query_id, q8.vec_id AS neighbor_id,
+                 round(list_dot_product(q8.qv, q8q.qq)
+                       / greatest(sqrt(list_dot_product(q8.qv, q8.qv))
+                                  * sqrt(list_dot_product(q8q.qq, q8q.qq)),
+                                  1e-300), 6) AS coarse
+          FROM q8 CROSS JOIN q8q WHERE q8.vec_id != q8q.query_id),
+        q8s AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY coarse DESC, neighbor_id ASC) AS crank
+            FROM q8c)
+          WHERE crank <= 40),
+        q8r AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(list_dot_product(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[])
+                   / greatest(
+                       sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[])),
+                       1e-300), 6) AS cos_sim
+          FROM q8s s
+          JOIN embeddings e ON e.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id),
         cs AS (
           SELECT cq.query_id, e.vec_id AS neighbor_id,
                  round(list_dot_product(e.embedding::DOUBLE[], cq.qvec::DOUBLE[])
@@ -4258,6 +4307,12 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos_sim DESC, neighbor_id ASC) AS frank
               FROM cs WHERE neighbor_id % 2 = 0)
         WHERE frank <= 5
+        UNION ALL
+        SELECT 'cos_q8', query_id, neighbor_id, cos_sim, q8rank::INT
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS q8rank
+              FROM q8r)
+        WHERE q8rank <= 10
         UNION ALL
         SELECT 'rrf', NULL::BIGINT, doc_id, round(s, 6), NULL::INT
         FROM rrf

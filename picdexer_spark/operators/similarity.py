@@ -364,3 +364,107 @@ def lsh_candidate_pairs(
         .filter(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard ANN memory
+    lever (4x smaller vectors, int arithmetic) used before exact
+    rescoring (FAISS SQ8 / Lucene int8 HNSW quantization).
+
+    scale = max(|v_i|)/127 (per vector; 1.0 for the all-zero vector so
+    division is total), q_i = round(v_i/scale) in [-127, 127]. All JVM
+    array expressions. Returns (id, qvec array<tinyint>, scale double) —
+    parquet stores the tinyint array at 1 byte/dim."""
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.least(F.round(x.cast("double") / scale, 0), F.lit(127.0)),
+                F.lit(-127.0),
+            ).cast("tinyint"),
+        ).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """Quantized-coarse + exact-rescore cosine top-k: score EVERY
+    candidate on int8 vectors (cheap, 4x less memory traffic — at 10^9
+    vectors the scan is memory-bandwidth-bound, so int8 is ~4x the
+    throughput of f32), keep the top `k * rescore_factor` per query,
+    rescore ONLY those with full-precision cosine, return the exact
+    top-k of the rescored set.
+
+    Cosine is scale-invariant, so the per-vector quantization scale
+    cancels and the coarse score is just the int-dot cosine of the
+    quantized vectors. Recall contract (pinned, the FAISS/Lucene SQ8
+    shape): coarse ordering can differ from exact near ties; any true
+    top-k neighbor whose exact rank fits inside the rescore window is
+    returned in exact order — tests pin window-recall on seeded data.
+    Returns (query_id, neighbor_id, cos_sim, rank) like
+    :func:`cosine_topk`."""
+    if rescore_factor < 1:
+        raise ValueError("rescore_factor must be >= 1")
+    qz = quantize_int8(df, id_col, vec_col)
+    qq = (
+        qz.filter(F.col("id").isin(query_ids))
+        .select(F.col("id").alias("query_id"), F.col("qvec").alias("q8"))
+    )
+    # zero-norm guard: cosine with the zero vector is undefined; pin it
+    # to 0 (dot is 0 too) instead of an ANSI divide-by-zero job failure
+    coarse_cos = _dot(F.col("qvec"), F.col("q8")) / F.greatest(
+        _norm(F.col("qvec")) * _norm(F.col("q8")), F.lit(1e-300)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse"), F.asc("id")
+    )
+    survivors = (
+        qz.crossJoin(F.broadcast(qq))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("coarse", F.round(coarse_cos, 6))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= k * rescore_factor)
+        .select("query_id", "id")
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qv = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"))
+    )
+    exact = (
+        survivors.join(v, "id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / F.greatest(_norm(F.col("vec")) * _norm(F.col("qvec")),
+                             F.lit(1e-300)),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                "cos_sim", "rank")
+    )

@@ -482,3 +482,47 @@ def test_cosine_topk_candidate_filter_is_pre_filter(spark):
     # query id 7 is ODD: with pre-filter semantics it must still drive
     # the search even though the candidate filter excludes it
     assert len(got) == 5 and all(r["neighbor_id"] % 2 == 0 for r in got)
+
+
+def test_int8_quantize_and_rescore(spark):
+    """Quantized coarse + exact rescore: scale/clamp invariants, and with
+    a generous rescore window the result must EQUAL exact brute force."""
+    import numpy as np
+
+    from picdexer_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[7] = 0.0  # all-zero vector must not divide by zero
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "id long, embedding array<float>")
+    qz = {r["id"]: r for r in quantize_int8(df, "id", "embedding").collect()}
+    for i in (0, 3, 7):
+        q = np.array(qz[i]["qvec"], np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        if i != 7:
+            # max-|component| quantizes to exactly +-127
+            assert np.abs(q).max() == 127
+            back = q * qz[i]["scale"]
+            assert np.abs(back - vecs[i]).max() <= qz[i]["scale"] / 2 + 1e-9
+        else:
+            assert (q == 0).all()
+    # exact-vs-quantized compare on the non-degenerate set (the exact
+    # brute-force kernel predates the zero-norm guard)
+    df_nz = df.filter("id != 7")
+    exact = [(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in cosine_topk(df_nz, "id", "embedding", [0, 5], k=5)
+             .orderBy("query_id", "rank").collect()]
+    q8 = [(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in cosine_topk_int8(df_nz, "id", "embedding", [0, 5], k=5,
+                                    rescore_factor=8)
+          .orderBy("query_id", "rank").collect()]
+    assert q8 == exact
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cosine_topk_int8(df, "id", "embedding", [0], rescore_factor=0)
