@@ -1418,10 +1418,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     "mean_reciprocal_rank", "ndcg"))]
         re_df = s.createDataFrame(
             re_rows, "part string, key string, sval string, nval double")
+        # round 6: ES _mtermvectors — batch per-doc term statistics
+        # (tf, corpus df, 0-based analyzer positions) for docs 42/45,
+        # filtered to TF_TERMS to keep the gate row-bounded
+        mtv = (
+            eng.mtermvectors([42, 45])
+            .filter(F.col("term").isin(TF_TERMS))
+            .selectExpr(
+                "'mtv' AS part",
+                "stack(3, "
+                "  cast(doc_id AS STRING) || '|' || term || ':tf', "
+                "    cast(tf AS DOUBLE), NULL, "
+                "  cast(doc_id AS STRING) || '|' || term || ':df', "
+                "    cast(df AS DOUBLE), NULL, "
+                "  cast(doc_id AS STRING) || '|' || term || ':pos', "
+                "    NULL, array_join(transform(positions, "
+                "      p -> cast(p AS STRING)), ',')"
+                ") AS (key, nval, sval)")
+        )
         return (
             doc.select("part", "key", "sval", "nval")
             .unionByName(ex.select("part", "key", "sval", "nval"))
             .unionByName(re_df)
+            .unionByName(mtv.select("part", "key", "sval", "nval"))
             .select("part", "key", "sval", F.round("nval", 6).alias("nval"))
             .orderBy("part", "key")
         )
@@ -3597,7 +3616,34 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'explain', term || ':idf', NULL::varchar, idf
           FROM ex
           UNION ALL SELECT 'explain', term || ':score', NULL::varchar,
-                    score FROM ex{_re_union})
+                    score FROM ex{_re_union}
+          UNION ALL SELECT 'mtv', key, sval, nval FROM (
+            WITH mtok AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(len(toks))) AS pos
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+')
+                             AS toks
+                    FROM documents WHERE doc_id IN (42, 45))),
+            mtv AS (
+              SELECT doc_id, term, count(*) AS tf,
+                     list_sort(list(pos)) AS positions
+              FROM mtok WHERE term IN ({sql_terms(TF_TERMS)})
+              GROUP BY doc_id, term),
+            mdf AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM flat
+              WHERE term IN ({sql_terms(TF_TERMS)}) GROUP BY term)
+            SELECT doc_id::VARCHAR || '|' || term || ':tf' AS key,
+                   NULL::VARCHAR AS sval, tf::DOUBLE AS nval
+            FROM mtv
+            UNION ALL
+            SELECT doc_id::VARCHAR || '|' || term || ':df',
+                   NULL, coalesce(mdf.df, 0)::DOUBLE
+            FROM mtv LEFT JOIN mdf USING (term)
+            UNION ALL
+            SELECT doc_id::VARCHAR || '|' || term || ':pos',
+                   array_to_string(positions, ','), NULL::DOUBLE
+            FROM mtv))
         ORDER BY part, key
     """
     # stopword literal shared by the quality / lang-ID feature columns

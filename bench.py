@@ -515,17 +515,18 @@ def main() -> None:
         max_attempts = int(os.environ.get("BENCH_SCALE_ATTEMPTS", "2"))
 
         def one_attempt() -> dict:
-            # ALTERNATING lo,hi,hi,lo with min per level: the host's
-            # throttle deepens over a sustained run, so sequential
-            # lo-then-hi charges all of the drift to the hi level
-            # (observed: identical code, eff 0.83 on a cool host vs 0.48
-            # when hi ran last on a hot one). Each slot is additionally
-            # HOST-GATED: deferred until the host's own 1-vs-8 burn scale
-            # clears `gate` — the r3 artifact (eff 0.522, burn control
-            # 0.781) was measured inside exactly such a window.
+            # SIX strictly alternating slots, min per level (the round-6
+            # A/B lesson applied here too): throttle windows run several
+            # MINUTES and pass the pre-slot gate, so with 2 slots/level a
+            # window covering both of one level's slots fabricates a bad
+            # efficiency — the r6 first run recorded a 93.5 s hi slot
+            # beside a 28.0 s one while the post-hoc burn control read
+            # 0.991 "clean". Min-per-level over 3 alternated slots is
+            # robust to any window shorter than ~4 slots; each slot stays
+            # HOST-GATED (deferred until the 1-vs-8 burn clears `gate`).
             ts: dict[int, list] = {lo: [], hi: []}
             gates = []
-            for c in (lo, hi, hi, lo):
+            for c in (lo, hi, lo, hi, lo, hi):
                 h, deferred = wait_host_healthy(gate)
                 gates.append({"cpus": c, "host_scale": h,
                               "deferred": deferred})
@@ -565,12 +566,23 @@ def main() -> None:
 
         attempts = []
         for i in range(max_attempts):
-            attempts.append(one_attempt())
-            if attempts[-1]["efficiency"] >= 0.8:
+            a = one_attempt()
+            # within-level slot spread: >1.6 means a throttle window ate
+            # at least one slot — the post-hoc burn control can still
+            # read "clean" (it runs at a different moment), so spread is
+            # the honest in-band throttle witness
+            a["slot_spread"] = round(max(
+                max(v) / min(v) for v in
+                (list(map(float, vs)) for vs in a["slot_times"].values())
+            ), 2)
+            attempts.append(a)
+            if a["efficiency"] >= 0.8:
                 break
-            if attempts[-1]["host_ceiling_efficiency"] >= 0.9:
-                # clean host and still short of 0.8: the gap is the
-                # documented membw ceiling — a retry only burns budget
+            if (a["host_ceiling_efficiency"] >= 0.9
+                    and a["slot_spread"] <= 1.6):
+                # clean host AND tight slots, still short of 0.8: the
+                # gap is the documented membw ceiling — a retry only
+                # burns budget
                 break
         best_attempt = max(attempts, key=lambda a: a["efficiency"])
         best_attempt["attempts"] = [

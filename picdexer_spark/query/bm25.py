@@ -1868,7 +1868,9 @@ class SearchEngine:
     def termvectors(self, doc_id: int) -> DataFrame:
         """ES `_termvectors` API: the per-term statistics of ONE stored
         document — (term, tf, positions) from re-analyzing the stored
-        text with THE analyzer, plus the corpus df joined in (the ES
+        text with THE analyzer (incl. this snapshot's stop filter, so
+        the report matches what got indexed — stopped terms absent,
+        position GAPS intact), plus the corpus df joined in (the ES
         `term_statistics: true` form). Positions are 0-based analyzer
         ordinals, the same numbers the positional postings store.
 
@@ -1876,23 +1878,37 @@ class SearchEngine:
         survives), tokens posexplode JVM-side, the df lookup is a
         pushed In(term) scan over term_stats — all row-bounded by one
         document's vocabulary."""
+        return self.mtermvectors([doc_id]).drop("doc_id")
+
+    def mtermvectors(self, doc_ids: list[int]) -> DataFrame:
+        """ES `_mtermvectors`: :meth:`termvectors` for a BATCH of ids in
+        one job — (doc_id, term, tf, df, positions), one pushed
+        In(doc_id) docs scan + one pushed In(term) stats scan; work is
+        bounded by the batch's total vocabulary, never corpus-sized."""
+        from picdexer_spark.functions.analysis import stopped_tokens_col
         from picdexer_spark.functions.tokenize import tokens_col
 
+        ids = [int(i) for i in doc_ids]
+        if not ids:
+            raise ValueError("mtermvectors needs at least one doc_id")
         live = self.cat.read_live_docs(self.spark, self.snapshot_id)
-        doc = live.filter(F.col("doc_id") == int(doc_id))
+        docs = live.filter(F.col("doc_id").isin(ids))
+        tok = (stopped_tokens_col("text", self.stopwords)
+               if self.stopwords else tokens_col("text"))
         tv = (
-            doc.select(F.posexplode(tokens_col("text"))
-                       .alias("pos", "term"))
-            .groupBy("term")
+            docs.select("doc_id",
+                        F.posexplode(tok).alias("pos", "term"))
+            .filter(F.col("term").isNotNull())  # stop gaps keep ordinals
+            .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"),
                  F.sort_array(F.collect_list("pos")).alias("positions"))
         )
         stats = self.term_stats.select("term", "df")
         return (
             tv.join(stats, "term", "left")
-            .select("term", "tf",
+            .select("doc_id", "term", "tf",
                     F.coalesce("df", F.lit(0)).alias("df"), "positions")
-            .orderBy("term")
+            .orderBy("doc_id", "term")
         )
 
     def rrf(self, term_results: DataFrame, other_results: DataFrame,
