@@ -932,12 +932,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.lit("fis").alias("gate"),
                  F.array_join("items", ",").alias("key"),
                  F.col("doc_count").cast("double").alias("value"))
+        # round 6: 'atree' — the nested agg-TREE composer (one rollup
+        # pass + top-k cascade): terms(lang, size 2) > terms(source,
+        # size 2) with a leaf avg and a parent-level max; rows stack
+        # every number the tree reports so the oracle pins parent
+        # denormalization, ES null semantics and both top-k cuts
+        from picdexer_spark.operators.aggtree import agg_tree
+
+        at = agg_tree(docs, {
+            "by_lang": {"terms": {"field": "lang", "size": 2},
+                        "aggs": {
+                            "by_src": {"terms": {"field": "source",
+                                                 "size": 2},
+                                       "aggs": {"avg_len": {"avg": {
+                                           "field": "n_chars"}}}},
+                            "max_len": {"max": {"field": "n_chars"}},
+                        }},
+        }).selectExpr(
+            "'atree' AS gate",
+            "stack(4, "
+            "  by_lang || '|' || by_src || ':ldc', "
+            "    cast(by_lang_doc_count AS DOUBLE), "
+            "  by_lang || '|' || by_src || ':maxlen', "
+            "    cast(max_len AS DOUBLE), "
+            "  by_lang || '|' || by_src || ':dc', cast(doc_count AS DOUBLE), "
+            "  by_lang || '|' || by_src || ':avglen', avg_len"
+            ") AS (key, value)")
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
             .unionByName(adj).unionByName(topm).unionByName(ct)
-            .unionByName(fis).unionByName(vwh)
+            .unionByName(fis).unionByName(vwh).unionByName(at)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -2469,7 +2495,33 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM topm
           UNION ALL SELECT * FROM cat
           UNION ALL SELECT * FROM fis
-          UNION ALL SELECT * FROM vwh)
+          UNION ALL SELECT * FROM vwh
+          UNION ALL SELECT 'atree' AS gate, key, value FROM (
+            WITH al1 AS (
+              SELECT lang, count(*) AS ldc, max(n_chars) AS mx
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY lang ORDER BY ldc DESC, lang ASC LIMIT 2),
+            al2 AS (
+              SELECT d.lang, d.source, count(*) AS dc,
+                     avg(d.n_chars) AS av,
+                     row_number() OVER (PARTITION BY d.lang
+                       ORDER BY count(*) DESC, d.source ASC) AS rk
+              FROM documents d JOIN al1 USING (lang)
+              WHERE d.source IS NOT NULL
+              GROUP BY d.lang, d.source),
+            aleaf AS (
+              SELECT al2.lang, al2.source, al2.dc, al2.av,
+                     al1.ldc, al1.mx
+              FROM al2 JOIN al1 USING (lang) WHERE al2.rk <= 2)
+            SELECT lang || '|' || source || ':ldc' AS key,
+                   ldc::DOUBLE AS value FROM aleaf
+            UNION ALL
+            SELECT lang || '|' || source || ':maxlen', mx::DOUBLE
+            FROM aleaf
+            UNION ALL
+            SELECT lang || '|' || source || ':dc', dc::DOUBLE FROM aleaf
+            UNION ALL
+            SELECT lang || '|' || source || ':avglen', av FROM aleaf))
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor
