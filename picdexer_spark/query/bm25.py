@@ -2342,6 +2342,47 @@ class SearchEngine:
         from picdexer_spark.functions.analysis import analyze_py
         return analyze_py(text, self.stopwords)
 
+    def index_stats(self) -> dict:
+        """ES `_stats` / `_cat/indices` analogue: the operational
+        one-row summary of this engine's pinned snapshot. Everything
+        here is metadata-sized — stats row + manifest + the per-shard
+        metrics rollup (one chained-metrics scan, shard-count rows);
+        nothing data-sized reaches the driver.
+
+        Keys: snapshot_id, n_docs (as-built maxDoc), live_docs
+        (tombstone-adjusted), deleted_docs, avgdl, segments (snapshots
+        in the parent chain — the Lucene segment count analogue),
+        postings_rows, postings_bytes, positions, url_field, stopwords.
+        """
+        man = self.cat.read_manifest()
+        chain = 1
+        snaps = {s["id"]: s for s in man.get("snapshots", [])
+                 if isinstance(s, dict)}
+        cur = snaps.get(self.snapshot_id)
+        while cur and cur.get("parent"):
+            chain += 1
+            cur = snaps.get(cur["parent"])
+        m = self.cat.read(self.spark, "metrics", self.snapshot_id).agg(
+            F.coalesce(F.sum("postings_emitted"), F.lit(0)).alias("pr"),
+            F.coalesce(F.sum("bytes_compressed"), F.lit(0)).alias("pb"),
+        ).first()
+        n_deleted = int(self.deletes.count())
+        return {
+            "snapshot_id": self.snapshot_id,
+            # maxDoc (as-built, incl. tombstones — the Lucene contract)
+            # vs the live count the stats table already carries
+            "n_docs": self.n_docs_scoring,
+            "live_docs": self.n_docs,
+            "deleted_docs": n_deleted,
+            "avgdl": self.avgdl,
+            "segments": chain,
+            "postings_rows": int(m["pr"]),
+            "postings_bytes": int(m["pb"]),
+            "positions": self.has_positions,
+            "url_field": self.has_url_field,
+            "stopwords": list(self.stopwords),
+        }
+
     def filters_agg(self, named_queries: dict[str, str]) -> DataFrame:
         """ES `filters` aggregation (the Kibana "split by filters" bucket
         type): one bucket per NAMED kuery query, value = its full match

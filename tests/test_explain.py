@@ -124,3 +124,39 @@ def test_termvectors_matches_reanalysis(spark, built):
     assert got == want and got
     # a tombstone-free unknown doc id yields an empty vector
     assert eng.termvectors(10**9).count() == 0
+
+
+def test_index_stats_summary(spark, tmp_path):
+    """ES _stats/_cat analogue: metadata-sized operational summary,
+    correct across append + delete (segments = parent-chain length)."""
+    from picdexer_spark.index.build import IndexConfig, build_index
+    from picdexer_spark.streaming.incremental import (
+        build_incremental,
+        delete_by_query,
+    )
+
+    d = str(tmp_path / "sidx")
+    pages = spark.createDataFrame(
+        [(f"u{i}", None, None, f"alpha w{i} beta gamma", "en")
+         for i in range(20)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    build_index(spark, pages, d, IndexConfig(shard_range=64))
+    eng = SearchEngine(spark, d)
+    st = eng.index_stats()
+    assert st["n_docs"] == 20 and st["live_docs"] == 20
+    assert st["deleted_docs"] == 0 and st["segments"] == 1
+    assert st["postings_rows"] > 0 and st["postings_bytes"] > 0
+    assert st["url_field"] and not st["positions"]
+    assert st["stopwords"] == []
+
+    more = spark.createDataFrame(
+        [("u99", None, None, "alpha delta epsilon", "en")],
+        pages.schema)
+    build_incremental(spark, more, d, source_id="b1")
+    delete_by_query(spark, d, ["w3"], "disjunctive")
+    st2 = SearchEngine(spark, d).index_stats()
+    assert st2["n_docs"] == 21
+    assert st2["deleted_docs"] == 1 and st2["live_docs"] == 20
+    assert st2["segments"] == 3          # full + append + delete patch
+    assert st2["postings_rows"] > st["postings_rows"]
