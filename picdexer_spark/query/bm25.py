@@ -244,8 +244,17 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  snapshot_id: str | None = None,
                  preload_stats_max_terms: int = 200_000,
-                 analyzed_fields: tuple[str, ...] = ("url",)):
+                 analyzed_fields: tuple[str, ...] = ("url",),
+                 synonyms: list[list[str]] | None = None):
         self.spark = spark
+        #: query-time synonym equivalence classes (the ES search_analyzer
+        #: `synonym_graph` filter): bare flat query strings route through
+        #: SynonymQuery blending (search_synonyms) when a term belongs
+        #: to a class; unsupported shapes REFUSE rather than silently
+        #: dropping the synonym (see search_query_string)
+        from picdexer_spark.functions.analysis import synonym_classes
+        self._syn_groups = [list(g) for g in (synonyms or [])]
+        self._syn_classes = synonym_classes(synonyms)
         #: string fields mapped text + .keyword (the reference's ES mapping
         #: makes every string field a multi-field, picdexer.json:7-96): a
         #: `field:value` qualifier on these ANALYZES the value — unquoted =
@@ -1257,6 +1266,14 @@ class SearchEngine:
 
         if "(" in q or ")" in q:
             groups, fast = parse_kuery_tree(q)
+            if self._syn_classes and any(
+                    t in self._syn_classes for g in groups for t in g):
+                # boolean-tree queries don't ride the blended kernel —
+                # refuse rather than silently scoring without synonyms
+                raise ValueError(
+                    "synonym-class terms inside a boolean-tree query are "
+                    "not supported — flatten the query or call "
+                    "search_synonyms directly")
             expanded: list[list[str]] = []
             for g in groups:
                 exp: set[str] = set()
@@ -1313,6 +1330,25 @@ class SearchEngine:
                 terms = plain
                 if not terms:
                     return self._empty()
+        if self._syn_classes and mode in ("conjunctive", "disjunctive") \
+                and any(t in self._syn_classes for t in terms):
+            # a synonym-class term in a FLAT query: Lucene rewrites the
+            # clause to a SynonymQuery — route through the blended
+            # kernel. Shapes the blended kernel doesn't cover are
+            # REFUSED (a silently non-synonym result would differ from
+            # the configured analyzer's): filters, boosts, multi-term
+            # operators in the same query.
+            if filters:
+                raise ValueError(
+                    "synonym-expanded terms with field filters are not "
+                    "supported yet — query the terms via "
+                    "search_synonyms + an explicit post-filter")
+            if any(ch in t for ch in "*~^/" for t in terms):
+                raise ValueError(
+                    "synonym-expanded terms cannot combine with "
+                    "wildcard/fuzzy/boost operators in one query")
+            return self.search_synonyms(terms, self._syn_groups,
+                                        mode=mode, k=k)
         if mode == "phrase_prefix":
             # '"part fil*"' — ES match_phrase_prefix; filters with it are
             # refused (not approximated) until the whitelist path learns

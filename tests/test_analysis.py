@@ -232,3 +232,29 @@ def test_synonyms_conjunctive(spark, plain_idx):
     assert eng.search_synonyms(
         ["zzz", "dog"], [["zzz", "qqq"]], mode="conjunctive",
         k=10).count() == 0
+
+
+def test_engine_synonyms_route_query_strings(spark, plain_idx):
+    """SearchEngine(synonyms=...): bare flat query strings with a
+    class term score as SynonymQuery; unsupported shapes refuse."""
+    groups = [["quick", "fast"]]
+    eng = SearchEngine(spark, plain_idx, synonyms=groups)
+    via_qs = [(r["doc_id"], round(r["score"], 9)) for r in
+              eng.search_query_string("quick", 10).collect()]
+    direct = [(r["doc_id"], round(r["score"], 9)) for r in
+              eng.search_synonyms(["quick"], groups, k=10).collect()]
+    assert via_qs == direct and len(via_qs) == 3
+    # non-class terms are untouched
+    plain = SearchEngine(spark, plain_idx)
+    a = [(r["doc_id"], r["score"]) for r in
+         eng.search_query_string("dog", 10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         plain.search_query_string("dog", 10).collect()]
+    assert a == b
+    # refusals: filters / operators / boolean trees with a class term
+    with pytest.raises(ValueError, match="filters"):
+        eng.search_query_string("lang:en quick", 10)
+    with pytest.raises(ValueError, match="wildcard"):
+        eng.search_query_string("quick OR do*", 10)
+    with pytest.raises(ValueError, match="boolean-tree"):
+        eng.search_query_string("(quick OR dog) AND run", 10)
