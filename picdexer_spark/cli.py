@@ -24,7 +24,7 @@ Config JSON (the cmd/conf.go analogue):
 
     {"loggingLevel": "WARN",
      "index": {"dir": "...", "shardRange": 65536, "blockSize": 1024,
-               "storePositions": true},
+               "storePositions": true, "stopwords": "_english_"},
      "spark": {"master": "local[8]", "shufflePartitions": 32},
      "dropzone": {"root": "...", "checkpoint": "...",
                   "period": "5 seconds"}}
@@ -70,6 +70,13 @@ def load_conf(path: str) -> dict:
         raise ValueError(
             f"error while setting logging level ({lvl!r}): expected one "
             f"of {sorted(_LOG_LEVELS)}")
+    if "stopwords" in conf.get("index", {}):
+        # validate the analyzer config at LOAD time (like loggingLevel):
+        # a non-token stopword is a configuration failure before any
+        # Spark work, never a mid-build executor stack trace
+        from picdexer_spark.functions.analysis import normalize_stopwords
+
+        normalize_stopwords(conf["index"]["stopwords"])
     return conf
 
 
@@ -99,6 +106,11 @@ def _index_cfg(conf: dict, import_id: str | None = None):
         kw["block_size"] = int(ic["blockSize"])
     if "storePositions" in ic:
         kw["store_positions"] = bool(ic["storePositions"])
+    if "stopwords" in ic:
+        # the ES analysis.filter stop config: a list of analyzed terms
+        # or the "_english_" shorthand; IndexConfig normalizes/validates
+        # (a non-token stopword = conf error = exit 1, before Spark work)
+        kw["stopwords"] = ic["stopwords"]
     if import_id:
         kw["import_id"] = import_id
     return IndexConfig(**kw)

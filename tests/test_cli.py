@@ -165,3 +165,31 @@ def test_dropzone_once(env, spark, capsys):
     chain = IndexCatalog(idx_dir).parent_chain()
     assert main(["dropzone", "-c", conf_path, "--once"]) == 0
     assert IndexCatalog(idx_dir).parent_chain() == chain
+
+
+def test_conf_stopwords(env, tmp_path, capsys):
+    """index.stopwords rides the conf like the reference's JSON options:
+    a bad entry is a CONF failure (exit 1, before Spark); a good set
+    builds a stop-filtered index the search side then honors."""
+    conf_path, pages_dir, conf = env
+    bad = dict(conf, index=dict(conf["index"],
+                                dir=str(tmp_path / "bad_idx"),
+                                stopwords=["not a token"]))
+    bad_path = tmp_path / "bad_stop.json"
+    bad_path.write_text(json.dumps(bad))
+    assert main(["setup", "-c", str(bad_path)]) == 1
+    assert "stopword" in capsys.readouterr().err
+    good = dict(conf, index=dict(conf["index"],
+                                 dir=str(tmp_path / "stop_idx"),
+                                 stopwords=["w0"]))
+    good_path = tmp_path / "stop.json"
+    good_path.write_text(json.dumps(good))
+    assert main(["full", "-c", str(good_path), "-d", pages_dir,
+                 "-i", "imp-stop"]) == 0
+    capsys.readouterr()
+    # the stopped term is analyzed away: bare `w0` matches nothing,
+    # and `w0 AND w1`-style conjunction degrades to the live term
+    assert main(["search", "-c", str(good_path), "-q", "w0"]) == 0
+    out = capsys.readouterr().out
+    assert "0 hits" in out or out.strip().endswith("hits: 0") or \
+        "doc_id" not in out
