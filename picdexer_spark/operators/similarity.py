@@ -43,6 +43,7 @@ def cosine_topk(
     query_ids: list[int],
     k: int = 10,
     candidate_filter: Column | None = None,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors for each query id.
 
@@ -75,8 +76,14 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
+    scored = joined.withColumn("cos_sim", F.round(cos, 6))
+    if min_sim is not None:
+        # the ES knn `similarity` threshold: candidates below the floor
+        # never enter the per-query heap (fewer than k rows may return —
+        # the documented ES behavior, not an error)
+        scored = scored.filter(F.col("cos_sim") >= float(min_sim))
     return (
-        joined.withColumn("cos_sim", F.round(cos, 6))
+        scored
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -526,3 +526,27 @@ def test_int8_quantize_and_rescore(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cosine_topk_int8(df, "id", "embedding", [0], rescore_factor=0)
+
+
+def test_cosine_topk_min_sim_threshold(spark):
+    """ES knn `similarity`: a score floor — fewer than k rows may
+    return, and every returned row clears the floor."""
+    import numpy as np
+
+    from picdexer_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "id long, embedding array<float>")
+    full = cosine_topk(df, "id", "embedding", [0], k=10).collect()
+    floor = sorted((r["cos_sim"] for r in full), reverse=True)[4]
+    cut = cosine_topk(df, "id", "embedding", [0], k=10,
+                      min_sim=floor).collect()
+    assert 0 < len(cut) <= 5 + 1           # ties at the floor included
+    assert all(r["cos_sim"] >= floor for r in cut)
+    # ranks stay dense 1..n after the cut
+    assert [r["rank"] for r in
+            sorted(cut, key=lambda r: r["rank"])] == list(
+        range(1, len(cut) + 1))
