@@ -218,6 +218,17 @@ def cmd_compact(conf: dict) -> int:
     return RET_OK
 
 
+def cmd_stats(conf: dict) -> int:
+    """ES `_cat/indices` / `_stats` at the CLI: one JSON line of the
+    current snapshot's operational summary (metadata-sized reads only)."""
+    from picdexer_spark.query.bm25 import SearchEngine
+
+    spark = _spark(conf, "stats")
+    eng = SearchEngine(spark, conf["index"]["dir"])
+    print(json.dumps(eng.index_stats(), sort_keys=True))
+    return RET_OK
+
+
 def cmd_delete_by_query(conf: dict, q: str) -> int:
     from picdexer_spark.query.parser import parse_kuery
     from picdexer_spark.streaming.incremental import delete_by_query
@@ -265,6 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     with_conf(sub.add_parser("compact", help="rewrite live corpus fresh"))
 
+    with_conf(sub.add_parser("stats",
+                             help="index stats summary (_cat/_stats)"))
+
     p = with_conf(sub.add_parser("delete-by-query",
                                  help="tombstone matching docs"))
     p.add_argument("-q", "--query", required=True)
@@ -290,6 +304,8 @@ def main(argv: list[str] | None = None) -> int:
                               simple=args.simple)
         if args.cmd == "compact":
             return cmd_compact(conf)
+        if args.cmd == "stats":
+            return cmd_stats(conf)
         if args.cmd == "delete-by-query":
             return cmd_delete_by_query(conf, args.query)
         raise AssertionError(args.cmd)

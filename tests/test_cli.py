@@ -193,3 +193,18 @@ def test_conf_stopwords(env, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "0 hits" in out or out.strip().endswith("hits: 0") or \
         "doc_id" not in out
+
+
+def test_cli_stats(env, capsys):
+    """`stats` prints the _cat/_stats one-liner for the current index."""
+    conf_path, pages_dir, conf = env
+    assert main(["full", "-c", str(conf_path), "-d", pages_dir,
+                 "-i", "imp-st"]) == 0
+    capsys.readouterr()
+    assert main(["stats", "-c", str(conf_path)]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)
+    assert st["live_docs"] > 0 and st["segments"] >= 1
+    assert st["postings_rows"] > 0
+    assert set(st) >= {"snapshot_id", "n_docs", "deleted_docs", "avgdl",
+                       "positions", "url_field", "stopwords"}
