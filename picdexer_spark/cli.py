@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 RET_OK = 0
@@ -95,6 +96,21 @@ def _spark(conf: dict, app: str):
     return spark
 
 
+def _index_dir(conf: dict) -> str:
+    """Resolve conf's ``index.dir`` through the alias registry in its
+    parent directory — every command then takes an <index-or-alias>, the
+    ES endpoint contract. A name registered in ``<parent>/aliases.json``
+    resolves to its target (alias wins over a same-named directory, loudly
+    ES's own rule: alias/index name collisions are refused at alias-create
+    time there, and here the registry is the authority); an unregistered
+    name resolves to itself, so configs without aliases are untouched."""
+    from picdexer_spark.sources.aliases import AliasRegistry
+
+    d = conf["index"]["dir"]
+    parent = os.path.dirname(os.path.abspath(d))
+    return AliasRegistry(parent).resolve(os.path.basename(d))
+
+
 def _index_cfg(conf: dict, import_id: str | None = None):
     from picdexer_spark.index.build import IndexConfig
 
@@ -123,7 +139,7 @@ def cmd_full(conf: dict, dirs: list[str], import_id: str) -> int:
     from picdexer_spark.streaming.incremental import build_incremental
 
     spark = _spark(conf, "full")
-    idx = conf["index"]["dir"]
+    idx = _index_dir(conf)
     n = 0
     for d in dirs:
         pages = spark.read.parquet(d)
@@ -154,7 +170,7 @@ def cmd_dropzone(conf: dict, import_id: str, once: bool) -> int:
         return RET_CONF_FAILURE
     spark = _spark(conf, "dropzone")
     q = run_dropzone_stream(
-        spark, dz["root"], conf["index"]["dir"],
+        spark, dz["root"], _index_dir(conf),
         checkpoint_dir=dz["checkpoint"],
         cfg=_index_cfg(conf, import_id),
         available_now=once,
@@ -176,7 +192,7 @@ def cmd_setup(conf: dict) -> int:
     from picdexer_spark.sources.catalog import IndexCatalog
 
     spark = _spark(conf, "setup")
-    views = IndexCatalog(conf["index"]["dir"]).install_dashboards(spark)
+    views = IndexCatalog(_index_dir(conf)).install_dashboards(spark)
     for v in views:
         print(v)
     return RET_OK
@@ -198,7 +214,7 @@ def cmd_search(conf: dict, q: str, k: int,
     from picdexer_spark.query.bm25 import SearchEngine
 
     spark = _spark(conf, "search")
-    eng = SearchEngine(spark, conf["index"]["dir"], snapshot_id=snapshot)
+    eng = SearchEngine(spark, _index_dir(conf), snapshot_id=snapshot)
     res = (eng.simple_query_string(q, k) if simple
            else eng.search_query_string(q, k))
     docs = eng.cat.read_live_docs(spark, eng.snapshot_id) \
@@ -213,7 +229,7 @@ def cmd_compact(conf: dict) -> int:
     from picdexer_spark.streaming.incremental import compact
 
     spark = _spark(conf, "compact")
-    res = compact(spark, conf["index"]["dir"])
+    res = compact(spark, _index_dir(conf))
     print(f"compacted to snapshot {res.snapshot_id} ({res.n_docs} docs)")
     return RET_OK
 
@@ -224,7 +240,7 @@ def cmd_stats(conf: dict) -> int:
     from picdexer_spark.query.bm25 import SearchEngine
 
     spark = _spark(conf, "stats")
-    eng = SearchEngine(spark, conf["index"]["dir"])
+    eng = SearchEngine(spark, _index_dir(conf))
     print(json.dumps(eng.index_stats(), sort_keys=True))
     return RET_OK
 
@@ -235,8 +251,37 @@ def cmd_delete_by_query(conf: dict, q: str) -> int:
 
     spark = _spark(conf, "delete-by-query")
     terms, mode, filters = parse_kuery(q)
-    n = delete_by_query(spark, conf["index"]["dir"], terms, mode, filters)
+    n = delete_by_query(spark, _index_dir(conf), terms, mode, filters)
     print(f"deleted {n} docs")
+    return RET_OK
+
+
+def cmd_alias(conf: dict, action: str, alias: str | None,
+              index: str | None) -> int:
+    """ES ``_aliases`` at the CLI (no Spark session — pure metadata).
+    The registry lives beside the conf's index dir (``aliases.json`` in
+    its parent), so `swap` after a reindex re-points the name the conf
+    already uses — the zero-downtime promotion."""
+    from picdexer_spark.sources.aliases import AliasRegistry
+
+    root = os.path.dirname(os.path.abspath(conf["index"]["dir"]))
+    reg = AliasRegistry(root)
+    if action == "list":
+        for a, idx in sorted(reg.read().items()):
+            print(f"{a}\t{idx}")
+        return RET_OK
+    if not alias:
+        print("alias error: --alias required", file=sys.stderr)
+        return RET_CONF_FAILURE
+    if action == "add":
+        reg.update([{"add": {"alias": alias, "index": index}}])
+    elif action == "remove":
+        reg.update([{"remove": {"alias": alias}}])
+    elif action == "swap":
+        reg.swap(alias, index)
+    else:
+        raise AssertionError(action)
+    print(f"{action} {alias}" + (f" -> {index}" if index else ""))
     return RET_OK
 
 
@@ -282,6 +327,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = with_conf(sub.add_parser("delete-by-query",
                                  help="tombstone matching docs"))
     p.add_argument("-q", "--query", required=True)
+
+    p = with_conf(sub.add_parser(
+        "alias", help="manage index aliases (_aliases; atomic swap)"))
+    p.add_argument("action", choices=("list", "add", "remove", "swap"))
+    p.add_argument("--alias", default=None, help="alias name")
+    p.add_argument("--index", default=None,
+                   help="target index dir (name under the registry root "
+                        "or absolute path)")
     return ap
 
 
@@ -308,6 +361,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_stats(conf)
         if args.cmd == "delete-by-query":
             return cmd_delete_by_query(conf, args.query)
+        if args.cmd == "alias":
+            return cmd_alias(conf, args.action, args.alias, args.index)
         raise AssertionError(args.cmd)
     except Exception as e:  # execution failure, reference retExecFailure
         print(f"execution error: {e}", file=sys.stderr)
