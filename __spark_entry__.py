@@ -958,12 +958,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "  by_lang || '|' || by_src || ':dc', cast(doc_count AS DOUBLE), "
             "  by_lang || '|' || by_src || ':avglen', avg_len"
             ") AS (key, value)")
+        # round 6: 'rsamp' — ES random_sampler (8.2+): lang counts over a
+        # deterministic-hash 25% sample (seed 7), scaled by 1/p — the
+        # monotonic-agg scaling ES applies; the oracle replicates the
+        # md5-bucket membership bit-for-bit
+        samp, scale = dash.random_sampler(docs, 0.25, seed=7)
+        rs = (samp.filter(F.col("lang").isNotNull()).groupBy("lang")
+              .agg((F.count("*") * F.lit(scale)).alias("v"))
+              .select(F.lit("rsamp").alias("gate"),
+                      F.col("lang").alias("key"),
+                      F.col("v").cast("double").alias("value")))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
             .unionByName(adj).unionByName(topm).unionByName(ct)
             .unionByName(fis).unionByName(vwh).unionByName(at)
+            .unionByName(rs)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -2522,6 +2533,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang || '|' || source || ':dc', dc::DOUBLE FROM aleaf
             UNION ALL
             SELECT lang || '|' || source || ':avglen', av FROM aleaf))
+          UNION ALL
+          SELECT 'rsamp' AS gate, lang AS key, count(*) * 4.0 AS value
+          FROM documents
+          WHERE lang IS NOT NULL AND
+            ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 1000000 < 250000
+          GROUP BY lang
         ORDER BY gate, key, value
 """
     # composite agg page 2: grouped keys asc, strictly-greater cursor

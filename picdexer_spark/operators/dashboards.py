@@ -811,6 +811,38 @@ def weighted_avg(df: DataFrame, value_col: str,
     )
 
 
+def random_sampler(df: DataFrame, probability: float, seed: int = 0,
+                   id_col: str = "doc_id") -> tuple[DataFrame, float]:
+    """ES `random_sampler` agg (8.2+): run sub-aggregations over a random
+    ~``probability`` fraction of the documents and scale monotonic results
+    back by 1/probability — the cost lever Kibana pulls on huge date
+    ranges (aggregate 1% of 10^12 docs, report approximately-full-data
+    numbers at 1% of the cost).
+
+    Returns ``(sampled_df, scale)``: callers run any sub-agg on the sample
+    and multiply doc_count/sum-like outputs by ``scale`` (exactly ES's
+    contract — avg/min/max style metrics are NOT scaled; the caller knows
+    which of its outputs are monotonic).
+
+    Membership is a DETERMINISTIC per-doc hash (md5 of seed|id, first 60
+    bits, modulo 10^6 against probability*10^6) rather than Spark's
+    ``df.sample``: (a) re-runs and retried tasks see the identical sample
+    (ES's seeded contract; Spark's sample is partition-order-dependent
+    under retries), (b) any engine can replicate it bit-for-bit (the gate
+    oracle does, in DuckDB). Scale shape: the predicate is a narrow
+    map-side filter on the scan — every downstream shuffle/agg moves only
+    the sampled fraction, which is the entire point of the agg at 100 TB.
+    """
+    if not (0.0 < probability <= 1.0):
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)),
+                                      F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long") % 1_000_000
+    return df.filter(bucket < int(probability * 1_000_000)), 1.0 / probability
+
+
 def median_absolute_deviation(df: DataFrame, col: str) -> DataFrame:
     """ES `median_absolute_deviation` metric agg:
     median(|x - median(x)|), the outlier-robust spread measure. ES

@@ -584,3 +584,27 @@ def test_variable_width_histogram_value_atomic_equal_depth(spark):
         assert mins == sorted(mins)  # buckets are ordered, disjoint
     with pytest.raises(ValueError):
         variable_width_histogram(df, "v", 0)
+
+
+def test_random_sampler_deterministic_scaled(spark):
+    from picdexer_spark.operators.dashboards import random_sampler
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    samp, scale = random_sampler(df, 0.25, seed=7)
+    n = samp.count()
+    assert scale == 4.0
+    # the hash membership is uniform enough at 4000 ids and EXACTLY
+    # repeatable (same seed -> same rows; different seed -> different set)
+    assert 800 <= n <= 1200
+    assert samp.count() == n  # re-evaluation is stable (no rand())
+    ids_a = {r["doc_id"] for r in samp.collect()}
+    samp_b, _ = random_sampler(df, 0.25, seed=7)
+    assert {r["doc_id"] for r in samp_b.collect()} == ids_a
+    samp_c, _ = random_sampler(df, 0.25, seed=8)
+    assert {r["doc_id"] for r in samp_c.collect()} != ids_a
+    # p=1 keeps everything; out-of-range p refuses
+    full, s1 = random_sampler(df, 1.0)
+    assert full.count() == 4000 and s1 == 1.0
+    with pytest.raises(ValueError):
+        random_sampler(df, 0.0)
+    with pytest.raises(ValueError):
+        random_sampler(df, 1.5)
