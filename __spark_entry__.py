@@ -1579,8 +1579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 nul("long").alias("id_b"), nul("double").alias("jaccard"),
             )
         )
+        # round 6: 'decon' — benchmark decontamination (the GPT-3 13-gram
+        # collision rule; n=8 here so the synthetic near-dups collide):
+        # docs with doc_id % 97 == 0 play the eval set, the rest are the
+        # corpus; keep_id = contaminated doc, n_dups = matched shingles
+        dec = tx.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "doc_id", "text", n=8,
+        ).select(
+            F.lit("decon").alias("arm"), nul("string").alias("text_md5"),
+            F.col("n_matched").cast("long").alias("n_dups"),
+            F.col("id").cast("long").alias("keep_id"),
+            nul("long").alias("id_a"), nul("long").alias("id_b"),
+            nul("double").alias("jaccard"),
+        )
         return exact.unionAll(ngram).unionAll(mh).unionAll(clus) \
-            .unionAll(sp).unionAll(scr)
+            .unionAll(sp).unionAll(scr).unionAll(dec)
     q["dedup_multi"] = dedup_multi
 
     # ---- multimodal binary columns ---------------------------------------
@@ -4108,6 +4123,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, count(*) AS nsp,
                  sum(span_end - span_start + 1) AS rem
           FROM spansx GROUP BY doc_id) st USING (doc_id)
+        UNION ALL
+        SELECT 'decon', NULL, nm, doc_id, NULL, NULL, NULL
+        FROM (
+          WITH dsh AS (
+            SELECT doc_id, list_distinct([
+                     array_to_string(t[i:i+7], ' ')
+                     FOR i IN range(1, len(t) - 8 + 2)]) AS g8
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                  FROM documents)
+            WHERE len(t) >= 8),
+          bsh AS (SELECT DISTINCT unnest(g8) AS g FROM dsh
+                  WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, unnest(g8) AS g FROM dsh
+                   WHERE doc_id % 97 != 0)
+          SELECT corp.doc_id, count(*) AS nm
+          FROM corp JOIN bsh USING (g) GROUP BY corp.doc_id)
     """
 
     BITS = 16

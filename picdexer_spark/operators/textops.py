@@ -86,6 +86,46 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  n: int = 13, min_matches: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing token n-grams
+    with an evaluation set — the GPT-3-style 13-gram collision rule every
+    pretraining pipeline runs before training (Brown et al. 2020 §C;
+    PaLM/Llama use the same shape with n 8-13).
+
+    Returns (id, n_matched) for docs whose distinct-shingle overlap with
+    the UNION of benchmark shingles reaches ``min_matches``; scrub with
+    ``docs.join(result, id, "left_anti")``.
+
+    Scale shape (the decisive property): the benchmark side is eval-set
+    sized (10^3-10^6 shingles — model-sized, never corpus-sized), so it
+    aggregates to a distinct shingle set and BROADCASTS; the corpus side
+    explodes map-side into (id, shingle) and the broadcast hash semi-join
+    filters it in place — rows surviving to the groupBy are matched
+    shingles only (contamination-sized, ~0 on clean corpora). No
+    corpus-sized shuffle, no literal-array plan embedding (the
+    frequent_item_sets lesson: a 10^5-element lit() array is a
+    codegen/plan blowup — the broadcast JOIN carries the set instead).
+    """
+    if min_matches < 1:
+        raise ValueError(f"min_matches must be >= 1, got {min_matches}")
+    bcol = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(bcol, n)).alias("g"))
+        .distinct()
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("g")
+    )
+    return (
+        ex.join(F.broadcast(bench_sh), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_matched"))  # shingles are distinct/doc
+        .filter(F.col("n_matched") >= min_matches)
+    )
+
+
 def _shingles(text_col: str, n: int = 3):
     """Sorted distinct n-gram (token) shingles as an array column.
 

@@ -550,3 +550,36 @@ def test_cosine_topk_min_sim_threshold(spark):
     assert [r["rank"] for r in
             sorted(cut, key=lambda r: r["rank"])] == list(
         range(1, len(cut) + 1))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from picdexer_spark.operators.textops import decontaminate
+
+    bench_q = ("what is the capital of france the capital of france is "
+               "paris obviously")
+    docs = spark.createDataFrame([
+        (1, "totally clean document about cooking pasta with tomatoes "
+            "and fresh basil in a copper pot"),
+        (2, "leaked eval row: what is the capital of france the capital "
+            "of france is paris obviously plus some page chrome"),
+        (3, "another clean page discussing distributed systems and "
+            "consensus protocols at length"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_q)], "bid long, text string")
+
+    got = {r["id"]: r["n_matched"]
+           for r in decontaminate(docs, bench, "doc_id", "text",
+                                  n=13).collect()}
+    assert set(got) == {2}  # only the leaked doc flags; clean docs absent
+    # a tighter rule (more required collisions) can clear it again
+    assert decontaminate(docs, bench, "doc_id", "text", n=13,
+                         min_matches=got[2] + 1).count() == 0
+    # scrub composition: anti-join removes exactly the flagged doc
+    flagged = decontaminate(docs, bench, "doc_id", "text", n=13) \
+        .withColumnRenamed("id", "doc_id")
+    assert sorted(r["doc_id"] for r in
+                  docs.join(flagged, "doc_id", "left_anti")
+                  .select("doc_id").collect()) == [1, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decontaminate(docs, bench, "doc_id", "text", min_matches=0)
