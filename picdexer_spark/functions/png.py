@@ -1,0 +1,192 @@
+"""Pure-numpy + stdlib-zlib PNG codec (decode + fixture encoder).
+
+Closes the last decode_ok=false gap in the binary pipeline's common-web
+formats (operators/multimodal.py — the reference resizes arbitrary images
+via ImageMagick, internal/binary/binary_resizer.go:35-49; JPEG landed in
+functions/jpeg.py, PNG lands here). Everything comes from the public PNG
+specification (RFC 2083 / ISO 15948) and needs nothing beyond the stdlib:
+PNG's DEFLATE layer IS zlib, which Python ships, so unlike JPEG there is
+no entropy decoder to hand-roll — the codec is chunk parsing + scanline
+un-filtering:
+
+* chunk walk (signature, IHDR, PLTE, IDAT+, IEND) with CRC-32 verification
+  (zlib.crc32 — a corrupt chunk refuses, never decodes garbage),
+* zlib-inflate of the concatenated IDAT stream,
+* per-scanline un-filtering of the five spec filters (None/Sub/Up/
+  Average/Paeth). Up/None rows are whole-row numpy; Sub/Average/Paeth
+  recurrences are sequential in x by definition, so those rows walk
+  pixels with channel-vectorized numpy — fine for fixture/test scale,
+  and the batch boundary above this kernel (mapInPandas) is where a
+  cluster swaps in Pillow-SIMD without touching any plumbing,
+* palette (PLTE) expansion to RGB.
+
+Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha), 6 (RGBA), interlace 0. REFUSED loudly (never guessed):
+bit depths 1/2/4/16, Adam7 interlace, missing PLTE for type 3. The
+encoder half exists for test fixtures (filter-0 rows, one IDAT) plus a
+`filter_type` knob so decoder tests can pin every filter's inverse
+against hand-applied spec math rather than round-tripping the codec
+against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per color type (spec 4.1.1)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    pass
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG -> (H, W, C) uint8 (C per color type; palette expands to 3).
+
+    Refusals (PngError): bad signature/CRC, non-8-bit depth, Adam7,
+    unknown color type, truncated IDAT, geometry mismatch.
+    """
+    if buf[:8] != _SIG:
+        raise PngError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(buf):
+            raise PngError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise PngError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise PngError("missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise PngError(f"unsupported bit depth {depth} (8 only)")
+    if color not in _CHANNELS:
+        raise PngError(f"unknown color type {color}")
+    if comp != 0 or filt != 0:
+        raise PngError("unknown compression/filter method")
+    if interlace != 0:
+        raise PngError("Adam7 interlace unsupported")
+    if w == 0 or h == 0:
+        raise PngError("zero dimension")
+    ch = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # noqa: F841
+        raise PngError("corrupt IDAT zlib stream") from None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise PngError("IDAT length does not match geometry")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        ft, cur = int(ftypes[y]), rows[y].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            out[y] = cur
+        elif ft == 2:  # Up — whole-row vector
+            out[y] = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            line = out[y]
+            for x in range(0, stride, ch):
+                a = line[x - ch:x] if x else np.zeros(ch, np.int32)
+                if ft == 1:
+                    line[x:x + ch] = (cur[x:x + ch] + a) & 0xFF
+                elif ft == 3:
+                    b = prev[x:x + ch]
+                    line[x:x + ch] = (cur[x:x + ch] + (a + b) // 2) & 0xFF
+                else:
+                    b = prev[x:x + ch]
+                    c = prev[x - ch:x] if x else np.zeros(ch, np.int32)
+                    pr = np.fromiter(
+                        (_paeth(int(a[i]), int(b[i]), int(c[i]))
+                         for i in range(ch)), np.int32, count=ch)
+                    line[x:x + ch] = (cur[x:x + ch] + pr) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ft} in row {y}")
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise PngError("palette image without PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise PngError("palette index out of range")
+        return plte[idx]
+    return px
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W) or (H, W, C in 1/2/3/4) uint8 -> PNG bytes.
+
+    ``filter_type`` applies ONE spec filter to every row (0 none, 1 sub,
+    2 up, 3 average, 4 paeth) — fixtures built with each value pin the
+    decoder's five inverse paths independently of the encoder default.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("array must be (H, W, C) with C in 1..4")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter_type {filter_type}")
+    a8 = np.ascontiguousarray(arr, np.uint8)
+    h, w, ch = a8.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a8.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            pr = np.fromiter(
+                (_paeth(int(left[i]), int(prev[i]), int(ul[i]))
+                 for i in range(w * ch)), np.int32, count=w * ch)
+            enc = cur - pr
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8)
+                     .tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + _chunk(b"IEND", b""))

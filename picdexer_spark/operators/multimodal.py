@@ -98,19 +98,26 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray, int]:
 def _decode_image(buf: bytes) -> tuple[int, int, int, float]:
     """Decode kernel: (width, height, channels, mean_luma in [0,1]).
 
-    Real for binary PPM and (round 6) BASELINE JPEG — the reference's own
+    Real for binary PPM, (round 6) BASELINE JPEG — the reference's own
     golden fixture is a JPEG it really decodes and resizes
     (binary_resizer.go:35-49, testdata/picture.jpg) — via the pure-numpy
-    SOF0 codec in functions/jpeg.py. Remaining compressed formats (PNG,
-    progressive JPEG, ...) raise — the caller records decode_ok=false —
-    until the cluster image ships Pillow/turbojpeg; only this dispatch
-    grows a branch then."""
+    SOF0 codec in functions/jpeg.py, and (round 6) 8-bit PNG via the
+    zlib+numpy codec in functions/png.py. Remaining formats (progressive
+    JPEG, 16-bit/interlaced PNG, WEBP, ...) raise — the caller records
+    decode_ok=false — until the cluster image ships Pillow/turbojpeg;
+    only this dispatch grows a branch then."""
     if buf[:3] == b"\xFF\xD8\xFF":
         from picdexer_spark.functions.jpeg import decode_jpeg
 
         rgb = decode_jpeg(buf)
         return (rgb.shape[1], rgb.shape[0], rgb.shape[2],
                 float(rgb.mean()) / 255.0)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from picdexer_spark.functions.png import decode_png
+
+        px = decode_png(buf)
+        return (px.shape[1], px.shape[0], px.shape[2],
+                float(px.mean()) / 255.0)
     w, h, px, maxval = _decode_ppm(buf)
     return w, h, 3, float(px.mean()) / float(maxval)
 
@@ -189,6 +196,18 @@ def resize_jpeg_bytes(buf: bytes, width: int, height: int,
     return encode_jpeg(rgb[rows][:, cols], quality=quality)
 
 
+def resize_png_bytes(buf: bytes, width: int, height: int) -> bytes:
+    """Decode -> nearest-neighbor resize -> re-encode one 8-bit PNG
+    (functions/png.py; channel count preserved — gray/alpha survive)."""
+    from picdexer_spark.functions.png import decode_png, encode_png
+
+    px = decode_png(buf)
+    h, w = px.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_png(px[rows][:, cols])
+
+
 def resize_media(
     df: DataFrame, id_col: str, media_col: str, width: int, height: int
 ) -> DataFrame:
@@ -208,6 +227,9 @@ def resize_media(
                     if raw[:3] == b"\xFF\xD8\xFF":
                         out_media.append(
                             resize_jpeg_bytes(raw, width, height))
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        out_media.append(
+                            resize_png_bytes(raw, width, height))
                     else:
                         out_media.append(
                             resize_ppm_bytes(raw, width, height))
