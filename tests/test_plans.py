@@ -352,3 +352,24 @@ def test_duplicate_spans_scale_shape(spark):
     assert "Exchange SinglePartition" not in plan
     # the count_distinct(id) per fp agg shows a partial_count phase
     assert _re.search(r"partial_count", plan)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """Decontamination: the eval-set shingle set must ride a BROADCAST
+    hash join (the corpus side never shuffles on the shingle key) and the
+    match count partial-aggs before its doc-id exchange."""
+    from picdexer_spark.operators.textops import decontaminate
+    docs = spark.createDataFrame(
+        [(i, f"corpus doc {i} with enough words to form shingles here ok")
+         for i in range(40)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "benchmark question with enough words to form shingles")],
+        "bid long, text string")
+    plan = decontaminate(docs, bench, "doc_id", "text", n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must never sort-merge on the shingle key (the only
+    # hash exchange on g allowed is the eval-set side's tiny distinct)
+    assert "SortMergeJoin" not in plan
+    import re as _re
+    assert _re.search(r"partial_count", plan)
