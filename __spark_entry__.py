@@ -1494,7 +1494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = tx.quality_score(docs, "doc_id", "text").drop("n_tokens")
         li = tx.lang_id_heuristic(docs, "doc_id", "text")
         fp = tx.fingerprint(docs, "doc_id", "text", k=8)
-        return ts.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+        # round 6: Gopher repetition filters ride the same per-doc row
+        rp = tx.repetition_stats(docs, "doc_id", "text") \
+            .withColumnRenamed("id", "doc_id")
+        return ts.join(qs, "doc_id").join(li, "doc_id") \
+            .join(fp, "doc_id").join(rp, "doc_id")
     q["doc_features"] = doc_features
 
     def dedup_multi(s, d):
@@ -3743,7 +3747,41 @@ def oracle_sql() -> dict[str, str]:
                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
                  list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
                    AS dt
-          FROM documents)
+          FROM documents),
+        lcnt AS (
+          SELECT doc_id, l, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_filter(list_transform(
+                     string_split(text, chr(10)),
+                     x -> trim(x, ' ' || chr(9) || chr(13))),
+                   x -> x != '')) AS l
+            FROM documents) GROUP BY 1, 2),
+        lst AS (
+          SELECT doc_id, sum(c) AS n_lines, sum(c * len(l)) AS lchars,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS ndup,
+                 sum(CASE WHEN c >= 2 THEN c * len(l) ELSE 0 END) AS dchars
+          FROM lcnt GROUP BY doc_id),
+        tch AS (SELECT doc_id, len(array_to_string(toks, '')) AS tot FROM t),
+        g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+                 SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                        FOR i IN range(1, len(toks))]) AS g
+                 FROM t WHERE len(toks) >= 2) GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS cov FROM (
+                 SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, g ASC) AS rn FROM g2) WHERE rn = 1),
+        g3 AS (SELECT doc_id, g, count(*) AS c FROM (
+                 SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS g
+                 FROM t WHERE len(toks) >= 3) GROUP BY 1, 2),
+        t3 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS cov FROM (
+                 SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, g ASC) AS rn FROM g3) WHERE rn = 1),
+        g4 AS (SELECT doc_id, g, count(*) AS c FROM (
+                 SELECT doc_id, unnest([array_to_string(toks[i:i+3], ' ')
+                        FOR i IN range(1, len(toks) - 2)]) AS g
+                 FROM t WHERE len(toks) >= 4) GROUP BY 1, 2),
+        t4 AS (SELECT doc_id, c * len(replace(g, ' ', '')) AS cov FROM (
+                 SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, g ASC) AS rn FROM g4) WHERE rn = 1)
         SELECT doc_id,
                len(toks)::bigint AS n_tokens,
                len(dt)::bigint AS n_distinct,
@@ -3764,8 +3802,28 @@ def oracle_sql() -> dict[str, str]:
                  THEN (len(list_intersect(dt, {STOPS}))::double / len(dt))
                       >= 0.05
                  ELSE false END AS is_en,
-               md5(array_to_string(list_sort(dt)[1:8], ' ')) AS fingerprint
-        FROM t
+               md5(array_to_string(list_sort(dt)[1:8], ' ')) AS fingerprint,
+               coalesce(lst.n_lines, 0)::bigint AS n_lines,
+               CASE WHEN coalesce(lst.n_lines, 0) > 0
+                 THEN lst.ndup::double / lst.n_lines ELSE 0.0 END
+                 AS dup_line_frac,
+               CASE WHEN coalesce(lst.lchars, 0) > 0
+                 THEN lst.dchars::double / lst.lchars ELSE 0.0 END
+                 AS dup_line_char_frac,
+               CASE WHEN tch.tot > 0
+                 THEN coalesce(t2.cov, 0)::double / tch.tot ELSE 0.0 END
+                 AS top_2gram_char_frac,
+               CASE WHEN tch.tot > 0
+                 THEN coalesce(t3.cov, 0)::double / tch.tot ELSE 0.0 END
+                 AS top_3gram_char_frac,
+               CASE WHEN tch.tot > 0
+                 THEN coalesce(t4.cov, 0)::double / tch.tot ELSE 0.0 END
+                 AS top_4gram_char_frac
+        FROM t JOIN tch USING (doc_id)
+               LEFT JOIN lst USING (doc_id)
+               LEFT JOIN t2 USING (doc_id)
+               LEFT JOIN t3 USING (doc_id)
+               LEFT JOIN t4 USING (doc_id)
     """
     # ---- geo: DMS parse + grid, same regex + arithmetic as the engine ----
     from picdexer_spark.operators.geo import GPS_PATTERN

@@ -583,3 +583,29 @@ def test_decontaminate_flags_planted_overlap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         decontaminate(docs, bench, "doc_id", "text", min_matches=0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from picdexer_spark.operators.textops import repetition_stats
+
+    text = "aa bb aa bb aa\nx y\naa bb aa bb aa\n\n  \nzz"
+    df = spark.createDataFrame([(1, text), (2, None), (3, "solo")],
+                               "doc_id long, text string")
+    r = {row["id"]: row for row in
+         repetition_stats(df, "doc_id", "text").collect()}
+    got = r[1]
+    # lines: ["aa bb aa bb aa", "x y", "aa bb aa bb aa", "zz"]
+    assert got["n_lines"] == 4
+    assert got["dup_line_frac"] == 0.5          # 2 of 4 instances repeat
+    assert got["dup_line_char_frac"] == 28 / 33  # 14+14 of 14+3+14+2 chars
+    # tokens (13): aa bb aa bb aa x y aa bb aa bb aa zz; token chars 24
+    # top 2-gram (aa,bb) x4 (tie vs (bb,aa) broken gram-asc) -> 4*4/24
+    assert got["top_2gram_char_frac"] == 16 / 24
+    # top 3-gram (aa,bb,aa) x4 -> 4*6/24 (overlap counting may reach 1.0)
+    assert got["top_3gram_char_frac"] == 24 / 24
+    # top 4-gram (aa,bb,aa,bb) x2 -> 2*8/24
+    assert got["top_4gram_char_frac"] == 16 / 24
+    # null text and <n-token docs pin to zeros, never NaN/error
+    assert (r[2]["n_lines"], r[2]["dup_line_frac"],
+            r[2]["top_2gram_char_frac"]) == (0, 0.0, 0.0)
+    assert r[3]["n_lines"] == 1 and r[3]["top_2gram_char_frac"] == 0.0
