@@ -1293,7 +1293,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.lit("folder").alias("gate"),
                     F.col("folder").alias("key"), F.col("n"))
         )
-        return sf.unionByName(ft).orderBy("gate", "key")
+        # round 6: URL-prep arms (RefinedWeb stage) over a deterministic
+        # synthetic url per doc (userinfo/port/query/fragment/path-depth
+        # variety; doc_id%4==0 rows get a .co.uk suffix to pin the
+        # documented PSL-free registered_domain approximation):
+        # 'urldom' = docs per registered domain, 'urlpath' = docs per
+        # path depth, 'urlblock' = corpus size after a broadcast
+        # domain-blocklist anti-join
+        urls = _tbl(s, d, "documents").selectExpr(
+            "doc_id",
+            "'http' || CASE WHEN doc_id % 3 = 0 THEN 's' ELSE '' END ||"
+            " '://' ||"
+            " CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||"
+            " 'www' || CAST(doc_id % 5 AS STRING) ||"
+            " '.site' || CAST(doc_id % 23 AS STRING) ||"
+            " CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.example' END ||"
+            " CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END ||"
+            " repeat('/seg', CAST(doc_id % 4 AS INT)) ||"
+            " CASE WHEN doc_id % 6 = 0 THEN '?q=1#frag' ELSE '' END AS url",
+        )
+        uf = tx.url_features(urls, "doc_id", "url")
+        ud = uf.groupBy("registered_domain").agg(F.count("*").alias("n")) \
+            .select(F.lit("urldom").alias("gate"),
+                    F.col("registered_domain").alias("key"), "n")
+        up = uf.groupBy("path_depth").agg(F.count("*").alias("n")) \
+            .select(F.lit("urlpath").alias("gate"),
+                    F.col("path_depth").cast("string").alias("key"), "n")
+        blocked = s.createDataFrame(
+            [("site1.example",), ("site2.co.uk",), ("site19.example",)],
+            "domain string")
+        ub = tx.filter_blocked_domains(urls, "url", blocked) \
+            .agg(F.count("*").alias("n")) \
+            .select(F.lit("urlblock").alias("gate"),
+                    F.lit("kept").alias("key"), "n")
+        return sf.unionByName(ft).unionByName(ud).unionByName(up) \
+            .unionByName(ub).orderBy("gate", "key")
     q["derived_fields_multi"] = derived_fields_multi
 
     def sync_on_date(s, d):
@@ -3594,6 +3628,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'folder' AS gate, '/corpus/' || source AS key,
                  count(*) AS n
           FROM documents GROUP BY 2
+          UNION ALL
+          SELECT gate, key, n FROM (
+            WITH u AS (
+              SELECT doc_id,
+                     'http' || CASE WHEN doc_id % 3 = 0 THEN 's' ELSE ''
+                       END || '://' ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||
+                     'www' || CAST(doc_id % 5 AS VARCHAR) ||
+                     '.site' || CAST(doc_id % 23 AS VARCHAR) ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                          ELSE '.example' END ||
+                     CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END ||
+                     repeat('/seg', CAST(doc_id % 4 AS INT)) ||
+                     CASE WHEN doc_id % 6 = 0 THEN '?q=1#frag'
+                          ELSE '' END AS url
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
+                       AS host,
+                     regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+              FROM u),
+            rd AS (
+              SELECT doc_id,
+                     regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS dom,
+                     len(list_filter(string_split(path, '/'),
+                                     x -> x != '')) AS depth
+              FROM f)
+            SELECT 'urldom' AS gate, dom AS key, count(*) AS n
+            FROM rd GROUP BY dom
+            UNION ALL
+            SELECT 'urlpath', depth::varchar, count(*) FROM rd GROUP BY depth
+            UNION ALL
+            SELECT 'urlblock', 'kept', count(*) FROM rd
+            WHERE dom NOT IN ('site1.example', 'site2.co.uk',
+                              'site19.example'))
         ) ORDER BY gate, key
     """
     o["sync_on_date"] = """

@@ -392,6 +392,60 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: one regex set shared verbatim with the DuckDB oracle (the tokenizer
+#: discipline): scheme, authority host (userinfo/port stripped), path
+URL_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+URL_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def url_features(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL structure features — the RefinedWeb/C4-style URL preparation
+    stage (Penedo et al. 2023 §3.1 run URL filtering before any content
+    look): per doc (id, scheme, host, registered_domain, tld, path_depth,
+    is_https), all JVM regexp/array ops, zero shuffle.
+
+    Pins: host lowercased with userinfo and port stripped;
+    ``registered_domain`` is the LAST TWO dot-labels — a deliberate
+    public-suffix-list-free approximation (a real PSL maps co.uk-style
+    suffixes; carrying the PSL as data is the production path and this
+    column is where it plugs in). Unparsable urls yield empty-string
+    parts and path_depth 0 — they stay visible for a downstream filter,
+    never dropped silently."""
+    u = F.lower(F.col(url_col))
+    host = F.regexp_extract(u, URL_HOST_RE, 1)
+    path = F.regexp_extract(u, URL_PATH_RE, 1)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract(u, URL_SCHEME_RE, 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+         .alias("registered_domain"),
+        F.regexp_extract(host, "[.]([^.]+)$", 1).alias("tld"),
+        F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
+         .cast("long").alias("path_depth"),
+        (F.regexp_extract(u, URL_SCHEME_RE, 1) == "https").alias("is_https"),
+    )
+
+
+def filter_blocked_domains(df: DataFrame, url_col: str,
+                           blocked: DataFrame) -> DataFrame:
+    """Drop docs whose registered domain is on a blocklist — the first
+    gate of every web-corpus pipeline (RefinedWeb runs a 4.6M-domain
+    list). ``blocked`` is a 1-column DataFrame of registered domains
+    (list-sized: even production blocklists are ~10^6 rows = model-sized),
+    so it BROADCASTS and the corpus side anti-joins in place with no
+    corpus shuffle — same shape as :func:`decontaminate`."""
+    bcol = blocked.columns[0]
+    dom = F.regexp_extract(
+        F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1),
+        "([^.]+[.][^.]+)$", 1)
+    return df.withColumn("__dom", dom).join(
+        F.broadcast(blocked.select(F.col(bcol).alias("__dom")).distinct()),
+        "__dom", "left_anti",
+    ).drop("__dom")
+
+
 REPETITION_SCHEMA = (
     "id long, n_lines long, dup_line_frac double,"
     " dup_line_char_frac double, top_2gram_char_frac double,"

@@ -609,3 +609,32 @@ def test_repetition_stats_hand_computed(spark):
     assert (r[2]["n_lines"], r[2]["dup_line_frac"],
             r[2]["top_2gram_char_frac"]) == (0, 0.0, 0.0)
     assert r[3]["n_lines"] == 1 and r[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_url_features_and_blocklist(spark):
+    from picdexer_spark.operators.textops import (filter_blocked_domains,
+                                                  url_features)
+
+    df = spark.createDataFrame([
+        (1, "https://User@WWW.News.Example.COM:8443/a/b/c?x=1#f"),
+        (2, "http://blog.spam.biz/post"),
+        (3, "not a url at all"),
+        (4, "https://single/"),
+    ], "doc_id long, url string")
+    r = {x["id"]: x for x in url_features(df, "doc_id", "url").collect()}
+    assert (r[1]["scheme"], r[1]["host"], r[1]["registered_domain"],
+            r[1]["tld"], r[1]["path_depth"], r[1]["is_https"]) == \
+        ("https", "www.news.example.com", "example.com", "com", 3, True)
+    assert (r[2]["registered_domain"], r[2]["path_depth"],
+            r[2]["is_https"]) == ("spam.biz", 1, False)
+    # unparsable -> empty parts, visible (never dropped)
+    assert (r[3]["scheme"], r[3]["host"], r[3]["path_depth"]) == ("", "", 0)
+    # single-label host has no registered domain (PSL-free pin)
+    assert r[4]["registered_domain"] == ""
+
+    blocked = spark.createDataFrame([("spam.biz",)], "d string")
+    kept = filter_blocked_domains(df, "url", blocked)
+    assert sorted(x["doc_id"] for x in kept.collect()) == [1, 3, 4]
+    assert kept.columns == ["doc_id", "url"]  # helper column dropped
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
