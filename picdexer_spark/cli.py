@@ -234,6 +234,23 @@ def cmd_compact(conf: dict) -> int:
     return RET_OK
 
 
+def cmd_merge(conf: dict, max_segments: int, expire: bool) -> int:
+    """Physical segment merge (streaming/incremental.py::merge_chain):
+    fold the oldest snapshots into one, row-identical — the maintenance
+    step between appends and a full `compact`."""
+    from picdexer_spark.streaming.incremental import merge_chain
+
+    spark = _spark(conf, "merge")
+    merged = merge_chain(spark, _index_dir(conf),
+                         max_segments=max_segments, expire=expire)
+    if merged is None:
+        print(f"chain already <= {max_segments} segments; nothing to do")
+    else:
+        print(f"merged chain tail into snapshot {merged}"
+              + (" (expired folded snapshots)" if expire else ""))
+    return RET_OK
+
+
 def cmd_stats(conf: dict) -> int:
     """ES `_cat/indices` / `_stats` at the CLI: one JSON line of the
     current snapshot's operational summary (metadata-sized reads only)."""
@@ -321,6 +338,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     with_conf(sub.add_parser("compact", help="rewrite live corpus fresh"))
 
+    p = with_conf(sub.add_parser(
+        "merge", help="fold oldest snapshots into one (segment merge)"))
+    p.add_argument("--max-segments", type=int, default=8)
+    p.add_argument("--expire", action="store_true",
+                   help="drop folded snapshots from manifest and disk")
+
     with_conf(sub.add_parser("stats",
                              help="index stats summary (_cat/_stats)"))
 
@@ -357,6 +380,8 @@ def main(argv: list[str] | None = None) -> int:
                               simple=args.simple)
         if args.cmd == "compact":
             return cmd_compact(conf)
+        if args.cmd == "merge":
+            return cmd_merge(conf, args.max_segments, args.expire)
         if args.cmd == "stats":
             return cmd_stats(conf)
         if args.cmd == "delete-by-query":

@@ -303,6 +303,93 @@ def compact(
     return res
 
 
+def merge_chain(spark: SparkSession, index_dir: str,
+                max_segments: int = 8, expire: bool = False) -> str | None:
+    """Physical segment merge — the Lucene tiered-merge / Iceberg
+    rewrite_data_files+expire_snapshots maintenance step :func:`compact`
+    deliberately is not: after N streaming appends the snapshot chain is
+    N delta directories and every chained read unions N parquet listings
+    (`SearchEngine.index_stats()` reports it as `segments`). This folds
+    the OLDEST part of the chain into one snapshot **without touching a
+    single row**: doc_ids, postings, tombstones and statistics are
+    byte-preserved (unlike compact, which re-ids and drops tombstones),
+    so reads over the rewired chain are row-identical — only the
+    directory fan-in shrinks.
+
+    Keeps the newest ``max_segments - 1`` snapshots as-is and merges the
+    rest; no-op (returns None) when the chain is already short enough.
+    The merged snapshot unions each chained table's tail deltas (a
+    map-only Spark job — no shuffle) and copies term_stats/stats from the
+    newest tail member that has them (exactly what nearest-ancestor
+    resolution returned before). One atomic manifest write then rewires
+    the surviving child's parent pointer — crash before it leaves the old
+    chain fully intact (the orphan dir is abort_uncommitted fodder).
+
+    ``expire=True`` additionally drops the folded snapshots from the
+    manifest and deletes their directories (Iceberg expire_snapshots:
+    time-travel to them ends, space returns). Default keeps them —
+    unreachable from the live chain but still pinnable by snapshot_id.
+    """
+    import time
+
+    from picdexer_spark.sources.catalog import (CHAINED_SCHEMAS,
+                                                CHAINED_TABLES)
+
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1, got {max_segments}")
+    cat = IndexCatalog(index_dir)
+    chain = cat.parent_chain()  # newest first
+    if len(chain) <= max_segments:
+        return None
+    tail = chain[max_segments - 1:]          # newest-first, >= 2 entries
+    merged_id = cat.new_snapshot_id()
+    merged_dir = os.path.join(index_dir, "snapshots", merged_id)
+
+    def _dst(table: str) -> str:
+        if table == "postings":
+            return os.path.join(merged_dir, "postings", "field=text")
+        if table == "postings_url":
+            return os.path.join(merged_dir, "postings", "field=url")
+        return os.path.join(merged_dir, table)
+
+    for table in sorted(CHAINED_TABLES):
+        paths = [p for p in (cat.table_path(table, sid) for sid in tail)
+                 if os.path.isdir(p)]
+        if not paths:
+            continue
+        spark.read.schema(CHAINED_SCHEMAS[table]).parquet(*paths) \
+            .write.parquet(_dst(table))
+    for table in ("term_stats", "stats"):
+        for sid in tail:  # newest tail member wins = nearest-ancestor rule
+            p = cat.table_path(table, sid)
+            if os.path.isdir(p):
+                spark.read.parquet(p).write.parquet(_dst(table))
+                break
+
+    m = cat.read_manifest()
+    by_id = {s["id"]: s for s in m["snapshots"]}
+    tail_sources = [src for sid in reversed(tail)
+                    for src in by_id[sid].get("sources") or []]
+    m["snapshots"].append(
+        {"id": merged_id, "committed_at": time.time(),
+         "sources": tail_sources, "parent": None,
+         "merged_from": list(tail)}
+    )
+    if tail[0] == m["current"]:  # whole chain folded
+        m["current"] = merged_id
+    else:
+        by_id[chain[max_segments - 2]]["parent"] = merged_id
+    if expire:
+        dead = set(tail)
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] not in dead]
+    cat._write_manifest(m)  # the single atomic commit point
+    if expire:
+        for sid in tail:
+            shutil.rmtree(os.path.join(index_dir, "snapshots", sid),
+                          ignore_errors=True)
+    return merged_id
+
+
 def reindex(
     spark: SparkSession,
     src_index_dir: str,

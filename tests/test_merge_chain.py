@@ -1,0 +1,104 @@
+"""Snapshot-chain merge (streaming/incremental.py::merge_chain).
+
+Contracts: folding the chain tail is PHYSICAL only — every read over the
+rewired chain is row-identical (docs, postings, tombstones, stats), search
+results bit-match, the segment count shrinks, pre-merge snapshot pinning
+still works (expire=False), and expire=True reclaims dirs + manifest
+entries. compact() semantics (re-id, tombstone drop) must NOT happen here.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+
+from picdexer_spark.index.build import IndexConfig
+from picdexer_spark.query.bm25 import SearchEngine
+from picdexer_spark.sources.catalog import IndexCatalog
+from picdexer_spark.streaming.incremental import (build_incremental,
+                                                  delete_by_query,
+                                                  merge_chain)
+
+CFG = IndexConfig(shard_range=64)
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string,"
+                " lang string")
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), None, t, "en") for u, t in rows],
+        PAGES_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def chained(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("merge_idx"))
+    for b in range(5):  # 5 append snapshots
+        rows = [(f"u{b}-{i}", f"batch{b} common words doc number{i} filler")
+                for i in range(30)]
+        build_incremental(spark, _pages(spark, rows), idx, CFG, f"s{b}")
+    # a delete-only snapshot rides the chain too (tombstones must survive)
+    n = delete_by_query(spark, idx, ["batch1"], "disjunctive")
+    assert n == 30
+    return idx
+
+
+def _probe(spark, idx, snapshot_id=None):
+    eng = SearchEngine(spark, idx, snapshot_id=snapshot_id)
+    top = eng.search_topk(["common", "filler"], "disjunctive", 25)
+    docs = sorted(
+        (r["doc_id"], r["url"]) for r in
+        eng.cat.read_live_docs(spark, eng.snapshot_id).collect())
+    return top, docs, eng.n_docs, eng.avgdl, eng.index_stats()
+
+
+def test_merge_preserves_everything_rowwise(spark, chained):
+    idx = chained
+    before = _probe(spark, idx)
+    cat = IndexCatalog(idx)
+    assert len(cat.parent_chain()) == 6
+    pinned = cat.parent_chain()[3]  # will be folded away
+
+    merged = merge_chain(spark, idx, max_segments=2)
+    assert merged is not None
+    chain = cat.parent_chain()
+    assert len(chain) == 2 and chain[1] == merged
+    after = _probe(spark, idx)
+    assert after[:4] == before[:4]  # top-k, live docs, n_docs, avgdl
+    assert after[4]["segments"] == 2
+    assert {k: v for k, v in after[4].items() if k != "segments"} \
+        == {k: v for k, v in before[4].items() if k != "segments"}
+    # expire=False: the folded snapshot is still pinnable by id
+    old_top, old_docs, *_ = _probe(spark, idx, snapshot_id=pinned)
+    assert len(old_docs) == 90  # 3 append batches deep, pre-delete
+    # idempotent: short chain -> no-op
+    assert merge_chain(spark, idx, max_segments=2) is None
+
+
+def test_merge_whole_chain_and_expire(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        rows = [(f"w{b}-{i}", f"chunk{b} shared tokens number{i}")
+                for i in range(10)]
+        build_incremental(spark, _pages(spark, rows), idx, CFG, f"w{b}")
+    cat = IndexCatalog(idx)
+    folded = cat.parent_chain()
+    before = _probe(spark, idx)
+    merged = merge_chain(spark, idx, max_segments=1, expire=True)
+    assert cat.current_snapshot() == merged
+    assert cat.parent_chain() == [merged]
+    assert _probe(spark, idx)[:4] == before[:4]
+    # expired: dirs gone, manifest entries gone
+    listed = {s["id"] for s in cat.read_manifest()["snapshots"]}
+    for sid in folded:
+        assert sid not in listed
+        assert not os.path.isdir(os.path.join(idx, "snapshots", sid))
+    # appends continue on top of the merged base
+    build_incremental(spark, _pages(
+        spark, [("w9-0", "chunk9 fresh tokens appended")]), idx, CFG, "w9")
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 31
+    assert eng.search_topk(["chunk9"], "disjunctive", 5)
+    with pytest.raises(ValueError):
+        merge_chain(spark, idx, max_segments=0)
