@@ -27,7 +27,7 @@ Config JSON (the cmd/conf.go analogue):
                "storePositions": true, "stopwords": "_english_"},
      "spark": {"master": "local[8]", "shufflePartitions": 32},
      "dropzone": {"root": "...", "checkpoint": "...",
-                  "period": "5 seconds"}}
+                  "period": "5 seconds", "maxSegments": 8}}
 
 Exit codes mirror cmd/root.go:10-13: 0 ok, 1 configuration failure,
 2 execution failure.
@@ -169,12 +169,14 @@ def cmd_dropzone(conf: dict, import_id: str, once: bool) -> int:
               file=sys.stderr)
         return RET_CONF_FAILURE
     spark = _spark(conf, "dropzone")
+    ms = dz.get("maxSegments")
     q = run_dropzone_stream(
         spark, dz["root"], _index_dir(conf),
         checkpoint_dir=dz["checkpoint"],
         cfg=_index_cfg(conf, import_id),
         available_now=once,
         processing_time=dz.get("period", "5 seconds"),
+        max_segments=int(ms) if ms is not None else None,
     )
     if once:
         q.awaitTermination()

@@ -124,9 +124,18 @@ class IndexCatalog:
         return self.read_manifest()["current"]
 
     def new_snapshot_id(self) -> str:
+        # max existing numeric suffix + 1, NOT list length + 1: expiring
+        # merged-away snapshots (merge_chain expire=True) shrinks the
+        # list, and a length-derived id would collide with a live
+        # snapshot — the next build would write into / chain onto it
         m = self.read_manifest()
-        n = len(m["snapshots"]) + 1
-        return f"snap-{n:06d}"
+        seq = 0
+        for s in m["snapshots"]:
+            try:
+                seq = max(seq, int(s["id"].rsplit("-", 1)[1]))
+            except (IndexError, ValueError):
+                pass
+        return f"snap-{seq + 1:06d}"
 
     def snapshot_dir(self, snapshot_id: str | None = None) -> str:
         sid = snapshot_id or self.current_snapshot()

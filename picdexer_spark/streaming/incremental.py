@@ -573,6 +573,7 @@ def run_dropzone_stream(
     cfg: IndexConfig | None = None,
     available_now: bool = True,
     processing_time: str = "5 seconds",
+    max_segments: int | None = None,
 ):
     """Streaming build: watch a pages directory, index each micro-batch.
 
@@ -584,6 +585,15 @@ def run_dropzone_stream(
     Trigger.AvailableNow drains pending files and stops (test/e2e mode);
     ProcessingTime mirrors the reference's `period` config
     (cmd/dropzone.go:55-59).
+
+    ``max_segments`` turns on Lucene-style merge-during-indexing: after a
+    micro-batch commit grows the snapshot chain past the bound,
+    :func:`merge_chain` folds the tail (row-identical, expire=True — a
+    long-running stream must reclaim, else the folded dirs grow without
+    bound). Runs inside foreachBatch BETWEEN commits, so a crash mid-merge
+    costs nothing: the next batch retries it. Without the bound an
+    always-on dropzone accumulates one delta dir per micro-batch and every
+    query's chained read fans into thousands of listings.
     """
     from pyspark.sql.types import (
         BinaryType,
@@ -608,6 +618,9 @@ def run_dropzone_stream(
         build_incremental(
             spark, batch_df, index_dir, cfg, source_id=f"epoch-{epoch_id}"
         )
+        if max_segments is not None:
+            merge_chain(spark, index_dir, max_segments=max_segments,
+                        expire=True)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -102,3 +102,38 @@ def test_merge_whole_chain_and_expire(spark, tmp_path):
     assert eng.search_topk(["chunk9"], "disjunctive", 5)
     with pytest.raises(ValueError):
         merge_chain(spark, idx, max_segments=0)
+
+
+def test_dropzone_auto_merge_bounds_segments(spark, tmp_path):
+    """Streaming ingest with max_segments: the chain stays bounded while
+    batches keep landing, and the drained index equals the unbounded one
+    row-wise (same live docs, same search results)."""
+    from picdexer_spark.streaming.incremental import run_dropzone_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(drop)
+    for b in range(5):
+        # flat parquet FILES (the dropzone contract), not Spark dirs
+        tbl = pa.table({
+            "url": [f"d{b}-{i}" for i in range(12)],
+            "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * 12,
+                                pa.timestamp("us")),
+            "html": pa.array([None] * 12, pa.binary()),
+            "text": [f"wave{b} shared stream words {i}" for i in range(12)],
+            "lang": ["en"] * 12,
+        })
+        pq.write_table(tbl, os.path.join(drop, f"b{b}.parquet"))
+        run_dropzone_stream(spark, drop, idx, checkpoint_dir=ckpt, cfg=CFG,
+                            available_now=True,
+                            max_segments=2).awaitTermination(300)
+        assert len(IndexCatalog(idx).parent_chain()) <= 2
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 60
+    assert eng.index_stats()["segments"] <= 2
+    for b in range(5):  # every wave still findable post-merges
+        assert len(eng.search_topk([f"wave{b}"], "disjunctive", 20)) == 12
