@@ -25,6 +25,7 @@ BM25 spec pinned in oracle/reference.py; k1=1.2 b=0.75 (ES defaults).
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import numpy as np
@@ -3131,3 +3132,48 @@ def rrf_fuse(inputs: list[DataFrame], k: int = 10,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def search_indices(spark: SparkSession, index_dirs, terms,
+                   mode: str = "disjunctive", k: int = 10,
+                   **search_kwargs) -> DataFrame:
+    """Cross-index search — ES ``GET idx1,idx2/_search`` (also what a
+    multi-target alias or an ``idx-*`` pattern fans into): run the query
+    against every index and merge one global top-k.
+
+    Semantics pinned to ES's DEFAULT ``query_then_fetch``: each index
+    scores with ITS OWN statistics (df, docCount, avgdl) — a rare term in
+    a small index legitimately outranks the same term in a huge one,
+    which is exactly the behaviour ES documents (and why it offers
+    ``dfs_query_then_fetch`` as the opt-in global-stats mode; that
+    blending is NOT implemented here and callers get the loud absence of
+    a parameter rather than silently different scores). Result:
+    (index, doc_id, score), score desc / index asc / doc_id asc.
+
+    ``index_dirs`` maps names to directories ({name: dir}) or is a plain
+    list (name = basename). Engine setup per index is coordinator
+    metadata work; the scoring jobs are the same pruned shard kernels as
+    single-index search, each bounded to its own top-k window, and the
+    merge is a TakeOrdered over len(indices) * k rows.
+    """
+    if not index_dirs:
+        raise ValueError("search_indices needs at least one index")
+    if isinstance(index_dirs, (list, tuple)):
+        named = {os.path.basename(os.path.normpath(d)): d
+                 for d in index_dirs}
+        if len(named) != len(index_dirs):
+            raise ValueError(
+                "index basenames collide; pass {name: dir} instead")
+    else:
+        named = dict(index_dirs)
+    parts = []
+    for name, d in sorted(named.items()):
+        res = SearchEngine(spark, d).search(
+            terms, mode, k, **search_kwargs)
+        parts.append(res.select(
+            F.lit(name).alias("index"), "doc_id", "score"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.desc("score"), F.asc("index"),
+                       F.asc("doc_id")).limit(k)

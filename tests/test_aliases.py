@@ -155,3 +155,44 @@ def test_cli_search_through_alias(spark, tmp_path):
     with redirect_stdout(out):
         assert main(["alias", "-c", cp, "list"]) == 0
     assert out.getvalue().strip() == "prod\tidx_v2"
+
+
+def test_search_indices_query_then_fetch(spark, tmp_path):
+    """Cross-index search: per-index statistics (query_then_fetch), global
+    top-k merge, stable (score, index, doc_id) order, name mapping."""
+    from picdexer_spark.query.bm25 import SearchEngine, search_indices
+
+    root = str(tmp_path)
+    a, b = os.path.join(root, "idx_a"), os.path.join(root, "idx_b")
+    # 'needle' is rare in idx_a (1/20 docs) and common in idx_b (5/5):
+    # per-index idf must make the idx_a hit outrank every idx_b hit
+    build_incremental(spark, _pages(spark, [
+        ("a0", "needle in a big haystack of words"),
+        *[(f"a{i}", f"plain haystack filler words {i}") for i in range(1, 20)],
+    ]), a, CFG, "s1")
+    build_incremental(spark, _pages(spark, [
+        (f"b{i}", f"needle needle words {i}") for i in range(5)
+    ]), b, CFG, "s1")
+
+    got = search_indices(spark, [a, b], ["needle"], "disjunctive", k=4) \
+        .collect()
+    assert len(got) == 4
+    assert got[0]["index"] == "idx_a"
+    assert {r["index"] for r in got[1:]} == {"idx_b"}
+    # per-index scores are bit-identical to single-index searches
+    sa = {r["doc_id"]: r["score"]
+          for r in SearchEngine(spark, a).search(["needle"], k=4).collect()}
+    for r in got:
+        if r["index"] == "idx_a":
+            assert r["score"] == sa[r["doc_id"]]
+    # named mapping + k cap + refusals
+    named = search_indices(spark, {"blue": a, "green": b},
+                           ["words"], k=3).collect()
+    assert len(named) == 3 and {r["index"] for r in named} <= {"blue",
+                                                               "green"}
+    with pytest.raises(ValueError):
+        search_indices(spark, [], ["x"])
+    with pytest.raises(ValueError):
+        search_indices(spark, [a, os.path.join(root, "..",
+                                               os.path.basename(root),
+                                               "idx_a")], ["x"])
