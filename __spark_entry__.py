@@ -1767,12 +1767,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("bin").cast("long").alias("bin"),
                 F.col("tok_start").cast("long").alias("tok_start"),
                 F.col("tok_end").cast("long").alias("tok_end"))
+        # round 6: 'chunk' — sliding-window chunking (64-token windows,
+        # overlap 16); fp = portable 60-bit md5 of the chunk text, so the
+        # oracle pins every chunk's CONTENT, not just its coordinates
+        ch = tx.chunk_documents(docs, "doc_id", "text", 64, 16).select(
+            F.lit("chunk").alias("arm"),
+            F.col("id").cast("long").alias("id"),
+            F.lit(None).cast("long").alias("simhash"),
+            F.lit(None).cast("long").alias("n_ws"),
+            F.lit(None).cast("long").alias("n_pieces"),
+            F.lit(None).cast("long").alias("n_subwords"),
+            tx.hash60(F.col("chunk_text")).alias("fp"),
+            F.lit(None).cast("string").alias("part"),
+            F.col("chunk_no").cast("long").alias("bin"),
+            "tok_start", "tok_end")
         base = sh.unionAll(tc).unionAll(wf) \
             .withColumn("part", F.lit(None).cast("string")) \
             .withColumn("bin", F.lit(None).cast("long")) \
             .withColumn("tok_start", F.lit(None).cast("long")) \
             .withColumn("tok_end", F.lit(None).cast("long"))
-        return base.unionByName(pk)
+        return base.unionByName(pk).unionByName(ch)
     q["text_fp_multi"] = text_fp_multi
 
     # ---- similarity search ------------------------------------------------
@@ -4504,6 +4518,22 @@ def oracle_sql() -> dict[str, str]:
                              '[a-z0-9]+'))::BIGINT AS ntok
                   FROM documents)
             WHERE ntok > 0))
+        UNION ALL
+        SELECT 'chunk', doc_id, NULL, NULL, NULL, NULL,
+               ('0x' || substr(md5(ct), 1, 15))::BIGINT,
+               NULL, i, i * 48, e
+        FROM (
+          SELECT doc_id, i, least(i * 48 + 64, n) AS e,
+                 array_to_string(ct_toks[i * 48 + 1 :
+                                         least(i * 48 + 64, n)], ' ') AS ct
+          FROM (
+            SELECT doc_id, t AS ct_toks, len(t) AS n,
+                   unnest(range(0, CASE WHEN len(t) <= 64 THEN 1
+                     ELSE (len(t) - 16 - 1) // 48 + 1 END)) AS i
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                  FROM documents)
+            WHERE len(t) > 0))
     """
 
     # exact cosine top-k + hyperplane-LSH pairs in ONE gate; the LSH arm

@@ -392,6 +392,56 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Sliding-window chunking — the embedding/RAG preparation step
+    beside :func:`pack_sequences` (pack fills training bins exactly;
+    chunking slides a fixed window WITH OVERLAP so no sentence is cut
+    without context on the other side): per doc, windows of
+    ``chunk_tokens`` analyzer tokens advancing by ``chunk_tokens -
+    overlap``. Returns (id, chunk_no, tok_start, tok_end, chunk_text)
+    where chunk_text is the space-joined normalized token slice and
+    [tok_start, tok_end) indexes the doc's token array.
+
+    Pins: a doc with 0 < n <= chunk_tokens emits exactly one full-doc
+    chunk; the final window is short rather than re-anchored (every token
+    appears, ceil((n - overlap) / stride) windows); empty/NULL docs emit
+    nothing. overlap >= chunk_tokens refuses (the window would never
+    advance — an infinite-output request).
+
+    Shape: per-doc sequence + explode, all JVM — a map-side fan-out with
+    no shuffle, the same 100 TB contract as the other per-doc textops.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.floor((n - overlap - 1) / stride) + 1)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"),
+                     n.alias("n"), n_chunks.cast("int").alias("nc"))
+    ex = base.filter(F.col("nc") > 0).select(
+        "id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_no"),
+    )
+    start = F.col("chunk_no") * stride
+    end = F.least(start + chunk_tokens, F.col("n"))
+    return ex.select(
+        "id", "chunk_no",
+        start.cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        F.array_join(
+            F.slice(F.col("toks"), start + 1, (end - start).cast("int")),
+            " ").alias("chunk_text"),
+    )
+
+
 #: one regex set shared verbatim with the DuckDB oracle (the tokenizer
 #: discipline): scheme, authority host (userinfo/port stripped), path
 URL_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"

@@ -638,3 +638,30 @@ def test_url_features_and_blocklist(spark):
     assert kept.columns == ["doc_id", "url"]  # helper column dropped
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_documents_sliding_window(spark):
+    from picdexer_spark.operators.textops import chunk_documents
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 11 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, ""), (4, None)],
+                               "doc_id long, text string")
+    rows = sorted(
+        (r["id"], r["chunk_no"], r["tok_start"], r["tok_end"],
+         r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text",
+                                 chunk_tokens=4, overlap=1).collect())
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 7, "t3 t4 t5 t6"),
+        (1, 2, 6, 10, "t6 t7 t8 t9"),
+        (1, 3, 9, 11, "t9 t10"),  # short final window, never re-anchored
+    ]
+    # short doc -> one full-doc chunk; empty/NULL -> nothing
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] in (3, 4)]
+    # every token index covered exactly once per non-overlap position
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
