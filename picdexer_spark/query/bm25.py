@@ -427,8 +427,18 @@ class SearchEngine:
         min_should_match: int | str = 1,
         field: str | None = None,
         boosts: dict[str, float] | None = None,
+        stats_override: tuple[dict, int, float] | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, score), globally ordered (score desc, doc_id asc).
+
+        `stats_override`: optional (dfs, n_docs, avgdl) replacing this
+        index's OWN scoring statistics — the coordinator hook
+        ``search_indices(stats="dfs_query_then_fetch")`` uses to score
+        every index with globally blended numbers (exactly ES's DFS
+        pre-phase: collect df/docCount across shards, then score with the
+        blend). Term PRESENCE still gates locally — a term this index
+        never saw matches nothing here regardless of its global df.
+        Content field only (per-field DFS blending is not defined).
 
         `boosts`: optional per-term weight map (analyzed term -> boost,
         the Lucene BoostQuery / query_string `term^N` construct). A
@@ -476,6 +486,11 @@ class SearchEngine:
         # field-scoped scoring: namespace the terms up front — everything
         # downstream (df lookups, kernels, pruning) is namespace-blind
         ns, n_docs_sc, avgdl_sc = self._field_stats(field)
+        if stats_override is not None:
+            if field not in (None, "text"):
+                raise ValueError(
+                    "stats_override applies to the content field only")
+            _, n_docs_sc, avgdl_sc = stats_override
         if ns:
             terms = [ns + t for t in terms]
             if groups is not None:
@@ -526,7 +541,9 @@ class SearchEngine:
         # unsatisfiable (ES: an absent optional clause never matches)
         if min_should_match > len(present):
             return self._empty()
-        idf_map = self._idf_map(present, dfs, n_docs_sc, ns, boosts)
+        idf_dfs = dfs if stats_override is None else \
+            {t: stats_override[0][t] for t in present}
+        idf_map = self._idf_map(present, idf_dfs, n_docs_sc, ns, boosts)
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
                     "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
@@ -3136,19 +3153,25 @@ def rrf_fuse(inputs: list[DataFrame], k: int = 10,
 
 def search_indices(spark: SparkSession, index_dirs, terms,
                    mode: str = "disjunctive", k: int = 10,
+                   stats: str = "query_then_fetch",
                    **search_kwargs) -> DataFrame:
     """Cross-index search — ES ``GET idx1,idx2/_search`` (also what a
     multi-target alias or an ``idx-*`` pattern fans into): run the query
     against every index and merge one global top-k.
 
-    Semantics pinned to ES's DEFAULT ``query_then_fetch``: each index
-    scores with ITS OWN statistics (df, docCount, avgdl) — a rare term in
-    a small index legitimately outranks the same term in a huge one,
-    which is exactly the behaviour ES documents (and why it offers
-    ``dfs_query_then_fetch`` as the opt-in global-stats mode; that
-    blending is NOT implemented here and callers get the loud absence of
-    a parameter rather than silently different scores). Result:
-    (index, doc_id, score), score desc / index asc / doc_id asc.
+    ``stats`` picks the two ES modes exactly:
+
+    * ``query_then_fetch`` (the ES default): each index scores with ITS
+      OWN statistics (df, docCount, avgdl) — a rare term in a small
+      index legitimately outranks the same term in a huge one, the
+      behaviour ES documents;
+    * ``dfs_query_then_fetch``: a metadata-sized pre-phase collects df /
+      docCount / length sums across the indexes and every index scores
+      with the blend — top-k scores become IDENTICAL to a single index
+      built over the union corpus (tested bit-for-bit). Term presence
+      still gates per index. Content field only.
+
+    Result: (index, doc_id, score), score desc / index asc / doc_id asc.
 
     ``index_dirs`` maps names to directories ({name: dir}) or is a plain
     list (name = basename). Engine setup per index is coordinator
@@ -3166,10 +3189,28 @@ def search_indices(spark: SparkSession, index_dirs, terms,
                 "index basenames collide; pass {name: dir} instead")
     else:
         named = dict(index_dirs)
+    if stats not in ("query_then_fetch", "dfs_query_then_fetch"):
+        raise ValueError(f"unknown stats mode {stats!r}")
+    engines = {name: SearchEngine(spark, d)
+               for name, d in sorted(named.items())}
+    override = None
+    if stats == "dfs_query_then_fetch":
+        # the ES DFS pre-phase: one metadata round-trip per index
+        # collecting df, then every index scores with the blend — scores
+        # become identical to a single index over the union corpus
+        uniq = sorted(set(terms))
+        g_dfs: dict[str, int] = {}
+        for e in engines.values():
+            for t, df_ in e.term_dfs(uniq).items():
+                g_dfs[t] = g_dfs.get(t, 0) + df_
+        g_n = sum(e.n_docs_scoring for e in engines.values())
+        g_avgdl = (sum(e.n_docs_scoring * e.avgdl_scoring
+                       for e in engines.values()) / g_n) if g_n else 0.0
+        override = (g_dfs, g_n, g_avgdl)
     parts = []
-    for name, d in sorted(named.items()):
-        res = SearchEngine(spark, d).search(
-            terms, mode, k, **search_kwargs)
+    for name, e in engines.items():
+        res = e.search(terms, mode, k, stats_override=override,
+                       **search_kwargs)
         parts.append(res.select(
             F.lit(name).alias("index"), "doc_id", "score"))
     out = parts[0]

@@ -196,3 +196,46 @@ def test_search_indices_query_then_fetch(spark, tmp_path):
         search_indices(spark, [a, os.path.join(root, "..",
                                                os.path.basename(root),
                                                "idx_a")], ["x"])
+
+
+def test_search_indices_dfs_matches_union_index(spark, tmp_path):
+    """dfs_query_then_fetch: scores across two indexes must BIT-MATCH a
+    single index built over the union corpus (same global df, docCount,
+    blended avgdl — the ES DFS contract)."""
+    from picdexer_spark.query.bm25 import SearchEngine, search_indices
+
+    root = str(tmp_path)
+    a, b, u = (os.path.join(root, n) for n in ("idx_a", "idx_b", "idx_u"))
+    ra = [("a0", "needle in a big haystack of words"),
+          *[(f"a{i}", f"plain haystack filler words {i}")
+            for i in range(1, 20)]]
+    rb = [(f"b{i}", f"needle needle words {i}") for i in range(5)]
+    build_incremental(spark, _pages(spark, ra), a, CFG, "s1")
+    build_incremental(spark, _pages(spark, rb), b, CFG, "s1")
+    build_incremental(spark, _pages(spark, ra + rb), u, CFG, "s1")
+
+    dfs = search_indices(spark, [a, b], ["needle", "haystack"], k=30,
+                         stats="dfs_query_then_fetch").collect()
+    eng_u = SearchEngine(spark, u)
+    union = eng_u.search(["needle", "haystack"], k=30).collect()
+    durl = {r["doc_id"]: r["url"] for r in
+            eng_u.cat.read_live_docs(spark).select("doc_id", "url")
+            .collect()}
+    # per-index doc_ids differ from union ids — compare by url
+    ab_urls = {}
+    for name, d in (("idx_a", a), ("idx_b", b)):
+        e = SearchEngine(spark, d)
+        ab_urls[name] = {r["doc_id"]: r["url"] for r in
+                         e.cat.read_live_docs(spark)
+                         .select("doc_id", "url").collect()}
+    got = sorted((ab_urls[r["index"]][r["doc_id"]], r["score"])
+                 for r in dfs)
+    want = sorted((durl[r["doc_id"]], r["score"]) for r in union)
+    assert got == want  # bit-identical scores, same doc set
+    # and it genuinely differs from per-index stats on this corpus
+    qtf = search_indices(spark, [a, b], ["needle", "haystack"],
+                         k=30).collect()
+    assert sorted((ab_urls[r["index"]][r["doc_id"]], r["score"])
+                  for r in qtf) != want
+    with pytest.raises(ValueError):
+        search_indices(spark, [a, b], ["x"], stats="nope")
