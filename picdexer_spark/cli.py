@@ -292,6 +292,11 @@ def cmd_alias(conf: dict, action: str, alias: str | None,
     if not alias:
         print("alias error: --alias required", file=sys.stderr)
         return RET_CONF_FAILURE
+    if action in ("add", "swap") and not index:
+        # usage error -> exit 1 like the missing --alias case, not the
+        # generic execution-failure 2 the registry's ValueError would hit
+        print(f"alias error: {action} requires --index", file=sys.stderr)
+        return RET_CONF_FAILURE
     if action == "add":
         reg.update([{"add": {"alias": alias, "index": index}}])
     elif action == "remove":

@@ -75,8 +75,12 @@ def decode_png(buf: bytes) -> np.ndarray:
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
             raise PngError(f"CRC mismatch in chunk {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:
+                raise PngError(f"bad IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise PngError(f"bad PLTE length {length}")
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)

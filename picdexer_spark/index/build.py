@@ -50,6 +50,7 @@ defused by construction; everything else is metadata-sized.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -701,6 +702,12 @@ def build_index(
     cat = IndexCatalog(index_dir)
     snap = cat.new_snapshot_id()
     snap_dir = os.path.join(index_dir, "snapshots", snap)
+    # the id is uncommitted by construction, but a crashed earlier writer
+    # may have left an orphan dir under it: per-table mode("overwrite")
+    # would replace only the tables THIS build writes, silently committing
+    # any stale extras (e.g. a folded `deletes` from an aborted
+    # merge_chain) — clear the whole dir first
+    shutil.rmtree(snap_dir, ignore_errors=True)
     timer = _PhaseTimer()
 
     # A: extract (drop+count failed rows — reference drops & logs per-row

@@ -840,7 +840,11 @@ def random_sampler(df: DataFrame, probability: float, seed: int = 0,
                                       F.col(id_col).cast("string"))), 1, 15),
         16, 10,
     ).cast("long") % 1_000_000
-    return df.filter(bucket < int(probability * 1_000_000)), 1.0 / probability
+    # round, not truncate: int(0.3 * 1e6) is 299999 in binary floating
+    # point — one bucket in a million silently excluded vs the documented
+    # p * 10^6 contract (and vs any oracle written with the exact literal)
+    thresh = int(round(probability * 1_000_000))
+    return df.filter(bucket < thresh), 1.0 / probability
 
 
 def median_absolute_deviation(df: DataFrame, col: str) -> DataFrame:

@@ -490,10 +490,13 @@ def filter_blocked_domains(df: DataFrame, url_col: str,
     dom = F.regexp_extract(
         F.regexp_extract(F.lower(F.col(url_col)), URL_HOST_RE, 1),
         "([^.]+[.][^.]+)$", 1)
-    return df.withColumn("__dom", dom).join(
-        F.broadcast(blocked.select(F.col(bcol).alias("__dom")).distinct()),
-        "__dom", "left_anti",
-    ).drop("__dom")
+    tmp = "__dom"
+    while tmp in df.columns:  # never clobber a caller column
+        tmp += "_"
+    return df.withColumn(tmp, dom).join(
+        F.broadcast(blocked.select(F.col(bcol).alias(tmp)).distinct()),
+        tmp, "left_anti",
+    ).drop(tmp)
 
 
 REPETITION_SCHEMA = (
@@ -544,7 +547,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "top_4gram_char_frac")}
             for rid, text in zip(pdf["id"], pdf["text"]):
                 text = text or ""
-                lines = [ln.strip() for ln in text.split("\n")]
+                # trim set pinned to space/tab/CR EXACTLY (the oracle's
+                # trim(x, ' '||chr(9)||chr(13)) — str.strip()'s full
+                # Unicode whitespace set (\f \v \xa0 ...) is not
+                # replicable in SQL and would silently diverge)
+                lines = [ln.strip(" \t\r") for ln in text.split("\n")]
                 lines = [ln for ln in lines if ln]
                 lc = Counter(lines)
                 n_chars_lines = sum(len(ln) for ln in lines)

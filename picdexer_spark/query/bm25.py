@@ -541,8 +541,15 @@ class SearchEngine:
         # unsatisfiable (ES: an absent optional clause never matches)
         if min_should_match > len(present):
             return self._empty()
-        idf_dfs = dfs if stats_override is None else \
-            {t: stats_override[0][t] for t in present}
+        if stats_override is None:
+            idf_dfs = dfs
+        else:
+            missing = [t for t in present if t not in stats_override[0]]
+            if missing:
+                raise ValueError(
+                    f"stats_override carries no df for {missing} — the "
+                    "coordinator must pre-collect every scored term")
+            idf_dfs = {t: stats_override[0][t] for t in present}
         idf_map = self._idf_map(present, idf_dfs, n_docs_sc, ns, boosts)
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
@@ -3197,8 +3204,11 @@ def search_indices(spark: SparkSession, index_dirs, terms,
     if stats == "dfs_query_then_fetch":
         # the ES DFS pre-phase: one metadata round-trip per index
         # collecting df, then every index scores with the blend — scores
-        # become identical to a single index over the union corpus
-        uniq = sorted(set(terms))
+        # become identical to a single index over the union corpus.
+        # groups-mode terms live in the `groups` kwarg, not `terms` —
+        # collect dfs for BOTH so the override covers every scored term
+        uniq = sorted(set(terms) | {
+            t for g in (search_kwargs.get("groups") or []) for t in g})
         g_dfs: dict[str, int] = {}
         for e in engines.values():
             for t, df_ in e.term_dfs(uniq).items():

@@ -344,6 +344,10 @@ def merge_chain(spark: SparkSession, index_dir: str,
     tail = chain[max_segments - 1:]          # newest-first, >= 2 entries
     merged_id = cat.new_snapshot_id()
     merged_dir = os.path.join(index_dir, "snapshots", merged_id)
+    # a crashed earlier merge may have left an orphan dir under this
+    # (uncommitted, hence recycled) id — clear it, or the parquet writes
+    # below fail on every retry and stale half-written tables linger
+    shutil.rmtree(merged_dir, ignore_errors=True)
 
     def _dst(table: str) -> str:
         if table == "postings":

@@ -239,3 +239,21 @@ def test_search_indices_dfs_matches_union_index(spark, tmp_path):
                   for r in qtf) != want
     with pytest.raises(ValueError):
         search_indices(spark, [a, b], ["x"], stats="nope")
+
+
+def test_search_indices_dfs_groups_mode(spark, tmp_path):
+    """groups-mode terms live in the kwarg, not `terms` — the DFS
+    pre-phase must still collect their dfs (was a KeyError)."""
+    from picdexer_spark.query.bm25 import search_indices
+
+    root = str(tmp_path)
+    a, b = os.path.join(root, "idx_a"), os.path.join(root, "idx_b")
+    build_incremental(spark, _pages(spark, [
+        ("a0", "needle haystack words"), ("a1", "plain words only")]),
+        a, CFG, "s1")
+    build_incremental(spark, _pages(spark, [
+        ("b0", "needle words extra")]), b, CFG, "s1")
+    got = search_indices(spark, [a, b], [], mode="groups",
+                         groups=[["needle", "haystack"]], k=5,
+                         stats="dfs_query_then_fetch").collect()
+    assert len(got) == 2  # a0 and b0 match the disjunction group

@@ -608,3 +608,16 @@ def test_random_sampler_deterministic_scaled(spark):
         random_sampler(df, 0.0)
     with pytest.raises(ValueError):
         random_sampler(df, 1.5)
+
+
+def test_random_sampler_threshold_rounds(spark):
+    """p=0.3 must use threshold 300000, not the float-truncated 299999."""
+    from pyspark.sql import functions as F
+    from picdexer_spark.operators.dashboards import random_sampler
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    samp, _ = random_sampler(df, 0.3, seed=1)
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit("1"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 1_000_000
+    want = df.filter(bucket < 300000).count()
+    assert samp.count() == want

@@ -137,3 +137,46 @@ def test_dropzone_auto_merge_bounds_segments(spark, tmp_path):
     assert eng.index_stats()["segments"] <= 2
     for b in range(5):  # every wave still findable post-merges
         assert len(eng.search_topk([f"wave{b}"], "disjunctive", 20)) == 12
+
+
+def test_merge_and_build_survive_orphan_snapshot_dirs(spark, tmp_path):
+    """Crash-recovery: an uncommitted (orphan) dir under the next
+    snapshot id must neither wedge a merge retry nor leak stale tables
+    (e.g. a folded deletes) into the next committed build."""
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        build_incremental(spark, _pages(
+            spark, [(f"o{b}-{i}", f"set{b} words here {i}")
+                    for i in range(8)]), idx, CFG, f"o{b}")
+    cat = IndexCatalog(idx)
+    nxt = cat.new_snapshot_id()
+
+    # plant an orphan with a junk deletes table under the next id (what a
+    # crash between merge's writes and its manifest commit leaves behind)
+    junk = os.path.join(idx, "snapshots", nxt, "deletes")
+    os.makedirs(junk)
+    spark.createDataFrame([(999, "junk", "junk")],
+                          "doc_id long, reason string, snapshot_id string") \
+        .write.mode("overwrite").parquet(junk)
+
+    # (a) merge retry under the recycled id succeeds and folds ONLY the
+    # real chain (the planted tombstone must not surface)
+    before = _probe(spark, idx)
+    merged = merge_chain(spark, idx, max_segments=1)
+    assert merged == nxt
+    after = _probe(spark, idx)
+    assert after[:4] == before[:4]
+    assert after[4]["deleted_docs"] == 0
+
+    # (b) a build under a recycled id must not commit stale extras either
+    nxt2 = cat.new_snapshot_id()
+    junk2 = os.path.join(idx, "snapshots", nxt2, "deletes")
+    os.makedirs(junk2)
+    spark.createDataFrame([(998, "junk", "junk")],
+                          "doc_id long, reason string, snapshot_id string") \
+        .write.mode("overwrite").parquet(junk2)
+    build_incremental(spark, _pages(
+        spark, [("o9-0", "fresh appended words")]), idx, CFG, "o9")
+    eng = SearchEngine(spark, idx)
+    assert eng.index_stats()["deleted_docs"] == 0
+    assert eng.n_docs == 25

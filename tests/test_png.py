@@ -145,3 +145,16 @@ def test_spark_media_pipeline_decodes_png(spark):
         assert rz[i]["resize_ok"]
         assert decode_png(bytes(rz[i]["media"])).shape == (2, 3, 3)
     assert not rz[9]["resize_ok"] and rz[9]["media"] is None
+
+
+def test_malformed_chunk_refusals_stay_png_errors():
+    """Bad IHDR/PLTE lengths must refuse as PngError (the documented
+    contract), never as struct.error / numpy ValueError."""
+    ihdr12 = struct.pack(">IIBBBB", 1, 1, 8, 0, 0, 0)  # 12 bytes, not 13
+    with pytest.raises(PngError, match="IHDR length"):
+        decode_png(SIG + _chunk(b"IHDR", ihdr12))
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    with pytest.raises(PngError, match="PLTE length"):
+        decode_png(SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", b"\x01\x02")
+                   + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                   + _chunk(b"IEND", b""))
