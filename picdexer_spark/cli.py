@@ -9,7 +9,15 @@ cmd/setup.go:9-19; JSON config cmd/conf.go:9-54). Same shape here:
     python -m picdexer_spark setup    -c conf.json
     python -m picdexer_spark search   -c conf.json -q "kuery string" [-k 10]
     python -m picdexer_spark compact  -c conf.json
+    python -m picdexer_spark merge    -c conf.json [--max-segments 8] [--expire]
+    python -m picdexer_spark stats    -c conf.json
     python -m picdexer_spark delete-by-query -c conf.json -q "kuery string"
+    python -m picdexer_spark alias    -c conf.json <list|add|remove|swap>
+                                      [--alias NAME] [--index DIR]
+
+`index.dir` may name an ALIAS registered in `<parent>/aliases.json` —
+every command resolves it (the ES <index-or-alias> endpoint contract),
+so `alias swap` after a reindex re-points all of them atomically.
 
 `full` ingests parquet pages dirs as an incremental (upsert-by-content)
 build — re-running with the same import id is a no-op, the reference's
