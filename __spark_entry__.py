@@ -968,13 +968,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .select(F.lit("rsamp").alias("gate"),
                       F.col("lang").alias("key"),
                       F.col("v").cast("double").alias("value")))
+        # round 6: 'ssamp' — deterministic stratified sampling (the
+        # training-data rebalancing move): keep all of 'de', half of
+        # 'en', drop every other stratum (default 0.0)
+        ss = (dash.stratified_sample(docs, "lang",
+                                     {"en": 0.5, "de": 1.0}, seed=3)
+              .filter(F.col("lang").isNotNull())
+              .groupBy("lang").agg(F.count("*").alias("v"))
+              .select(F.lit("ssamp").alias("gate"),
+                      F.col("lang").alias("key"),
+                      F.col("v").cast("double").alias("value")))
         return (
             hist.unionByName(mt).unionByName(th).unionByName(rare)
             .unionByName(miss).unionByName(tm).unionByName(ahr)
             .unionByName(ahi).unionByName(bs).unionByName(mb)
             .unionByName(adj).unionByName(topm).unionByName(ct)
             .unionByName(fis).unionByName(vwh).unionByName(at)
-            .unionByName(rs)
+            .unionByName(rs).unionByName(ss)
             .select("gate", "key", F.round("value", 6).alias("value"))
             .orderBy("gate", "key", "value")
         )
@@ -2606,6 +2616,15 @@ def oracle_sql() -> dict[str, str]:
           WHERE lang IS NOT NULL AND
             ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))
               ::BIGINT % 1000000 < 250000
+          GROUP BY lang
+          UNION ALL
+          SELECT 'ssamp' AS gate, lang AS key, count(*)::double AS value
+          FROM documents
+          WHERE lang IS NOT NULL AND
+            ('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 1000000
+            < CASE WHEN lang = 'en' THEN 500000
+                   WHEN lang = 'de' THEN 1000000 ELSE 0 END
           GROUP BY lang
         ORDER BY gate, key, value
 """

@@ -847,6 +847,43 @@ def random_sampler(df: DataFrame, probability: float, seed: int = 0,
     return df.filter(bucket < thresh), 1.0 / probability
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 0,
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — Spark's ``df.sampleBy`` made
+    retry-stable and engine-portable (the training-data rebalancing move:
+    keep 100% of rare languages, 5% of English): rows keep iff their
+    :func:`random_sampler` md5 bucket falls under their stratum's
+    fraction. Strata absent from ``fractions`` use ``default_fraction``
+    (0.0 = dropped, the sampleBy contract); NULL strata follow the
+    default too.
+
+    Same scale/determinism rationale as random_sampler (seeded hash, not
+    rand(): retried tasks and re-runs see the identical sample, any
+    engine can replicate it bit-for-bit). The fractions map is
+    strata-count-sized and folds into ONE CASE expression — a map-side
+    scan filter, no shuffle, no join.
+    """
+    for s, p in fractions.items():
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], "
+                             f"got {p}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], "
+                         f"got {default_fraction}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)),
+                                      F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long") % 1_000_000
+    thresh = F.lit(int(round(default_fraction * 1_000_000)))
+    for s, p in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == F.lit(s),
+                        F.lit(int(round(p * 1_000_000)))).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def median_absolute_deviation(df: DataFrame, col: str) -> DataFrame:
     """ES `median_absolute_deviation` metric agg:
     median(|x - median(x)|), the outlier-robust spread measure. ES

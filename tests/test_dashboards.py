@@ -621,3 +621,31 @@ def test_random_sampler_threshold_rounds(spark):
         16, 10).cast("long") % 1_000_000
     want = df.filter(bucket < 300000).count()
     assert samp.count() == want
+
+
+def test_stratified_sample_deterministic(spark):
+    from pyspark.sql import functions as F
+    from picdexer_spark.operators.dashboards import stratified_sample
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"))
+    got = stratified_sample(df, "lang", {"en": 0.5, "de": 1.0}, seed=3)
+    by = {r["lang"]: r["n"] for r in
+          got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("de") == 1000          # fraction 1.0 keeps everything
+    assert 400 <= by.get("en", 0) <= 600  # ~half
+    assert "fr" not in by                 # default 0.0 drops the stratum
+    # retry-stability: identical re-run, different seed differs
+    ids = {r["doc_id"] for r in got.filter("lang = 'en'").collect()}
+    again = stratified_sample(df, "lang", {"en": 0.5, "de": 1.0}, seed=3)
+    assert {r["doc_id"] for r in again.filter("lang = 'en'").collect()} \
+        == ids
+    other = stratified_sample(df, "lang", {"en": 0.5}, seed=4)
+    assert {r["doc_id"] for r in other.filter("lang = 'en'").collect()} \
+        != ids
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5})
+    with _pt.raises(ValueError):
+        stratified_sample(df, "lang", {}, default_fraction=-0.1)
