@@ -1926,6 +1926,50 @@ class SearchEngine:
                         "aggregatable": es_type != "text"})
         return out
 
+    def mget(self, doc_ids: list[int]) -> DataFrame:
+        """ES ``_mget``: a batch of point lookups in ONE job — the full
+        stored doc rows for the LIVE ids among ``doc_ids`` (tombstoned =
+        ES `found: false` = absent row). One pushed In(doc_id) scan over
+        the doc store (parquet min/max on the id-ordered docs files
+        prunes to the touched row groups), the same path a single
+        point_lookup takes; batch size is caller-bounded."""
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return self.cat.read_live_docs(self.spark, self.snapshot_id) \
+                .limit(0)
+        return self.cat.read_live_docs(self.spark, self.snapshot_id) \
+            .filter(F.col("doc_id").isin(ids))
+
+    def validate_query(self, q: str) -> dict:
+        """ES ``_validate/query``: parse-only dry run of a kuery string —
+        ``{"valid": bool, "error": str | None}``, never an exception (the
+        ES endpoint returns explanations, not 400s). Runs the SAME parser
+        as :meth:`search_query_string` (boolean trees, filters, phrases,
+        prefix/fuzzy/ranges) plus this engine's schema/refusal checks
+        where they are driver-decidable (e.g. phrase on a positions-less
+        snapshot), so valid=True means the query will actually execute."""
+        from picdexer_spark.query.parser import parse_kuery, parse_kuery_tree
+
+        try:
+            if "(" in q or ")" in q:
+                parse_kuery_tree(q)
+            else:
+                terms, mode, filters = parse_kuery(q)
+                if self._syn_classes and filters and any(
+                        t in self._syn_classes for t in terms):
+                    # the same refusal search_query_string raises
+                    raise ValueError(
+                        "synonym-expanded terms with field filters are "
+                        "not supported yet")
+                if mode.startswith("phrase") and not self.has_positions:
+                    raise ValueError(
+                        "phrase search needs an index built with "
+                        "store_positions=True "
+                        "(this snapshot has positions=False)")
+        except ValueError as e:
+            return {"valid": False, "error": str(e)}
+        return {"valid": True, "error": None}
+
     def termvectors(self, doc_id: int) -> DataFrame:
         """ES `_termvectors` API: the per-term statistics of ONE stored
         document — (term, tf, positions) from re-analyzing the stored

@@ -313,3 +313,44 @@ def test_rrf_fuse_reciprocal_rank_formula(spark):
         rrf_fuse([])
     with _pt.raises(ValueError):
         rrf_fuse([a], rank_constant=0)
+
+
+def test_mget_and_validate_query(spark, engine_idx=None):
+    """ES _mget (batch live-doc fetch, one pushed In scan) and
+    _validate/query (parse dry-run: never raises, mirrors the real
+    dispatch's refusals)."""
+    import datetime as dt
+
+    from picdexer_spark.index.build import IndexConfig
+    from picdexer_spark.query.bm25 import SearchEngine
+    from picdexer_spark.streaming.incremental import (build_incremental,
+                                                      delete_by_query)
+
+    idx = "/tmp/mget_idx"
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
+    pages = spark.createDataFrame(
+        [(f"m{i}", dt.datetime(2024, 1, 1), None,
+          f"mget words {i} target{i}", "en") for i in range(20)],
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string")
+    build_incremental(spark, pages, idx, IndexConfig(shard_range=64), "s1")
+    assert delete_by_query(spark, idx, ["target3"], "disjunctive") == 1
+    eng = SearchEngine(spark, idx)
+
+    rows = eng.mget(list(range(20)) + [999]).collect()
+    assert len(rows) == 19  # one tombstoned, 999 never existed
+    assert "m3" not in {r["url"] for r in rows}  # the target3 doc is gone
+    assert eng.mget([]).count() == 0
+    # the In filter must push into the docs scan
+    plan = eng.mget([1, 5])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(doc_id" in plan
+
+    assert eng.validate_query("mget AND words") == \
+        {"valid": True, "error": None}
+    v = eng.validate_query("lang:")  # malformed qualifier
+    assert v["valid"] is False and v["error"]
+    v = eng.validate_query('"mget words"')  # phrase, positions off
+    assert v["valid"] is False and "store_positions" in v["error"]
+    v = eng.validate_query("(a AND b) OR c")  # unsupported tree shape
+    assert v["valid"] is False and v["error"]
