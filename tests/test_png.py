@@ -158,3 +158,20 @@ def test_malformed_chunk_refusals_stay_png_errors():
         decode_png(SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", b"\x01\x02")
                    + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
                    + _chunk(b"IEND", b""))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(w=st.integers(1, 17), h=st.integers(1, 13),
+       ch=st.sampled_from([1, 2, 3, 4]), ft=st.integers(0, 4),
+       seed=st.integers(0, 2**16))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, ft, seed):
+    """decode(encode(x, any filter)) == x for arbitrary geometry including
+    1-pixel rows/columns (where left/up predecessors are all zeros)."""
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ft))
+    assert out.shape == arr.shape and (out == arr).all()

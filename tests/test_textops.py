@@ -665,3 +665,36 @@ def test_chunk_documents_sliding_window(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_chunk_documents_tiling_invariants(spark):
+    """Window-arithmetic invariants across configs and doc lengths: starts
+    advance by exactly the stride, ends are monotone and reach n, the
+    chunk text is the literal token slice, every token is covered."""
+    from picdexer_spark.operators.textops import chunk_documents
+
+    docs = [(n, " ".join(f"w{j}" for j in range(n))) for n in range(0, 41)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, overlap in ((1, 0), (2, 1), (5, 0), (7, 3), (16, 15)):
+        stride = chunk - overlap
+        rows = chunk_documents(df, "doc_id", "text", chunk, overlap) \
+            .orderBy("id", "chunk_no").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+        for n in range(0, 41):
+            got = by_doc.get(n, [])
+            if n == 0:
+                assert not got
+                continue
+            assert [r["chunk_no"] for r in got] == list(range(len(got)))
+            for i, r in enumerate(got):
+                assert r["tok_start"] == i * stride
+                assert r["tok_end"] == min(i * stride + chunk, n)
+                assert r["chunk_text"] == " ".join(
+                    f"w{j}" for j in range(r["tok_start"], r["tok_end"]))
+            assert got[-1]["tok_end"] == n          # coverage reaches n
+            assert got[0]["tok_start"] == 0
+            # exactly enough windows: one fewer would leave a tail
+            if len(got) > 1:
+                assert (len(got) - 2) * stride + chunk < n
