@@ -44,8 +44,18 @@ def cosine_topk(
     k: int = 10,
     candidate_filter: Column | None = None,
     min_sim: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors for each query id.
+
+    ``metric`` covers ES dense_vector's three similarity choices:
+    ``cosine`` (default; returns the raw cosine in `cos_sim`, the
+    established column), ``dot_product`` and ``l2_norm`` (return ES's
+    own _score transforms — (1+dot)/2 and 1/(1+d^2) — in a `score`
+    column, so "higher = closer" holds uniformly and `min_sim` floors
+    mean the same thing ES's `similarity` knob means). The l2 distance
+    is computed as |a|^2+|b|^2-2ab from the same dot/norm kernels — no
+    extra array pass.
 
     The query vectors (a tiny dim table) are broadcast against the full
     embedding table — one scan, no shuffle of the big side; per-query top-k
@@ -70,18 +80,29 @@ def cosine_topk(
     joined = cand.alias("n").crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
-    )
+    dot = _dot(F.col(vec_col), F.col("qvec"))
+    if metric == "cosine":
+        expr, out_col = dot / (_norm(F.col(vec_col))
+                               * _norm(F.col("qvec"))), "cos_sim"
+    elif metric == "dot_product":
+        expr, out_col = (F.lit(1.0) + dot) / 2, "score"
+    elif metric == "l2_norm":
+        sq = (_norm(F.col(vec_col)) ** 2 + _norm(F.col("qvec")) ** 2
+              - 2 * dot)
+        expr, out_col = 1.0 / (F.lit(1.0) + F.greatest(sq, F.lit(0.0))), \
+            "score"
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cosine, "
+                         "dot_product, l2_norm)")
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
+        F.desc(out_col), F.asc(id_col)
     )
-    scored = joined.withColumn("cos_sim", F.round(cos, 6))
+    scored = joined.withColumn(out_col, F.round(expr, 6))
     if min_sim is not None:
         # the ES knn `similarity` threshold: candidates below the floor
         # never enter the per-query heap (fewer than k rows may return —
         # the documented ES behavior, not an error)
-        scored = scored.filter(F.col("cos_sim") >= float(min_sim))
+        scored = scored.filter(F.col(out_col) >= float(min_sim))
     return (
         scored
         .withColumn("rank", F.row_number().over(w))
@@ -89,7 +110,7 @@ def cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            "cos_sim",
+            out_col,
             "rank",
         )
     )

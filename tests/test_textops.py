@@ -698,3 +698,41 @@ def test_chunk_documents_tiling_invariants(spark):
             # exactly enough windows: one fewer would leave a tail
             if len(got) > 1:
                 assert (len(got) - 2) * stride + chunk < n
+
+
+def test_knn_metrics_match_numpy(spark):
+    """ES dense_vector metric parity: dot_product / l2_norm rank and
+    score exactly as numpy computes the ES _score transforms; cosine
+    path and its column name are untouched."""
+    import numpy as np
+
+    from picdexer_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+
+    for metric, score_fn in (
+        ("dot_product", lambda q, n: (1 + q @ n) / 2),
+        ("l2_norm", lambda q, n: 1 / (1 + ((q - n) ** 2).sum())),
+    ):
+        got = cosine_topk(df, "vec_id", "embedding", [0, 5], k=4,
+                          metric=metric).collect()
+        assert got[0].__fields__[2] == "score"
+        for qid in (0, 5):
+            want = sorted(((float(score_fn(vecs[qid], vecs[j])), -j)
+                           for j in range(30) if j != qid),
+                          reverse=True)[:4]
+            mine = [(r["score"], -r["neighbor_id"]) for r in got
+                    if r["query_id"] == qid]
+            assert [j for _, j in mine] == [j for _, j in want]
+            for (ms, _), (ws, _) in zip(mine, want):
+                assert ms == pytest.approx(ws, abs=1e-5)
+    # cosine default unchanged (column name + refusal)
+    assert cosine_topk(df, "vec_id", "embedding", [0], k=2) \
+        .columns[2] == "cos_sim"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cosine_topk(df, "vec_id", "embedding", [0], metric="manhattan")
