@@ -373,3 +373,32 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "SortMergeJoin" not in plan
     import re as _re
     assert _re.search(r"partial_count", plan)
+
+
+def test_search_indices_plan_one_global_takeordered(spark, tmp_path):
+    """Cross-index merge: each index contributes a k-bounded top list and
+    the union resolves through ONE global TakeOrdered — no cartesian, no
+    extra full-data exchange beyond the per-index kernels."""
+    import datetime as dt
+    import os
+
+    from picdexer_spark.index.build import IndexConfig
+    from picdexer_spark.query.bm25 import search_indices
+    from picdexer_spark.streaming.incremental import build_incremental
+
+    S = ("url string, warc_ts timestamp, html binary, text string,"
+         " lang string")
+    dirs = []
+    for n in ("pa", "pb"):
+        d = os.path.join(str(tmp_path), n)
+        pages = spark.createDataFrame(
+            [(f"{n}{i}", dt.datetime(2024, 1, 1), None,
+              f"plan words {i}", "en") for i in range(15)], S)
+        build_incremental(spark, pages, d, IndexConfig(shard_range=64), "s")
+        dirs.append(d)
+    out = search_indices(spark, dirs, ["plan", "words"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the union feeds from the per-index k-limited sorts, not raw scans
+    assert plan.count("Union") == 1
