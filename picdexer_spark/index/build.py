@@ -151,6 +151,60 @@ class _PhaseTimer:
         self.last = now
 
 
+#: target INPUT bytes per reduce partition for the build's exchanges. The
+#: round-2..6 shape used the session's spark.sql.shuffle.partitions (bench:
+#: 4x cores) for every exchange regardless of corpus size — at small corpora
+#: that is pure task-launch + tiny-file overhead (measured: a 10k-doc build
+#: dropped 5.0 s -> 2.0 s going 128 -> 8 reduce partitions), and the written
+#: tables came out as 128 KB-sized files whose per-file footer/bloom
+#: overhead dominated every query scan. 4 MB of INPUT per partition keeps
+#: partitions ~1-2 MB of compressed postings at this corpus shape; the
+#: session's shuffle_partitions stays the UPPER bound, so large corpora and
+#: low-core probes behave exactly as before (guide §2: derive partitioning
+#: from input size, never a constant tuned to one scale).
+_TARGET_INPUT_BYTES_PER_PARTITION = 4 << 20
+
+
+def _input_size_bytes(df: DataFrame) -> int | None:
+    """Best-effort driver-side input size of a file-backed DataFrame (the
+    catalog layout is POSIX-visible by design — see sources/catalog.py).
+    None when the plan is not file-backed (tests' inline frames)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        if f.startswith("file:") and not f.startswith("file://"):
+            p = f[5:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def build_partitions(spark: SparkSession, pages: DataFrame) -> int:
+    """Scale-adaptive reduce-partition count for the build's two full-data
+    exchanges: ceil(input_bytes / 4 MB), floored at 1, capped at the
+    session's spark.sql.shuffle.partitions (explicit user sizing stays the
+    ceiling — the 2-core scaling probe and cluster configs keep their
+    partitioning). Non-file inputs fall back to the session value
+    (byte-identical to the pre-round-7 behavior)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    override = os.environ.get("PICDEXER_BUILD_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    size = _input_size_bytes(pages)
+    if size is None:
+        return cap
+    want = -(-size // _TARGET_INPUT_BYTES_PER_PARTITION)  # ceil
+    return max(1, min(cap, want))
+
+
 def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
     """Write a driver-side table as one parquet file (Spark-readable)."""
     os.makedirs(path, exist_ok=True)
@@ -165,7 +219,7 @@ def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
 # ---------------------------------------------------------------------------
 def assign_doc_ids(
     df: DataFrame, url_col: str = "url", offset: int = 0,
-    ok_col: str | None = None,
+    ok_col: str | None = None, num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list, int, int]:
     """doc_id = `offset` + dense rank of url (lexicographic, UTF-8) over the
     KEPT rows (``ok_col`` true, when given); dropped rows never consume ids.
@@ -210,9 +264,14 @@ def assign_doc_ids(
     # extract pass total. Spill-bounded (MEMORY_AND_DISK); released as soon
     # as the post-exchange cache is materialized by the counting collect.
     pre = with_src.withColumn("_ok", ok).persist(StorageLevel.MEMORY_AND_DISK)
+    # scale-adaptive range-partition count (see build_partitions): doc_id =
+    # offset + dense url rank is partitioning-INDEPENDENT by construction
+    # (offsets accumulate over sorted partition ids, positions follow the
+    # per-partition url sort), so the count is purely a performance knob
+    range_args = ([num_partitions] if num_partitions else []) + [F.col(url_col)]
     part = (
         pre
-        .repartitionByRange(F.col(url_col))
+        .repartitionByRange(*range_args)
         .sortWithinPartitions(url_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -566,7 +625,8 @@ def _make_merge_encoder(block_size: int, with_positions: bool):
     return merge_partition
 
 
-def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+def encode_postings(docs: DataFrame, cfg: IndexConfig,
+                    num_partitions: int | None = None) -> DataFrame:
     """Stages C+D: docs -> final posting blocks with ONE exchange whose
     volume is the compressed partial runs (~index-sized), per the pipeline
     comment above. The map side ships token ARRAYS (one row per doc)
@@ -608,8 +668,12 @@ def encode_postings(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
         _make_arrow_partial_encoder(cfg.shard_range, cfg.store_positions),
         PARTIAL_SCHEMA,
     )
+    # scale-adaptive exchange width (posting rows are (term, shard)-complete
+    # in any partitioning — block content is partition-count-independent)
+    rep_args = ([num_partitions] if num_partitions else []) + \
+        ["term", "shard_id"]
     return (
-        partials.repartition("term", "shard_id")
+        partials.repartition(*rep_args)
         .sortWithinPartitions("term", "shard_id", "first_doc")
         .mapInPandas(
             _make_merge_encoder(cfg.block_size, cfg.store_positions),
@@ -719,10 +783,16 @@ def build_index(
         "doc_len", kept_len_col("text", cfg.stopwords)
     )
 
+    # scale-adaptive reduce width for the two full-data exchanges (and the
+    # written tables' file counts) — derived from the INPUT size, capped at
+    # the session's shuffle partitions (see build_partitions)
+    n_parts = build_partitions(spark, pages)
+
     # B: identity + doc store (one counting pass also yields lineage counts,
     # the dropped-row total, and total_len)
     with_ids, _parted, src_counts, dropped, total_len = assign_doc_ids(
-        extracted, offset=cfg.id_offset, ok_col="extract_ok"
+        extracted, offset=cfg.id_offset, ok_col="extract_ok",
+        num_partitions=n_parts,
     )
     with_ids = with_ids.drop("extract_ok")
     timer.mark("extract+assign_ids")
@@ -754,7 +824,7 @@ def build_index(
     # hash partition, and a parquet BLOOM FILTER on `term` gives the query
     # path its `term IN (...)` row-group pruning instead of global range
     # layout. salt = doc-range shard defuses head-term skew.
-    postings = encode_postings(docs_written, cfg)
+    postings = encode_postings(docs_written, cfg, num_partitions=n_parts)
     # ONE write job, directory-partitioned by field: field=text/ IS the
     # `postings` table, field=url/ the `postings_url` table (catalog
     # table_path maps the names to the subdirectories). One exchange,
@@ -815,6 +885,11 @@ def build_index(
         (
             ts_src.groupBy("term")
             .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            # vocab-sized rollup: cap the file count (coalesce collapses
+            # the agg's reduce stage, no extra exchange) so the engine's
+            # driver-side df-cache preload reads a handful of files, not
+            # one per session shuffle partition
+            .coalesce(max(1, n_parts // 4))
             .write.mode("overwrite")
             .parquet(os.path.join(snap_dir, "term_stats"))
         )
