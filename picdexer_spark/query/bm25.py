@@ -266,10 +266,21 @@ class SearchEngine:
         self.snapshot_id = snapshot_id or self.cat.current_snapshot()
         self.postings = self.cat.read(spark, "postings", self.snapshot_id)
         self.term_stats = self.cat.read(spark, "term_stats", self.snapshot_id)
-        st = self.cat.read(spark, "stats", self.snapshot_id).first()
-        self.n_docs = int(st["n_docs"])
-        self.avgdl = float(st["avgdl"])
-        st_d = st.asDict()
+        # stats is a 1-row driver-written table: read it driver-side
+        # (pyarrow) instead of paying a Spark job per engine construction;
+        # object-store layouts fall back to the distributed read
+        st_d = None
+        try:
+            sp = self.cat.nearest_table_path("stats", self.snapshot_id)
+            if sp is not None:
+                st_d = self.cat.read_arrow(sp).to_pylist()[0]
+        except Exception:
+            st_d = None
+        if st_d is None:
+            st_d = self.cat.read(
+                spark, "stats", self.snapshot_id).first().asDict()
+        self.n_docs = int(st_d["n_docs"])
+        self.avgdl = float(st_d["avgdl"])
         self.shard_range = shard_range = int(
             st_d.get("shard_range") or (1 << 20)
         )
@@ -292,12 +303,18 @@ class SearchEngine:
         # by compaction cadence) — exact, with zero collect of ids.
         self.deletes = self.cat.read(spark, "deletes", self.snapshot_id) \
             .select("doc_id")
-        self._tomb_counts: dict[int, int] = {
-            int(r["s"]): int(r["c"])
-            for r in self.deletes.groupBy(
-                F.expr(f"doc_id div {shard_range}").alias("s")
-            ).agg(F.count("*").alias("c")).collect()
-        }
+        # a chain with no upsert/delete snapshots provably has no
+        # tombstones — skip the counting job entirely (it was a full Spark
+        # job over an empty frame, ~0.3 s of every engine construction)
+        if not self.cat.existing_chain_paths("deletes", self.snapshot_id):
+            self._tomb_counts: dict[int, int] = {}
+        else:
+            self._tomb_counts = {
+                int(r["s"]): int(r["c"])
+                for r in self.deletes.groupBy(
+                    F.expr(f"doc_id div {shard_range}").alias("s")
+                ).agg(F.count("*").alias("c")).collect()
+            }
         # SCORING statistics pair with the AS-BUILT per-term df (which
         # counts tombstoned docs until compact), so N and avgdl must also
         # include tombstoned docs — Lucene's maxDoc/sumTotalTermFreq
@@ -353,13 +370,30 @@ class SearchEngine:
                     )
         # small vocabularies: pull df stats to the driver once, saving one
         # Spark job per query; a web-scale vocab (hundreds of millions of
-        # terms) stays a distributed filtered lookup
+        # terms) stays a distributed filtered lookup. The footer row count
+        # gates the pull and the pull itself is a driver-side pyarrow read
+        # (no Spark job — term_stats is written by the nearest-ancestor
+        # snapshot as a handful of files); non-POSIX layouts fall back to
+        # the distributed limit+collect.
         self._df_cache: dict[str, int] | None = None
-        head = self.term_stats.select("term", "df").limit(
-            preload_stats_max_terms + 1
-        ).collect()
-        if len(head) <= preload_stats_max_terms:
-            self._df_cache = {r["term"]: int(r["df"]) for r in head}
+        try:
+            tsp = self.cat.nearest_table_path("term_stats", self.snapshot_id)
+            if tsp is not None and (
+                self.cat.parquet_num_rows(tsp) <= preload_stats_max_terms
+            ):
+                tbl = self.cat.read_arrow(tsp, columns=["term", "df"])
+                self._df_cache = dict(zip(
+                    tbl.column("term").to_pylist(),
+                    (int(v) for v in tbl.column("df").to_pylist()),
+                ))
+        except Exception:
+            self._df_cache = None
+        if self._df_cache is None:
+            head = self.term_stats.select("term", "df").limit(
+                preload_stats_max_terms + 1
+            ).collect()
+            if len(head) <= preload_stats_max_terms:
+                self._df_cache = {r["term"]: int(r["df"]) for r in head}
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)

@@ -200,6 +200,63 @@ class IndexCatalog:
                 shutil.rmtree(os.path.join(snaps_root, d), ignore_errors=True)
 
     # ---- table IO -------------------------------------------------------
+    def existing_chain_paths(self, table: str,
+                             snapshot_id: str | None = None) -> list[str]:
+        """On-disk directories a chained-table read would union (empty list
+        when no snapshot in the chain holds the table). Driver-side
+        metadata only — lets callers skip Spark jobs over tables that are
+        provably absent (e.g. the tombstone count of a chain with no
+        upserts)."""
+        assert table in CHAINED_TABLES, table
+        return [
+            p for p in (
+                self.table_path(table, sid)
+                for sid in self.parent_chain(snapshot_id)
+            ) if os.path.isdir(p)
+        ]
+
+    def nearest_table_path(self, table: str,
+                           snapshot_id: str | None = None) -> str | None:
+        """Path of the nearest-ancestor copy of a non-chained table
+        (term_stats / stats), or None."""
+        for sid in self.parent_chain(snapshot_id):
+            p = self.table_path(table, sid)
+            if os.path.isdir(p):
+                return p
+        return None
+
+    @staticmethod
+    def read_arrow(path: str, columns: list[str] | None = None):
+        """Driver-side pyarrow read of one table directory (metadata-sized
+        tables only: stats is 1 row, term_stats is vocab-sized and callers
+        gate on its footer row count first). The catalog layout is
+        POSIX-visible by design (every resolution above is os.path based);
+        on an object-store deployment these fall back to the Spark read."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        import pyarrow as pa
+
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files]
+        )
+
+    @staticmethod
+    def parquet_num_rows(path: str) -> int:
+        """Total row count from parquet footers (no data read)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
         if table in CHAINED_TABLES:
