@@ -813,7 +813,16 @@ def build_index(
     # — an overlapped-writes variant was tried and REVERTED: running the
     # doc write and posting build concurrently from the cache re-ran the id
     # projection per branch and was net slower at every core count.
-    docs.write.mode("overwrite").parquet(os.path.join(snap_dir, "docs"))
+    # 4 MB row groups (default 128 MB): with the adaptive partition count a
+    # small corpus writes a handful of doc files, and parquet can only
+    # split a scan at row-group boundaries — one giant row group per file
+    # capped the posting encoder's read-back parallelism at the file count
+    # (3 tasks for a 10k-doc corpus). 4 MB groups let the same files fan
+    # out to ~1 task per 4 MB; large corpora are unaffected (their file
+    # counts already exceed the core count).
+    docs.write.mode("overwrite") \
+        .option("parquet.block.size", str(4 << 20)) \
+        .parquet(os.path.join(snap_dir, "docs"))
     docs_written = spark.read.parquet(os.path.join(snap_dir, "docs"))
     _parted.unpersist()
     timer.mark("docs_write")
@@ -834,13 +843,24 @@ def build_index(
         .otherwise(F.lit("text"))
         if cfg.index_url_field else F.lit("text")
     )
-    (
-        postings.withColumn("field", field_col)
+    # term bloom filters are SIZE-GATED (round 7): files are written sorted
+    # by (term, shard) within each hash partition, so row-group min/max on
+    # `term` already narrows a term probe to <= 1 row group per file; the
+    # bloom bitset only pays when files are large enough to hold MANY row
+    # groups (its job is killing the one false-positive row group whose
+    # range covers an absent term). At small corpora the per-query bitset
+    # reads cost more than they prune — measured 0.111 s -> 0.068 s for a
+    # 3-term scan on a 10k-doc index with bloom dropped. Gate on the
+    # adaptive exchange width: >= 64 partitions ~ >= 256 MB of input, the
+    # regime where files carry multiple row groups.
+    pw = postings.withColumn("field", field_col) \
         .write.mode("overwrite").partitionBy("field")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .option("parquet.bloom.filter.expected.ndv#term", "100000")
-        .parquet(os.path.join(snap_dir, "postings"))
-    )
+    if n_parts >= 64:
+        pw = (
+            pw.option("parquet.bloom.filter.enabled#term", "true")
+            .option("parquet.bloom.filter.expected.ndv#term", "100000")
+        )
+    pw.parquet(os.path.join(snap_dir, "postings"))
     # an EMPTY build (e.g. a delta batch that was pure redelivery) writes
     # no partition directories at all — fall back to an empty frame
     p_text = os.path.join(snap_dir, "postings", "field=text")
