@@ -145,6 +145,7 @@ def osa_distances(term: str, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
     blocks: dict[str, TermBlocks] = {}
+    has_n = "n" in pdf.columns
     for t, g in pdf.groupby("term", sort=False):
         blocks[t] = TermBlocks(
             g["first_doc"].to_numpy(np.int64),
@@ -153,6 +154,9 @@ def _blocks_from_pdf(pdf: pd.DataFrame) -> dict[str, TermBlocks]:
             g["min_dl"].to_numpy(np.int64),
             list(zip(g["doc_ids_enc"], g["tfs_enc"], g["dls_enc"])),
             pos_enc=(list(g["pos_enc"]) if "pos_enc" in g.columns else None),
+            # per-block posting counts enable the one-pass vectorized
+            # decode (segmented decode over concatenated buffers)
+            n=(g["n"].to_numpy(np.int64) if has_n else None),
         )
     return blocks
 
@@ -617,7 +621,7 @@ class SearchEngine:
         idf_map = self._idf_map(present, idf_dfs, n_docs_sc, ns, boosts)
 
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")  # proximity payload only when needed
         src = self.postings_url if ns else self.postings
@@ -698,7 +702,7 @@ class SearchEngine:
         if not kernel_classes:
             return self._empty()
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         src = self.postings_url if ns else self.postings
         flat = [m for _, ms in kernel_classes for m in ms]
         cand = src.filter(F.col("term").isin(flat)).select(*pay_cols)
@@ -890,7 +894,7 @@ class SearchEngine:
             return self._empty()  # a required fixed term matches nothing
         idf_map = {t: idf(self.n_docs_scoring, d) for t, d in dfs.items()}
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc",
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
                     "pos_enc"]
         qterms = sorted(set(uniq_fixed) | set(alts))
         cand = self.postings.filter(F.col("term").isin(qterms)) \
@@ -1813,7 +1817,7 @@ class SearchEngine:
             "doc_id",
         )
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")
         cand = (self.postings_url if ns else self.postings) \
@@ -1913,7 +1917,7 @@ class SearchEngine:
             return self.spark.createDataFrame([], empty_schema)
         idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if mode == "phrase":
             pay_cols.append("pos_enc")
         cand = (self.postings_url if ns else self.postings) \
@@ -3193,7 +3197,7 @@ class SearchEngine:
         )
         cand = self.postings.filter(F.col("term").isin(all_terms))
         pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
-                    "min_dl", "doc_ids_enc", "tfs_enc", "dls_enc"]
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if any_phrase:
             pay_cols.append("pos_enc")
         per_shard = (

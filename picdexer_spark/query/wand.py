@@ -83,10 +83,11 @@ def _after_mask(ids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
 class TermBlocks:
     """All posting blocks of one term within the scoring group, decoded lazily."""
 
-    __slots__ = ("first", "last", "max_tf", "min_dl", "enc", "pos_enc",
+    __slots__ = ("first", "last", "max_tf", "min_dl", "enc", "pos_enc", "n",
                  "_cache")
 
-    def __init__(self, first, last, max_tf, min_dl, enc, pos_enc=None):
+    def __init__(self, first, last, max_tf, min_dl, enc, pos_enc=None,
+                 n=None):
         order = np.argsort(first, kind="stable")
         self.first = np.asarray(first, np.int64)[order]
         self.last = np.asarray(last, np.int64)[order]
@@ -94,6 +95,8 @@ class TermBlocks:
         self.min_dl = np.asarray(min_dl, np.int64)[order]
         self.enc = [enc[i] for i in order]
         self.pos_enc = [pos_enc[i] for i in order] if pos_enc is not None else None
+        #: per-block posting counts (optional; enables one-pass decode)
+        self.n = np.asarray(n, np.int64)[order] if n is not None else None
         self._cache: dict[int, tuple] = {}
 
     def positions_flat(self, doc_ids: np.ndarray):
@@ -157,6 +160,30 @@ class TermBlocks:
         return got
 
     def decode_many(self, idxs: np.ndarray):
+        # one-pass segmented decode when per-block counts are known and the
+        # request is bulk-sized: concatenating the varint buffers and
+        # decoding once replaces a Python loop of per-block decodes (the
+        # decode cost of a head term is thousands of ~128-entry buffers —
+        # measured 3-4x faster vectorized). Small requests keep the cached
+        # per-block path (the prune sweep re-touches blocks across
+        # segments and profits from the cache).
+        idxs = np.asarray(idxs, np.int64)
+        if self.n is not None and idxs.size > 8 and not self._cache:
+            from picdexer_spark.index.codec import (
+                segmented_delta_decode,
+                varint_decode,
+            )
+
+            sel = [self.enc[int(i)] for i in idxs]
+            counts = self.n[idxs]
+            ids = segmented_delta_decode(
+                varint_decode(b"".join(bytes(e[0]) for e in sel)),
+                counts, self.first[idxs],
+            )
+            tfs = varint_decode(b"".join(bytes(e[1]) for e in sel)) \
+                + np.uint64(1)
+            dls = varint_decode(b"".join(bytes(e[2]) for e in sel))
+            return ids, tfs, dls
         ids, tfs, dls = [], [], []
         for i in idxs:
             a, t, d = self.decode(int(i))
@@ -357,7 +384,7 @@ def score_disjunctive(
     if not asc or msm > len(asc):
         return empty
 
-    if not prune:
+    def _bulk():
         parts = []
         for t in asc:
             tb = blocks[t]
@@ -375,43 +402,74 @@ def score_disjunctive(
             nmatch[pos] += 1
         if msm > 1:
             keep = nmatch >= msm
-            all_ids, scores = all_ids[keep], scores[keep]
+            all_ids2, scores2 = all_ids[keep], scores[keep]
+        else:
+            all_ids2, scores2 = all_ids, scores
         if allowed is not None:
-            keep = _in_sorted(all_ids, allowed)
-            all_ids, scores = all_ids[keep], scores[keep]
+            keep = _in_sorted(all_ids2, allowed)
+            all_ids2, scores2 = all_ids2[keep], scores2[keep]
         if after is not None:
-            am = _after_mask(all_ids, scores, after)
-            all_ids, scores = all_ids[am], scores[am]
-        return _topk(all_ids.astype(np.int64), scores, k)
+            am = _after_mask(all_ids2, scores2, after)
+            all_ids2, scores2 = all_ids2[am], scores2[am]
+        return _topk(all_ids2.astype(np.int64), scores2, k)
 
-    # segment sweep: doc-id space cut at every block boundary; per segment,
-    # sum of overlapping block UBs = max achievable score there
-    bounds = []
-    per_block = []  # (term, block_idx, lo, hi, ub)
+    if not prune:
+        return _bulk()
+
+    # vectorized segment SKETCH first (cheap: a few numpy passes over the
+    # block metadata): doc-id space cut at every block boundary; per
+    # segment, the sum of overlapping block UBs = max achievable score
+    # there. The sketch both drives the sweep and decides whether a sweep
+    # is worth running at all.
+    t_arr: list[str] = []
+    b_lo = []
+    b_hi = []
+    b_ub = []
+    b_idx = []
     for t in asc:
         tb = blocks[t]
         ubs = block_ub_vec(tb.max_tf, tb.min_dl, idf[t], k1, b, avgdl)
-        for i in range(tb.n_blocks()):
-            lo, hi = int(tb.first[i]), int(tb.last[i])
-            per_block.append((t, i, lo, hi, float(ubs[i])))
-            bounds.append(lo)
-            bounds.append(hi + 1)
-    edges = np.unique(np.asarray(bounds, np.int64))
+        t_arr.extend([t] * tb.n_blocks())
+        b_lo.append(tb.first)
+        b_hi.append(tb.last)
+        b_ub.append(ubs)
+        b_idx.append(np.arange(tb.n_blocks()))
+    los = np.concatenate(b_lo)
+    his = np.concatenate(b_hi)
+    ubs_all = np.concatenate(b_ub)
+    idx_all = np.concatenate(b_idx)
+    edges = np.unique(np.concatenate([los, his + 1]))
     nseg = edges.size - 1
     if nseg <= 0:
         return empty
+    s0s = np.searchsorted(edges, los, side="right") - 1
+    s1s = np.searchsorted(edges, his + 1, side="left")
     seg_ub = np.zeros(nseg + 1, np.float64)
-    seg_blocks: list[list[int]] = [[] for _ in range(nseg)]
-    for bi, (t, i, lo, hi, ub) in enumerate(per_block):
-        s0 = int(np.searchsorted(edges, lo, side="right") - 1)
-        s1 = int(np.searchsorted(edges, hi + 1, side="left"))
-        seg_ub[s0] += ub
-        seg_ub[s1] -= ub
-        for s in range(s0, s1):
-            seg_blocks[s].append(bi)
+    np.add.at(seg_ub, s0s, ubs_all)
+    np.add.at(seg_ub, s1s, -ubs_all)
     seg_ub = np.cumsum(seg_ub[:-1])
 
-    order = np.argsort(-seg_ub, kind="stable") if prune else np.arange(nseg)
+    # ADAPTIVE path choice (round 7; both paths exact and bit-identical —
+    # pinned by the rank-identity tests): the sweep's per-segment Python
+    # bookkeeping only pays when a meaningful share of segments can fall
+    # below the final threshold. When the ub distribution is flat (e.g.
+    # every query term is a head term covering the whole shard) NOTHING
+    # prunes and the sweep is pure overhead — measured 0.66 s vs 0.45 s
+    # for a 3-head-term disjunction over 100k docs. A segment can only
+    # ever prune if its ub is below the best segment's; require at least
+    # 25% of segments under 0.7x the max before paying for the sweep.
+    frac_prunable = float(np.mean(seg_ub < 0.7 * seg_ub.max()))
+    if frac_prunable < 0.25:
+        return _bulk()
+
+    per_block = list(zip(t_arr, idx_all.tolist(), los.tolist(),
+                         his.tolist(), ubs_all.tolist()))
+    seg_blocks: list[list[int]] = [[] for _ in range(nseg)]
+    for bi in range(len(per_block)):
+        for s in range(int(s0s[bi]), int(s1s[bi])):
+            seg_blocks[s].append(bi)
+
+    order = np.argsort(-seg_ub, kind="stable")
     top_ids = np.zeros(0, np.int64)
     top_scores = np.zeros(0, np.float64)
     theta = -np.inf
