@@ -37,6 +37,7 @@ from pyspark.sql.functions import pandas_udf
 from picdexer_spark.oracle.reference import B, K1
 from picdexer_spark.query.wand import (
     TermBlocks,
+    field_match_scores,
     score_conjunctive,
     score_disjunctive,
     score_groups,
@@ -2423,11 +2424,17 @@ class SearchEngine:
         Each field scores with its OWN BM25 statistics (df, docCount,
         avgdl — Lucene per-field stats via the namespaced postings).
 
-        Plan shape: one exact per-shard kernel pass per field (per
-        (term, field) for cross_fields — bounded by |terms|x|fields|,
-        both query-sized), union -> ONE doc_id shuffle of the
-        candidate-sized sets -> TakeOrdered(k). Nothing data-sized
-        reaches the driver."""
+        Plan shape (round 7): ONE exchange. A doc lives in exactly one
+        shard, so the per-field combination is shard-local: the candidate
+        blocks of every field (terms namespaced, so one blocks dict keeps
+        the fields apart) shuffle once to their shard, one kernel computes
+        each field's full match scores and combines them per doc
+        (sum / dis_max / per-term best — ascending term order, the same
+        pinned arithmetic as the per-field kernels), pre-trims to
+        k + shard tombstones, and a global TakeOrdered(k) finishes. The
+        previous shape ran one kernel pass per field and re-shuffled the
+        FULL per-field match sets by doc_id to combine them — two extra
+        exchanges carrying match-set-sized data."""
         if match_type not in ("most_fields", "best_fields",
                               "cross_fields"):
             raise ValueError(
@@ -2441,45 +2448,101 @@ class SearchEngine:
         uniq = sorted(set(terms))
         if not uniq:
             return self._empty()
-        if match_type == "cross_fields":
-            parts = [
-                self.match_ids([t], "disjunctive", field=f_,
-                               with_scores=True)
-                .withColumn("_t", F.lit(t))
-                for t in uniq for f_ in fields
-            ]
-            unioned = parts[0]
-            for p in parts[1:]:
-                unioned = unioned.unionByName(p)
-            per_term = unioned.groupBy("doc_id", "_t").agg(
-                F.max("score").alias("best"))
-            return (
-                per_term.groupBy("doc_id")
-                .agg(F.sum("best").alias("score"))
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
+        # per-field spec: (namespace, present namespaced terms, idf map,
+        # avgdl) — all driver-side metadata
+        specs = []
+        for f_ in fields:
+            ns, n_docs_sc, avgdl_sc = self._field_stats(f_)
+            ts = [ns + t for t in uniq]
+            dfs = self.term_dfs(ts)
+            present = sorted(t for t in ts if t in dfs)
+            if not present:
+                continue
+            idf_map = {t: idf(n_docs_sc, dfs[t]) for t in present}
+            specs.append((ns, present, idf_map, float(avgdl_sc)))
+        if not specs:
+            return self._empty()
+        pay_cols = ["term", "shard_id", "first_doc", "last_doc", "max_tf",
+                    "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
+        cands = []
+        for ns, present, _im, _ad in specs:
+            src = self.postings_url if ns else self.postings
+            cands.append(src.filter(F.col("term").isin(present))
+                         .select(*pay_cols))
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        tomb_counts = self._tomb_counts
+        tie = float(tie_breaker)
+        mt = match_type
+        uniq_terms = uniq  # un-namespaced, ascending
+
+        def mm_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            blocks = _blocks_from_pdf(pdf)
+            k_eff = k + tomb_counts.get(int(pdf["shard_id"].iat[0]), 0)
+            if mt == "cross_fields":
+                # per-term dis_max across fields, summed in asc term order
+                acc_ids = np.zeros(0, np.int64)
+                acc = np.zeros(0, np.float64)
+                for t in uniq_terms:
+                    best_ids = np.zeros(0, np.int64)
+                    best = np.zeros(0, np.float64)
+                    for ns, present, idf_map, avgdl_f in specs:
+                        tn = ns + t
+                        if tn not in idf_map:
+                            continue
+                        ids_f, sc_f = field_match_scores(
+                            [tn], blocks, idf_map, K1, B, avgdl_f)
+                        m_ids = np.union1d(best_ids, ids_f)
+                        m_best = np.full(m_ids.size, -np.inf)
+                        p0 = np.searchsorted(m_ids, best_ids)
+                        m_best[p0] = best
+                        p1 = np.searchsorted(m_ids, ids_f)
+                        np.maximum.at(m_best, p1, sc_f)
+                        best_ids, best = m_ids, m_best
+                    if best_ids.size == 0:
+                        continue
+                    m_ids = np.union1d(acc_ids, best_ids)
+                    m_acc = np.zeros(m_ids.size, np.float64)
+                    m_acc[np.searchsorted(m_ids, acc_ids)] = acc
+                    m_acc[np.searchsorted(m_ids, best_ids)] += best
+                    acc_ids, acc = m_ids, m_acc
+                ids, scores = acc_ids, acc
+            else:
+                all_ids = np.zeros(0, np.int64)
+                s_sum = np.zeros(0, np.float64)
+                s_max = np.zeros(0, np.float64)
+                for ns, present, idf_map, avgdl_f in specs:
+                    ids_f, sc_f = field_match_scores(
+                        present, blocks, idf_map, K1, B, avgdl_f)
+                    if ids_f.size == 0:
+                        continue
+                    m_ids = np.union1d(all_ids, ids_f)
+                    m_sum = np.zeros(m_ids.size, np.float64)
+                    m_max = np.full(m_ids.size, -np.inf)
+                    p0 = np.searchsorted(m_ids, all_ids)
+                    m_sum[p0] = s_sum
+                    m_max[p0] = s_max
+                    p1 = np.searchsorted(m_ids, ids_f)
+                    m_sum[p1] += sc_f
+                    np.maximum.at(m_max, p1, sc_f)
+                    all_ids, s_sum, s_max = m_ids, m_sum, m_max
+                ids = all_ids
+                if mt == "most_fields":
+                    scores = s_sum
+                else:
+                    scores = s_max + tie * (s_sum - s_max)
+            order = np.lexsort((ids, -scores))[:k_eff]
+            return pd.DataFrame({"doc_id": ids[order],
+                                 "score": scores[order]})
+
+        per_shard = cand.groupBy("shard_id").applyInPandas(
+            mm_shard, RESULT_SCHEMA)
+        if tomb_counts:
+            per_shard = per_shard.join(
+                F.broadcast(self.deletes), "doc_id", "left_anti"
             )
-        parts = [
-            self.match_ids(uniq, "disjunctive", field=f_, with_scores=True)
-            for f_ in fields
-        ]
-        unioned = parts[0]
-        for p in parts[1:]:
-            unioned = unioned.unionByName(p)
-        agg = unioned.groupBy("doc_id").agg(
-            F.sum("score").alias("s_sum"), F.max("score").alias("s_max")
-        )
-        if match_type == "most_fields":
-            score = F.col("s_sum")
-        else:
-            score = F.col("s_max") + F.lit(float(tie_breaker)) * (
-                F.col("s_sum") - F.col("s_max")
-            )
-        return (
-            agg.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def span_first(self, term: str, end: int, k: int = 10) -> DataFrame:
         """ES `span_first` query: the term must occur within the first

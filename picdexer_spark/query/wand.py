@@ -518,6 +518,39 @@ def score_disjunctive(
     return _topk(top_ids, top_scores, k)
 
 
+def field_match_scores(
+    terms: list[str],
+    blocks: dict[str, TermBlocks],
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """FULL per-doc scored match set of a disjunction over one field's
+    (namespaced) terms: (doc_ids asc int64, scores float64). Score = BM25
+    sum in ascending term order — the exact arithmetic of the bulk
+    disjunctive kernel / match_ids, factored out so the multi_match shard
+    kernel can combine several fields' sets per doc without a per-field
+    exchange."""
+    asc = [t for t in sorted(terms) if t in blocks and blocks[t].n_blocks() > 0]
+    if not asc:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    parts = []
+    for t in asc:
+        tb = blocks[t]
+        ids, tfs, dls = tb.decode_many(np.arange(tb.n_blocks()))
+        if ids.size:
+            parts.append((t, ids, tfs, dls))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    all_ids = np.unique(np.concatenate([p[1] for p in parts]))
+    scores = np.zeros(all_ids.size, np.float64)
+    for t, ids, tfs, dls in parts:  # asc term order (pinned summation)
+        pos = np.searchsorted(all_ids, ids)
+        scores[pos] += _score_part(tfs, dls, idf[t], k1, b, avgdl)
+    return all_ids.astype(np.int64), scores
+
+
 def score_synonyms(
     classes: list[tuple[str, tuple[str, ...]]],
     blocks: dict[str, TermBlocks],
