@@ -215,6 +215,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while p + 4 <= n:
         if buf[p] != 0xFF:
             raise JpegError(f"marker sync lost at {p}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (ADVICE r6: legal baseline files with
+        # fill bytes were refused as 'marker sync lost')
+        while p + 1 < n and buf[p + 1] == 0xFF:
+            p += 1
+        if p + 4 > n:
+            break
         m = buf[p + 1]
         if m == 0xD8:
             p += 2

@@ -1360,6 +1360,30 @@ class SearchEngine:
 
         if "(" in q or ")" in q:
             groups, fast = parse_kuery_tree(q)
+            if self.stopwords:
+                # mirror the flat path's stop handling (ADVICE r6): a
+                # stop-filtered PLAIN term inside a boolean tree is
+                # analyzed away — dropped from its group, never looked up
+                # as a normal term (it is not in the index, so it would
+                # silently fail a conjunction ES satisfies). A group
+                # emptied of all its terms disappears from the
+                # conjunction (the flat path's dropped-must-clause
+                # behavior); a query emptied of all groups matches
+                # nothing (or match-all within remaining filters).
+                # Operator-bearing terms (*, ~, /re/) cannot be bare
+                # stopwords — same argument as the flat path.
+                stop = set(self.stopwords)
+                groups = [
+                    [t for t in g
+                     if not (t in stop and not any(c in t for c in "*~/"))]
+                    for g in groups
+                ]
+                groups = [g for g in groups if g]
+                if not groups:
+                    if fast is None:
+                        return self._empty()
+                    return self.search_filtered([], "disjunctive", fast,
+                                                k, prune)
             if self._syn_classes and any(
                     t in self._syn_classes for g in groups for t in g):
                 # boolean-tree queries don't ride the blended kernel —
@@ -1886,7 +1910,12 @@ class SearchEngine:
                 "store_positions=True (this snapshot has positions=False)"
             )
         cond = self._filter_cond(filters) if filters else None
-        live = self.cat.read_live_docs(self.spark, self.snapshot_id)
+        # the live-docs view costs a driver-side file listing per
+        # construction — build it only on the branches that consume it
+        # (filters / match_all), not for every term query
+        live = None
+        if cond is not None or not sorted(set(terms)):
+            live = self.cat.read_live_docs(self.spark, self.snapshot_id)
         out_cols = ["doc_id", "score"] if with_scores else ["doc_id"]
         empty_schema = ("doc_id long, score double" if with_scores
                         else "doc_id long")
@@ -2010,31 +2039,23 @@ class SearchEngine:
             .filter(F.col("doc_id").isin(ids))
 
     def validate_query(self, q: str) -> dict:
-        """ES ``_validate/query``: parse-only dry run of a kuery string —
+        """ES ``_validate/query``: dry run of a kuery string —
         ``{"valid": bool, "error": str | None}``, never an exception (the
-        ES endpoint returns explanations, not 400s). Runs the SAME parser
-        as :meth:`search_query_string` (boolean trees, filters, phrases,
-        prefix/fuzzy/ranges) plus this engine's schema/refusal checks
-        where they are driver-decidable (e.g. phrase on a positions-less
-        snapshot), so valid=True means the query will actually execute."""
-        from picdexer_spark.query.parser import parse_kuery, parse_kuery_tree
+        ES endpoint returns explanations, not 400s).
 
+        Round 7 (ADVICE r6): instead of re-implementing the refusal
+        matrix (which had drifted — it missed phrase-with-stopped-term,
+        synonym-with-operators and synonym-in-tree, and wrongly flagged
+        phrase+filters+synonym), validation now BUILDS the real query
+        plan via :meth:`search_query_string`. DataFrames are lazy, so no
+        scoring job runs; every driver-side refusal (parser, schema,
+        positions, stop/synonym rules) surfaces exactly as execution
+        would raise it — the two code paths cannot disagree because they
+        are the same path. Dictionary expansions (prefix/fuzzy/wildcard)
+        do run, the ES ``rewrite: true`` behavior — bounded by the term
+        dictionary, never corpus-sized."""
         try:
-            if "(" in q or ")" in q:
-                parse_kuery_tree(q)
-            else:
-                terms, mode, filters = parse_kuery(q)
-                if self._syn_classes and filters and any(
-                        t in self._syn_classes for t in terms):
-                    # the same refusal search_query_string raises
-                    raise ValueError(
-                        "synonym-expanded terms with field filters are "
-                        "not supported yet")
-                if mode.startswith("phrase") and not self.has_positions:
-                    raise ValueError(
-                        "phrase search needs an index built with "
-                        "store_positions=True "
-                        "(this snapshot has positions=False)")
+            self.search_query_string(q, k=1)
         except ValueError as e:
             return {"valid": False, "error": str(e)}
         return {"valid": True, "error": None}

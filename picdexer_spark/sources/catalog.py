@@ -189,9 +189,13 @@ class IndexCatalog:
         self._write_manifest(m)
 
     def abort_uncommitted(self) -> None:
-        """Drop snapshot dirs never committed (crash leftovers)."""
+        """Drop snapshot dirs never committed (crash leftovers). Dirs in
+        ``expire_pending`` (expired by a merge fold, kept one cycle as a
+        grace window for pinned readers — streaming/incremental.py
+        merge_chain) are NOT crash leftovers and stay."""
         m = self.read_manifest()
         committed = {s["id"] for s in m["snapshots"]}
+        committed |= set(m.get("expire_pending", []))
         snaps_root = os.path.join(self.index_dir, "snapshots")
         if not os.path.isdir(snaps_root):
             return

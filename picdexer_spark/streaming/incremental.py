@@ -326,9 +326,18 @@ def merge_chain(spark: SparkSession, index_dir: str,
     chain fully intact (the orphan dir is abort_uncommitted fodder).
 
     ``expire=True`` additionally drops the folded snapshots from the
-    manifest and deletes their directories (Iceberg expire_snapshots:
+    manifest and reclaims their directories (Iceberg expire_snapshots:
     time-travel to them ends, space returns). Default keeps them —
     unreachable from the live chain but still pinnable by snapshot_id.
+
+    Deletion is DEFERRED BY ONE MERGE CYCLE (ADVICE r6): a reader pinned
+    by snapshot_id to a just-folded snapshot would fail mid-query on
+    missing parquet files if the fold deleted directories immediately
+    (Lucene keeps segment files until open readers close; we have no
+    reader registry, so one fold cycle is the grace window). The freshly
+    folded ids are recorded under the manifest's ``expire_pending`` key
+    and physically deleted by the NEXT expiring fold; crash-orphan
+    cleanup (abort_uncommitted) leaves pending dirs alone.
     """
     import time
 
@@ -383,14 +392,19 @@ def merge_chain(spark: SparkSession, index_dir: str,
         m["current"] = merged_id
     else:
         by_id[chain[max_segments - 2]]["parent"] = merged_id
+    drop_now: list[str] = []
     if expire:
         dead = set(tail)
         m["snapshots"] = [s for s in m["snapshots"] if s["id"] not in dead]
+        # one-cycle deletion grace: reclaim the PREVIOUS fold's pending
+        # dirs now, queue this fold's for the next one
+        drop_now = [sid for sid in m.get("expire_pending", [])
+                    if sid not in dead]
+        m["expire_pending"] = sorted(dead)
     cat._write_manifest(m)  # the single atomic commit point
-    if expire:
-        for sid in tail:
-            shutil.rmtree(os.path.join(index_dir, "snapshots", sid),
-                          ignore_errors=True)
+    for sid in drop_now:
+        shutil.rmtree(os.path.join(index_dir, "snapshots", sid),
+                      ignore_errors=True)
     return merged_id
 
 

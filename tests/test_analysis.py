@@ -93,6 +93,52 @@ def test_phrase_gap_blocks_adjacency(spark, stop_idx):
     assert eng.search(["afternoon", "dog"], "phrase", 5, slop=2).count() == 1
 
 
+def test_query_string_tree_drops_stopwords(spark, stop_idx):
+    """ADVICE r6: the boolean-TREE path must analyze stopwords away like
+    the flat path — a stopword inside a parenthesized group must not be
+    looked up as a normal term (it is absent from the index and would
+    silently fail a conjunction ES satisfies)."""
+    eng = SearchEngine(spark, stop_idx)
+    # '(the OR fox) AND run': 'the' drops from its group -> (fox) AND run
+    tree = eng.search_query_string("(the OR fox) AND run", 5).collect()
+    flat = eng.search_query_string("fox AND run", 5).collect()
+    assert [(r["doc_id"], r["score"]) for r in tree] == \
+        [(r["doc_id"], r["score"]) for r in flat]
+    # a group emptied of all terms disappears from the conjunction
+    tree2 = eng.search_query_string("(the OR a) AND fox", 5).collect()
+    flat2 = eng.search_query_string("fox", 5).collect()
+    assert [(r["doc_id"], r["score"]) for r in tree2] == \
+        [(r["doc_id"], r["score"]) for r in flat2]
+    # every group emptied -> empty result, not an executor error
+    assert eng.search_query_string("(the OR a) AND (of OR with)",
+                                   5).count() == 0
+
+
+def test_validate_query_agrees_with_execution(spark, stop_idx):
+    """ADVICE r6: validate_query must never disagree with
+    search_query_string — it now builds the real (lazy) plan, so the
+    refusal matrix is shared by construction. Probe the shapes that had
+    drifted: phrase with a stop-filtered term, synonym terms with
+    operators, synonym terms in a boolean tree."""
+    eng = SearchEngine(spark, stop_idx,
+                       synonyms=[["quick", "fast"]])
+    probes = [
+        '"the fox"',            # phrase w/ stopped term -> refuse
+        "quick AND lazy",       # synonym flat conj -> executes (blended)
+        "quick*",               # synonym term w/ operator -> refuse
+        "(quick OR lazy) AND dog",  # synonym in tree -> refuse
+        "fox AND run",          # plain -> executes
+        "lang:",                # malformed -> refuse
+    ]
+    for q in probes:
+        try:
+            eng.search_query_string(q, 3)
+            executed = True
+        except ValueError:
+            executed = False
+        assert eng.validate_query(q)["valid"] == executed, q
+
+
 def test_query_string_drops_stopwords(spark, stop_idx):
     eng = SearchEngine(spark, stop_idx)
     # conjunctive with a stopword: ES analyzes it away — must NOT

@@ -145,3 +145,17 @@ def test_multimodal_decode_and_resize(spark):
     small = decode_jpeg(bytes(rs[0]["media"]))
     assert small.shape == (12, 16, 3)
     assert not rs[2]["resize_ok"] and rs[2]["media"] is None
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code (ADVICE r6 — such legal files were refused as 'marker
+    sync lost'). Insert fill bytes between segments; decode must equal
+    the unpadded stream's output."""
+    img = _gradient(24, 24)
+    buf = encode_jpeg(img, 85, "444")
+    # after SOI (2 bytes), before the next marker's 0xFF: add fills
+    padded = buf[:2] + b"\xFF\xFF\xFF" + buf[2:]
+    ref = decode_jpeg(buf)
+    got = decode_jpeg(padded)
+    assert np.array_equal(ref, got)

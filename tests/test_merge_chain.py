@@ -89,17 +89,34 @@ def test_merge_whole_chain_and_expire(spark, tmp_path):
     assert cat.current_snapshot() == merged
     assert cat.parent_chain() == [merged]
     assert _probe(spark, idx)[:4] == before[:4]
-    # expired: dirs gone, manifest entries gone
-    listed = {s["id"] for s in cat.read_manifest()["snapshots"]}
+    # expired from the manifest, but dirs get ONE fold cycle of deletion
+    # grace (ADVICE r6: an in-flight reader pinned to a just-folded
+    # snapshot must be able to drain) — recorded under expire_pending,
+    # still readable, immune to crash-orphan cleanup
+    m = cat.read_manifest()
+    listed = {s["id"] for s in m["snapshots"]}
     for sid in folded:
         assert sid not in listed
-        assert not os.path.isdir(os.path.join(idx, "snapshots", sid))
+        assert os.path.isdir(os.path.join(idx, "snapshots", sid))
+    assert sorted(m["expire_pending"]) == sorted(folded)
+    # the pending dirs' files stay readable (an in-flight reader's
+    # resolved paths keep working until the next fold)
+    assert spark.read.parquet(
+        os.path.join(idx, "snapshots", folded[0], "docs")).count() == 10
+    cat.abort_uncommitted()  # must NOT reap the pending dirs
+    for sid in folded:
+        assert os.path.isdir(os.path.join(idx, "snapshots", sid))
     # appends continue on top of the merged base
     build_incremental(spark, _pages(
         spark, [("w9-0", "chunk9 fresh tokens appended")]), idx, CFG, "w9")
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == 31
     assert eng.search_topk(["chunk9"], "disjunctive", 5)
+    # the NEXT expiring fold reclaims the previous fold's pending dirs
+    merged2 = merge_chain(spark, idx, max_segments=1, expire=True)
+    assert merged2 is not None
+    for sid in folded:
+        assert not os.path.isdir(os.path.join(idx, "snapshots", sid))
     with pytest.raises(ValueError):
         merge_chain(spark, idx, max_segments=0)
 
