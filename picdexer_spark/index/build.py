@@ -164,6 +164,14 @@ class _PhaseTimer:
 #: from input size, never a constant tuned to one scale).
 _TARGET_INPUT_BYTES_PER_PARTITION = 4 << 20
 
+#: input size above which assign_doc_ids switches to the cache-free layout
+#: (driver-sampled boundaries + hash-preimage routing) instead of the
+#: pre-cached range exchange — see the partitioning comment there.
+#: Override: PICDEXER_CACHE_FREE_ASSIGN_MIN_BYTES (0 forces it on).
+_CACHE_FREE_ASSIGN_MIN_BYTES = int(os.environ.get(
+    "PICDEXER_CACHE_FREE_ASSIGN_MIN_BYTES", str(256 << 20)
+))
+
 
 def _input_size_bytes(df: DataFrame) -> int | None:
     """Best-effort driver-side input size of a file-backed DataFrame (the
@@ -205,6 +213,94 @@ def build_partitions(spark: SparkSession, pages: DataFrame) -> int:
     return max(1, min(cap, want))
 
 
+#: hash-preimage cache for _hash_preimages (keyed on partition count only —
+#: Spark's Murmur3 column hash is seed-fixed and session-independent)
+_HASH_PERM_CACHE: dict[int, list[int]] = {}
+
+
+def _hash_preimages(spark: SparkSession, n: int) -> list[int] | None:
+    """x[p] (p = 0..n-1) such that Spark's own hash routing
+    ``pmod(hash(bigint x[p]), n) == p`` — computed BY Spark itself (one tiny
+    local-range job over 64*n candidates, cached per partition count).
+
+    ``repartition(n, col)`` places a row in partition pmod(murmur3(col), n);
+    tagging url-range interval i with the constant x[i] therefore lands
+    interval i exactly in partition i — RangePartitioning's 1:1 ordered
+    layout without RangePartitioner's sampling job (which executes the
+    ENTIRE child plan once more just to pick boundaries). Asking Spark for
+    the mapping rather than re-implementing Murmur3 driver-side means a
+    hash-implementation drift can only cost a fallback, never a silently
+    scrambled layout. Returns None when 64*n candidates miss a partition
+    (probability ~n*e^-64 — the caller then takes the legacy range path)."""
+    got = _HASH_PERM_CACHE.get(n)
+    if got is not None:
+        return got
+    rows = spark.range(0, 64 * n).select(
+        F.col("id"), F.pmod(F.hash("id"), F.lit(n)).alias("p")
+    ).collect()
+    xs: dict[int, int] = {}
+    for r in rows:
+        xs.setdefault(int(r["p"]), int(r["id"]))
+    if len(xs) < n:
+        return None
+    out = [xs[p] for p in range(n)]
+    _HASH_PERM_CACHE[n] = out
+    return out
+
+
+def _sample_url_boundaries(
+    df: DataFrame, url_col: str, n_parts: int, per_part: int = 128
+) -> list | None:
+    """Range boundaries for `n_parts` url intervals from ONE cheap job: the
+    bottom-(128*n_parts) rows by xxhash64(url) are a uniform deterministic
+    sample of the url population (hash order is uniform; ties broken by url
+    so retries collect the identical set), collected as a TakeOrdered over
+    the url column ONLY — column pruning strips the extract expressions, so
+    unlike RangePartitioner's reservoir pass this never runs the heavy
+    upstream. Boundary QUALITY only affects partition balance, never
+    correctness (doc ids follow the per-partition counts wherever rows
+    land). Returns None on an empty/all-null url sample."""
+    rows = (
+        df.select(F.col(url_col).alias("_u"))
+        .where(F.col(url_col).isNotNull())
+        .orderBy(F.xxhash64("_u"), F.col("_u"))
+        .limit(per_part * n_parts)
+        .collect()
+    )
+    urls = sorted(r["_u"] for r in rows)
+    if not urls:
+        return None
+    bnds: list = []
+    for i in range(1, n_parts):
+        b = urls[(i * len(urls)) // n_parts]
+        if not bnds or b > bnds[-1]:
+            bnds.append(b)
+    return bnds or None
+
+
+def _bucket_key_expr(url_col: str, bnds: list, xs: list[int]):
+    """Balanced binary-search WHEN-tree mapping a url to its interval's
+    hash-preimage constant (log2(n) string comparisons per row, vs n for a
+    flat scan of the boundary array). Interval i (i>=1) holds urls in
+    [bnds[i-1], bnds[i]); comparisons use Spark's own string ordering
+    (UTF8String byte order — the same comparator sortWithinPartitions
+    applies), so bucketing is monotone in the sort order by construction.
+    NULL urls fail every >= probe and land in interval 0, where the
+    nulls-first sort places them — byte-identical to the range layout."""
+    def tree(lo: int, hi: int):
+        if lo == hi:
+            # bigint, matching the preimage probe's long ids — Murmur3
+            # hashes int and long differently, so the literal's TYPE is
+            # part of the routing contract
+            return F.lit(xs[lo]).cast("bigint")
+        mid = (lo + hi + 1) // 2
+        return (
+            F.when(F.col(url_col) >= F.lit(bnds[mid - 1]), tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        )
+    return tree(0, len(bnds))
+
+
 def _write_small_table(path: str, columns: dict, schema: pa.Schema) -> None:
     """Write a driver-side table as one parquet file (Spark-readable)."""
     os.makedirs(path, exist_ok=True)
@@ -224,8 +320,11 @@ def assign_doc_ids(
     """doc_id = `offset` + dense rank of url (lexicographic, UTF-8) over the
     KEPT rows (``ok_col`` true, when given); dropped rows never consume ids.
 
-    Two-phase global rank: range-partition by url, rank within partition,
-    add per-partition offsets (computed from partition counts). The
+    Two-phase global rank: lay rows out so partition i holds the i-th url
+    interval sorted within (a hash exchange on driver-sampled interval tags
+    — see the partitioning comment below; degenerate inputs fall back to
+    repartitionByRange), rank within partition, add per-partition offsets
+    (computed from partition counts). The
     in-partition position comes from monotonically_increasing_id's low 33
     bits, which is safe HERE because it is evaluated after a deterministic
     sortWithinPartitions(url) that re-runs identically on task retry — the
@@ -256,22 +355,63 @@ def assign_doc_ids(
         )
     except Exception:
         with_src = df.withColumn("_src", F.lit("multi-source"))
-    # repartitionByRange needs a RangePartitioner sampling job that runs the
-    # ENTIRE upstream (reservoir sampling scans every partition) just to
-    # pick url boundaries — without a cache the heaviest stage (the extract
-    # mapInPandas) would execute twice. Persisting HERE means the sampling
-    # job materializes the cache and the real exchange reads from it: one
-    # extract pass total. Spill-bounded (MEMORY_AND_DISK); released as soon
-    # as the post-exchange cache is materialized by the counting collect.
-    pre = with_src.withColumn("_ok", ok).persist(StorageLevel.MEMORY_AND_DISK)
-    # scale-adaptive range-partition count (see build_partitions): doc_id =
-    # offset + dense url rank is partitioning-INDEPENDENT by construction
-    # (offsets accumulate over sorted partition ids, positions follow the
-    # per-partition url sort), so the count is purely a performance knob
-    range_args = ([num_partitions] if num_partitions else []) + [F.col(url_col)]
+    # ROUND 7: the range layout (interval i of the url order -> partition i,
+    # sorted within) is built WITHOUT repartitionByRange. RangePartitioner
+    # needs a sampling job that executes the ENTIRE child plan once more
+    # (reservoir over every partition) just to pick boundaries; the previous
+    # shape therefore persisted the extracted corpus (MEMORY_AND_DISK) so
+    # that pass wouldn't re-run the extract — a full-corpus cache write+read
+    # whose materialization alone cost ~0.7 s at 100k docs. Instead:
+    #   1. boundaries come from one column-pruned TakeOrdered over the url
+    #      column (bottom-k by xxhash64 = uniform deterministic sample; the
+    #      extract expressions are pruned out of that job entirely);
+    #   2. each row's interval is found with a log2(n) WHEN-tree and tagged
+    #      with a hash-preimage constant x[i] chosen so Spark's own
+    #      hash exchange sends interval i exactly to partition i
+    #      (_hash_preimages — perfect 1:1 ordered layout, no skew from
+    #      hash collisions);
+    #   3. the single full-data exchange's map side now runs the extract
+    #      exactly once, and NO pre-exchange cache exists at all.
+    # doc_id = offset + dense url rank is partitioning-INDEPENDENT by
+    # construction (offsets accumulate over sorted partition ids, positions
+    # follow the per-partition url sort), so the partition count and
+    # boundary choice are purely performance knobs. Degenerate inputs
+    # (empty/all-null url sample, preimage miss) fall back to the legacy
+    # range-exchange shape, bit-identical by the same argument.
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # SIZE GATE: the cache-free layout costs two extra (tiny) driver jobs
+    # per build — measured ~0.15-0.25 s of fixed latency, which exceeds the
+    # pre-cache's write+read overhead on small corpora (where the cache fits
+    # trivially in memory) and is dwarfed by it on large ones. Below the
+    # threshold the legacy cached range exchange is the faster shape; above
+    # it the cache-free path wins the materialization cost AND removes a
+    # full-corpus memory footprint (the 100 TB hazard).
+    size = _input_size_bytes(df)
+    cache_free = size is not None and size >= _CACHE_FREE_ASSIGN_MIN_BYTES
+    bnds = xs = pre = None
+    if n_parts > 1 and cache_free:
+        bnds = _sample_url_boundaries(df, url_col, n_parts)
+        xs = _hash_preimages(spark, n_parts) if bnds else None
+    tagged = with_src.withColumn("_ok", ok)
+    if n_parts <= 1:
+        part = tagged.repartition(1)
+    elif bnds and xs:
+        part = (
+            tagged
+            .withColumn("_bkey", _bucket_key_expr(url_col, bnds, xs))
+            .repartition(n_parts, "_bkey")
+            .drop("_bkey")
+        )
+    else:
+        # legacy range exchange — needs the pre cache so RangePartitioner's
+        # sampling job doesn't run the extract twice
+        pre = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        part = pre.repartitionByRange(n_parts, F.col(url_col))
     part = (
-        pre
-        .repartitionByRange(*range_args)
+        part
         .sortWithinPartitions(url_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -280,7 +420,8 @@ def assign_doc_ids(
     if has_dl:
         aggs.append(F.sum("doc_len").alias("len_sum"))
     cells = part.groupBy("_pid", "_src", "_ok").agg(*aggs).collect()
-    pre.unpersist()
+    if pre is not None:
+        pre.unpersist()
     counts: dict[int, int] = {}
     src_counts: dict[str, int] = {}
     dropped = 0

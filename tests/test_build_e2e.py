@@ -178,3 +178,49 @@ def test_wand_pruning_exact(spark, built, corpus):
         a = eng.search_topk(terms, "disjunctive", 10, prune=True)
         b = eng.search_topk(terms, "disjunctive", 10, prune=False)
         assert a == b, terms
+
+
+def test_cache_free_assign_ids_bit_identical(spark, tmp_path, monkeypatch):
+    """The size-gated cache-free id layout (driver-sampled boundaries +
+    hash-preimage routing, round 7) assigns EXACTLY the ids of the legacy
+    pre-cached range exchange, with partition i holding the i-th url
+    interval (one interval per partition — no hash-collision skew) and no
+    RangePartitioning exchange in the plan."""
+    import picdexer_spark.index.build as B
+
+    pdf = gen_pages(700, seed=9)
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(pdf).write.parquet(path)
+    pages = spark.read.parquet(path)
+    extracted = B.extract_text(pages).drop("html")
+
+    def ids_of(out):
+        return sorted(
+            (r["url"], r["doc_id"])
+            for r in out.select("url", "doc_id").collect()
+        )
+
+    # legacy path (gate far above the fixture's size)
+    monkeypatch.setattr(B, "_CACHE_FREE_ASSIGN_MIN_BYTES", 1 << 60)
+    out1, p1, s1, d1, t1 = B.assign_doc_ids(
+        extracted, ok_col="extract_ok", num_partitions=5)
+    legacy = ids_of(out1)
+    p1.unpersist()
+
+    # cache-free path (gate forced on)
+    monkeypatch.setattr(B, "_CACHE_FREE_ASSIGN_MIN_BYTES", 0)
+    out2, p2, s2, d2, t2 = B.assign_doc_ids(
+        extracted, ok_col="extract_ok", num_partitions=5)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    got = ids_of(out2)
+    # layout invariant: partition i holds a contiguous ascending id range
+    pids = (
+        p2.filter(F.col("_ok"))
+        .groupBy("_pid").count().orderBy("_pid").collect()
+    )
+    assert [r["_pid"] for r in pids] == list(range(len(pids)))
+    p2.unpersist()
+
+    assert got == legacy
+    assert (s2, d2, t2) == (s1, d1, t1)
