@@ -195,6 +195,34 @@ class TermBlocks:
             return z, z, z
         return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
 
+    def decode_bulk(self, idxs: np.ndarray):
+        """One-pass segmented decode of the requested blocks, NEVER via the
+        per-block cache (neither read nor write): the disjunctive paths
+        decode each block at most once or twice (a chunk-spanning block in
+        the sweep), so the cache's per-block Python bookkeeping costs more
+        than the rare re-decode it would save — and a cache populated by an
+        earlier small probe must not demote this to a per-block loop.
+        Requires per-block counts; blocks without them (older snapshots)
+        fall back to decode_many."""
+        idxs = np.asarray(idxs, np.int64)
+        if self.n is None or idxs.size <= 8:
+            return self.decode_many(idxs)
+        from picdexer_spark.index.codec import (
+            segmented_delta_decode,
+            varint_decode,
+        )
+
+        sel = [self.enc[int(i)] for i in idxs]
+        counts = self.n[idxs]
+        ids = segmented_delta_decode(
+            varint_decode(b"".join(bytes(e[0]) for e in sel)),
+            counts, self.first[idxs],
+        )
+        tfs = varint_decode(b"".join(bytes(e[1]) for e in sel)) \
+            + np.uint64(1)
+        dls = varint_decode(b"".join(bytes(e[2]) for e in sel))
+        return ids, tfs, dls
+
     def blocks_overlapping(self, lo: int, hi: int) -> np.ndarray:
         """Indices of blocks intersecting [lo, hi] (inclusive)."""
         i0 = int(np.searchsorted(self.last, lo, side="left"))
@@ -388,7 +416,7 @@ def score_disjunctive(
         parts = []
         for t in asc:
             tb = blocks[t]
-            ids, tfs, dls = tb.decode_many(np.arange(tb.n_blocks()))
+            ids, tfs, dls = tb.decode_bulk(np.arange(tb.n_blocks()))
             if ids.size:
                 parts.append((t, ids, tfs, dls))
         if not parts or msm > len(parts):
@@ -421,7 +449,6 @@ def score_disjunctive(
     # segment, the sum of overlapping block UBs = max achievable score
     # there. The sketch both drives the sweep and decides whether a sweep
     # is worth running at all.
-    t_arr: list[str] = []
     b_lo = []
     b_hi = []
     b_ub = []
@@ -429,7 +456,6 @@ def score_disjunctive(
     for t in asc:
         tb = blocks[t]
         ubs = block_ub_vec(tb.max_tf, tb.min_dl, idf[t], k1, b, avgdl)
-        t_arr.extend([t] * tb.n_blocks())
         b_lo.append(tb.first)
         b_hi.append(tb.last)
         b_ub.append(ubs)
@@ -438,6 +464,10 @@ def score_disjunctive(
     his = np.concatenate(b_hi)
     ubs_all = np.concatenate(b_ub)
     idx_all = np.concatenate(b_idx)
+    #: term index (into asc) of each global block row
+    tid_all = np.repeat(
+        np.arange(len(asc)), [blocks[t].n_blocks() for t in asc]
+    )
     edges = np.unique(np.concatenate([los, his + 1]))
     nseg = edges.size - 1
     if nseg <= 0:
@@ -450,48 +480,85 @@ def score_disjunctive(
     seg_ub = np.cumsum(seg_ub[:-1])
 
     # ADAPTIVE path choice (round 7; both paths exact and bit-identical —
-    # pinned by the rank-identity tests): the sweep's per-segment Python
-    # bookkeeping only pays when a meaningful share of segments can fall
-    # below the final threshold. When the ub distribution is flat (e.g.
-    # every query term is a head term covering the whole shard) NOTHING
-    # prunes and the sweep is pure overhead — measured 0.66 s vs 0.45 s
-    # for a 3-head-term disjunction over 100k docs. A segment can only
-    # ever prune if its ub is below the best segment's; require at least
-    # 25% of segments under 0.7x the max before paying for the sweep.
+    # pinned by the rank-identity tests): the sweep only pays when a
+    # meaningful share of segments can fall below the final threshold.
+    # When the ub distribution is flat (e.g. every query term is a head
+    # term covering the whole shard) NOTHING prunes and the sweep is pure
+    # overhead — measured 0.66 s vs 0.45 s for a 3-head-term disjunction
+    # over 100k docs. A segment can only ever prune if its ub is below the
+    # best segment's; require at least 25% of segments under 0.7x the max
+    # before paying for the sweep.
     frac_prunable = float(np.mean(seg_ub < 0.7 * seg_ub.max()))
     if frac_prunable < 0.25:
         return _bulk()
 
-    per_block = list(zip(t_arr, idx_all.tolist(), los.tolist(),
-                         his.tolist(), ubs_all.tolist()))
-    seg_blocks: list[list[int]] = [[] for _ in range(nseg)]
-    for bi in range(len(per_block)):
-        for s in range(int(s0s[bi]), int(s1s[bi])):
-            seg_blocks[s].append(bi)
+    # CHUNKED sweep (round 7): segments are processed in descending-ub
+    # CHUNKS of 64 with all bookkeeping vectorized, instead of one Python
+    # iteration (decode + unique + topk) per segment. The per-segment
+    # formulation cost ~85 us of fixed Python per segment and ran them ALL
+    # whenever theta never caught the ub tail (measured 135 ms vs 26 ms
+    # bulk for head-or-rare over 100k docs — the prune path must never be
+    # a liability). Chunking bounds the worst case at ~bulk cost (the
+    # same decodes, a handful of chunk passes) while keeping the exact
+    # early exit: chunks are ub-ordered, so when a chunk's best segment
+    # falls below theta every remaining segment prunes too (strict <,
+    # bit-identical ranks — a doc scoring exactly theta still enters).
+    # Within a chunk no pruning is attempted (segments are doc-disjoint,
+    # so scoring them together in one vectorized pass is exact).
+    inc_spans = (s1s - s0s).astype(np.int64)
+    n_inc = int(inc_spans.sum())
+    inc_block = np.repeat(np.arange(los.size), inc_spans)
+    inc_starts = np.concatenate(([0], np.cumsum(inc_spans)[:-1]))
+    inc_seg = (
+        np.repeat(s0s, inc_spans)
+        + np.arange(n_inc)
+        - np.repeat(inc_starts, inc_spans)
+    )
+    inc_order = np.argsort(inc_seg, kind="stable")
+    inc_block = inc_block[inc_order]
+    inc_seg = inc_seg[inc_order]
+    seg_first = np.searchsorted(inc_seg, np.arange(nseg))
+    seg_last = np.searchsorted(inc_seg, np.arange(nseg) + 1)
 
     order = np.argsort(-seg_ub, kind="stable")
     top_ids = np.zeros(0, np.int64)
     top_scores = np.zeros(0, np.float64)
     theta = -np.inf
-    for s in order:
-        if prune and seg_ub[s] < theta:
-            break  # segments are in desc ub order -> all remaining prune too
-        lo, hi = int(edges[s]), int(edges[s + 1]) - 1
-        # gather per-term candidate slices within [lo, hi]
-        seg_ids: np.ndarray | None = None
+    # geometric chunk growth: the first small chunks (the highest-ub
+    # segments) establish theta at fine granularity — where nearly all
+    # pruning potential lives — then chunks double so a no-prune run costs
+    # only O(log nseg) passes over everything-once
+    c0, chunk = 0, 8
+    while c0 < order.size:
+        sel = order[c0:c0 + chunk]
+        c0 += chunk
+        chunk *= 2
+        if prune and seg_ub[sel[0]] < theta:
+            break  # desc ub order: every remaining segment prunes too
+        # the chunk's doc ranges (disjoint, so sorting lo and hi
+        # independently keeps the pairs aligned)
+        lo_arr = np.sort(edges[sel])
+        hi_arr = np.sort(edges[sel + 1]) - 1
+        # all (block, segment) incidences of the chunk -> blocks per term
+        inc_idx = np.concatenate(
+            [np.arange(seg_first[s], seg_last[s]) for s in sel]
+        )
+        blks = inc_block[inc_idx]
         parts: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
-        for t in asc:
-            tb = blocks[t]
-            idxs = [bi for bi in seg_blocks[s] if per_block[bi][0] == t]
-            if not idxs:
+        for ti, t in enumerate(asc):
+            bidx = np.unique(idx_all[blks[tid_all[blks] == ti]])
+            if bidx.size == 0:
                 continue
-            bidx = np.asarray([per_block[bi][1] for bi in idxs], np.int64)
-            ids, tfs, dls = tb.decode_many(bidx)
-            j0, j1 = np.searchsorted(ids, [np.uint64(lo), np.uint64(hi + 1)])
-            if j1 > j0:
-                parts.append((t, ids[j0:j1], tfs[j0:j1], dls[j0:j1]))
+            ids, tfs, dls = blocks[t].decode_bulk(bidx)
+            # keep only docs inside one of the chunk's segment ranges
+            pos = np.searchsorted(lo_arr, ids.astype(np.int64),
+                                  side="right") - 1
+            posc = np.clip(pos, 0, lo_arr.size - 1)
+            keep = (pos >= 0) & (ids.astype(np.int64) <= hi_arr[posc])
+            if keep.any():
+                parts.append((t, ids[keep], tfs[keep], dls[keep]))
         if len(parts) < msm:
-            continue  # a match needs >= msm distinct terms in the segment
+            continue  # a match needs >= msm distinct terms
         all_ids = np.unique(np.concatenate([p[1] for p in parts]))
         scores = np.zeros(all_ids.size, np.float64)
         nmatch = np.zeros(all_ids.size, np.int64)
@@ -510,11 +577,9 @@ def score_disjunctive(
             all_ids, scores = all_ids[am], scores[am]
         top_ids = np.concatenate([top_ids, all_ids.astype(np.int64)])
         top_scores = np.concatenate([top_scores, scores])
-        if top_ids.size > max(4 * k, 256):
-            top_ids, top_scores = _topk(top_ids, top_scores, k)
+        top_ids, top_scores = _topk(top_ids, top_scores, k)
         if top_ids.size >= k:
-            kth = _topk(top_ids, top_scores, k)[1]
-            theta = kth[-1] if kth.size >= k else -np.inf
+            theta = top_scores[-1]
     return _topk(top_ids, top_scores, k)
 
 
