@@ -241,7 +241,7 @@ class TermBlocks:
                 self.n_blocks() - 1,
             )
         )
-        ids, tfs, dls = self.decode_many(need)
+        ids, tfs, dls = self.decode_bulk(need)
         pos = np.searchsorted(ids, cand)
         pos_c = np.clip(pos, 0, max(ids.size - 1, 0))
         hit = (pos < ids.size) & (ids[pos_c] == cand) if ids.size else np.zeros(cand.size, bool)
@@ -331,17 +331,29 @@ def score_conjunctive(
         np.argsort(-ub_tot, kind="stable") if prune
         else np.arange(idxs.size)
     )
+    # ADAPTIVE chunking (round 7, the disjunctive lesson applied here): the
+    # 8-block chunks only pay when the theta cutoff can actually fire. For
+    # head-and-head conjunctions the ub totals are flat (co-ranged blocks,
+    # near-identical bounds), nothing ever prunes, and ~100 chunk
+    # iterations of per-chunk decode/lookup/topk cost 105 ms where ONE
+    # vectorized pass costs ~25 ms (w0-and-w1 over 100k docs). When fewer
+    # than 25% of driver blocks sit below 0.7x the best ub total, run the
+    # whole candidate set as a single chunk — same code path, same
+    # summation order, bit-identical results (rank-identity pinned).
+    chunk = 8
+    if prune and idxs.size > 8:
+        if float(np.mean(ub_tot < 0.7 * ub_tot.max())) < 0.25:
+            chunk = order.size
     top_ids = np.zeros(0, np.int64)
     top_scores = np.zeros(0, np.float64)
     theta = -np.inf
-    chunk = 8
     for c0 in range(0, order.size, chunk):
         sel = order[c0:c0 + chunk]
         if prune and ub_tot[sel[0]] < theta:
             break  # desc order: every remaining block prunes too
         # sorted block indices -> decoded ids come out doc-sorted (driver
         # blocks are disjoint doc ranges), as lookup() requires
-        cand, cand_tf, cand_dl = tb.decode_many(np.sort(idxs[sel]))
+        cand, cand_tf, cand_dl = tb.decode_bulk(np.sort(idxs[sel]))
         per_term_tf = {driver: (cand_tf, cand_dl)}
         mask = np.ones(cand.size, bool)
         for t in others:
