@@ -318,6 +318,16 @@ class SearchEngine:
         self.shard_range = shard_range = int(
             st_d.get("shard_range") or (1 << 20)
         )
+        #: every assigned doc id sits below shard_range -> the whole index
+        #: is ONE shard, and the per-shard kernels' groupBy(shard_id)
+        #: exchange would co-locate candidates that already end up in a
+        #: single task: the flat query paths then skip the shuffle
+        #: entirely (coalesce into one task — guide "remove shuffles
+        #: outright"). Multi-shard indexes keep the exchange, which IS
+        #: their scoring parallelism.
+        self._single_shard = (
+            0 < int(st_d.get("next_doc_id") or 0) <= shard_range
+        )
         #: whether the snapshot chain stores positional postings (phrase
         #: queries are refused DRIVER-side otherwise — not as an opaque
         #: executor stack trace)
@@ -432,6 +442,25 @@ class SearchEngine:
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _apply_shard_scorer(self, cand: DataFrame, scorer) -> DataFrame:
+        """Run a per-shard kernel over the candidate blocks. Multi-shard:
+        groupBy(shard_id).applyInPandas — the exchange is the scoring
+        parallelism. Single-shard (see _single_shard): the same kernel
+        over the whole candidate set in one task WITHOUT the exchange
+        (coalesce is a narrow dependency — no shuffle write/read, one
+        Spark stage instead of two); row-identical because the one group
+        applyInPandas would form IS the whole frame."""
+        if not self._single_shard:
+            return cand.groupBy("shard_id").applyInPandas(
+                scorer, RESULT_SCHEMA)
+
+        def one_shard(batches):
+            chunks = [c for c in batches if len(c)]
+            if chunks:
+                yield scorer(pd.concat(chunks, ignore_index=True))
+
+        return cand.coalesce(1).mapInPandas(one_shard, RESULT_SCHEMA)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if self._df_cache is not None:
@@ -633,7 +662,7 @@ class SearchEngine:
                                     avgdl_sc, prune, self._tomb_counts,
                                     after=after, groups=groups, slop=slop,
                                     msm=min_should_match)
-        per_shard = cand.groupBy("shard_id").applyInPandas(scorer, RESULT_SCHEMA)
+        per_shard = self._apply_shard_scorer(cand, scorer)
         if self._tomb_counts:
             # drop tombstoned docs distributed-side (deletes stays a DF;
             # broadcast anti-join — never collected)
@@ -711,8 +740,7 @@ class SearchEngine:
         scorer = _make_shard_scorer(
             flat, idf_map, k, kmode, avgdl_sc, prune=False,
             tomb_counts=self._tomb_counts, groups=kernel_classes)
-        per_shard = cand.groupBy("shard_id").applyInPandas(
-            scorer, RESULT_SCHEMA)
+        per_shard = self._apply_shard_scorer(cand, scorer)
         if self._tomb_counts:
             per_shard = per_shard.join(
                 F.broadcast(self.deletes), "doc_id", "left_anti")
@@ -904,8 +932,7 @@ class SearchEngine:
             fixed, idf_map, k, "phrase_prefix", self.avgdl_scoring, prune,
             self._tomb_counts, after=after, alts=alts,
         )
-        per_shard = cand.groupBy("shard_id").applyInPandas(scorer,
-                                                           RESULT_SCHEMA)
+        per_shard = self._apply_shard_scorer(cand, scorer)
         if self._tomb_counts:
             per_shard = per_shard.join(
                 F.broadcast(self.deletes), "doc_id", "left_anti"
@@ -1971,8 +1998,7 @@ class SearchEngine:
         scorer = _make_shard_scorer(scorer_terms, idf_map, self.shard_range,
                                     mode, avgdl_sc, prune=False,
                                     groups=groups, slop=slop)
-        per_shard = cand.groupBy("shard_id").applyInPandas(
-            scorer, RESULT_SCHEMA)
+        per_shard = self._apply_shard_scorer(cand, scorer)
         out = per_shard.select(*out_cols)
         if self._tomb_counts:
             out = out.join(F.broadcast(self.deletes), "doc_id", "left_anti")
@@ -2557,8 +2583,7 @@ class SearchEngine:
             return pd.DataFrame({"doc_id": ids[order],
                                  "score": scores[order]})
 
-        per_shard = cand.groupBy("shard_id").applyInPandas(
-            mm_shard, RESULT_SCHEMA)
+        per_shard = self._apply_shard_scorer(cand, mm_shard)
         if tomb_counts:
             per_shard = per_shard.join(
                 F.broadcast(self.deletes), "doc_id", "left_anti"

@@ -405,3 +405,25 @@ def test_search_indices_plan_one_global_takeordered(spark, tmp_path):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # the union feeds from the per-index k-limited sorts, not raw scans
     assert plan.count("Union") == 1
+
+
+def test_single_shard_query_skips_exchange(spark, tmp_path_factory):
+    """A single-shard index (every doc id below shard_range) scores flat
+    queries WITHOUT the groupBy(shard_id) exchange — coalesce into the one
+    task the group would land in anyway — and the results are identical to
+    the grouped path."""
+    from picdexer_spark.index.build import IndexConfig, build_index
+    from picdexer_spark.query.bm25 import SearchEngine
+
+    idx = str(tmp_path_factory.mktemp("ss_idx"))
+    pages = spark.createDataFrame(gen_pages(300, seed=21))
+    build_index(spark, pages, idx, IndexConfig(shard_range=1 << 16))
+    eng = SearchEngine(spark, idx)
+    assert eng._single_shard
+    plan = eng.search(["w0", "w3"], "disjunctive", 10)
+    # only the final top-k exchange remains
+    assert count_exchanges(plan) <= 1, explain_str(plan, "simple")
+    fast = eng.search_topk(["w0", "w3"], "disjunctive", 10)
+    eng._single_shard = False
+    grouped = eng.search_topk(["w0", "w3"], "disjunctive", 10)
+    assert fast == grouped and len(fast) == 10
