@@ -141,19 +141,20 @@ def _huff_lut(table: dict) -> tuple[bytes, bytes]:
 
 
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data.
+    """Destuffed entropy-coded data, split into restart segments.
 
     Round 7: the byte stream is destuffed ONCE up front with numpy (0xFF00
     pairs collapsed, the scan split into restart segments at RSTn markers)
-    instead of per-byte in `_fill`, and `decode_huff` probes a 16-bit-peek
-    LUT (`_huff_lut`) instead of walking bit by bit — one Python step per
-    SYMBOL, not per bit. Interface (read_bits / decode_huff / restart) and
-    error contract (JpegError on truncation, marker-in-coefficient,
-    missing restart, invalid code) unchanged; `test_jpeg`'s hand-built
-    spec bitstreams pin the semantics."""
+    instead of per-byte. The actual bit consumption lives INLINE in
+    `_decode_scan` (local-variable window arithmetic over `pad`/`nbits` —
+    one 48-bit fetch per symbol covering Huffman code + magnitude bits);
+    this class only owns the segment state and the restart-marker
+    bookkeeping. Error contract (JpegError on truncation,
+    marker-in-coefficient, missing restart, invalid code) unchanged;
+    `test_jpeg`'s hand-built spec bitstreams pin the semantics."""
 
     __slots__ = ("segs", "markers", "seg_idx", "cur", "pad", "nbits",
-                 "bitpos", "_luts")
+                 "bitpos")
 
     def __init__(self, data: bytes, pos: int):
         arr = np.frombuffer(data, np.uint8)[pos:]
@@ -194,12 +195,14 @@ class _BitReader:
         self.markers = markers
         self.seg_idx = 0
         self._enter_seg(0)
-        self._luts: dict[int, tuple[bytes, bytes]] = {}
 
     def _enter_seg(self, i: int) -> None:
         self.seg_idx = i
         self.cur = self.segs[i]
-        self.pad = self.cur + b"\x00\x00\x00\x00"
+        # 6 pad bytes: the fused decode_dc/decode_ac window reads up to
+        # 7 (alignment) + 16 (code) + 15 (magnitude) = 38 bits from the
+        # byte the probe starts in
+        self.pad = self.cur + b"\x00\x00\x00\x00\x00\x00"
         self.nbits = 8 * len(self.cur)
         self.bitpos = 0
 
@@ -207,40 +210,6 @@ class _BitReader:
         if self.seg_idx + 1 < len(self.segs):
             raise JpegError("restart marker inside coefficient")
         raise JpegError("truncated entropy stream")
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        p = self.bitpos
-        if p + n > self.nbits:
-            self._overrun()
-        self.bitpos = p + n
-        i = p >> 3
-        d = self.pad
-        w = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
-        return (w >> (32 - (p & 7) - n)) & ((1 << n) - 1)
-
-    def read_bit(self) -> int:
-        return self.read_bits(1)
-
-    def decode_huff(self, table) -> int:
-        lut = self._luts.get(id(table))
-        if lut is None:
-            lut = _huff_lut(table)
-            self._luts[id(table)] = lut
-        sym_lut, len_lut = lut
-        p = self.bitpos
-        i = p >> 3
-        d = self.pad
-        w = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
-        peek = (w >> (16 - (p & 7))) & 0xFFFF
-        ln = len_lut[peek]
-        if ln == 0:
-            raise JpegError("invalid Huffman code")
-        if p + ln > self.nbits:
-            self._overrun()
-        self.bitpos = p + ln
-        return sym_lut[peek]
 
     def restart(self, n: int):
         """Advance to the next restart segment, checking the RSTn id
@@ -368,41 +337,114 @@ def _decode_scan(buf, pos, frame, sel, qt, huff, dri):
     nmcu = mcux * mcuy
     rst_left = dri if dri else -1
     rst_n = 0
+    # THE per-image hot loop (everything after it is vectorized numpy).
+    # Three deliberate shapes (round 7, measured on a noisy 512x512
+    # photo): (a) one 48-bit window fetch per SYMBOL covers alignment
+    # (<=7) + Huffman code (<=16) + magnitude (<=15) bits, so Huffman
+    # probe, magnitude read and T.81 F.12 EXTEND fuse into straight-line
+    # int arithmetic; (b) all reader state (pad/nbits/bitpos) and the
+    # 16-bit-peek LUTs live in LOCALS, re-hoisted only at restart
+    # markers — no attribute or dict access per coefficient; (c)
+    # coefficients accumulate in flat Python lists and land in numpy in
+    # ONE fancy assignment per component (a numpy scalar store per
+    # coefficient cost ~100 ns each in the per-block formulation).
+    luts: dict[int, tuple[bytes, bytes]] = {}
+    for c in comps:
+        for key, tab in (("dclut", c["dc"]), ("aclut", c["ac"])):
+            got = luts.get(id(tab))
+            if got is None:
+                got = luts[id(tab)] = _huff_lut(tab)
+            c[key] = got
+        c["pos"] = []
+        c["val"] = []
+    seg_pad = rdr.pad
+    seg_nbits = rdr.nbits
+    bp = 0
     for mi in range(nmcu):
         if dri and mi and rst_left == 0:
+            rdr.bitpos = bp  # writeback so restart() sees consumption
             rdr.restart(rst_n)
+            seg_pad = rdr.pad
+            seg_nbits = rdr.nbits
+            bp = 0
             rst_n = (rst_n + 1) & 7
             rst_left = dri
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(mi, mcux)
         for c in comps:
+            sym_dc, len_dc = c["dclut"]
+            sym_ac, len_ac = c["aclut"]
+            pos = c["pos"]
+            val = c["val"]
+            pred = c["pred"]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    blk = c["coef"][
-                        (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx]
-                    # DC
-                    t = rdr.decode_huff(c["dc"])
-                    diff = _extend(rdr.read_bits(t), t)
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
+                    base = 64 * (
+                        (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx)
+                    # DC: fused Huffman + magnitude + EXTEND
+                    i = bp >> 3
+                    win = int.from_bytes(seg_pad[i:i + 6], "big")
+                    peek = (win >> (32 - (bp & 7))) & 0xFFFF
+                    ln = len_dc[peek]
+                    if ln == 0:
+                        raise JpegError("invalid Huffman code")
+                    t = sym_dc[peek]
+                    q = bp + ln
+                    if q + t > seg_nbits:
+                        rdr.bitpos = bp
+                        rdr._overrun()
+                    if t:
+                        v = (win >> (48 - (q - 8 * i) - t)) \
+                            & ((1 << t) - 1)
+                        pred += (
+                            v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                        )
+                    bp = q + t
+                    pos.append(base)
+                    val.append(pred)
                     # AC — T.81 F.13/F.14 run-length
                     kk = 1
                     while kk < 64:
-                        rs = rdr.decode_huff(c["ac"])
-                        r, s = rs >> 4, rs & 15
+                        i = bp >> 3
+                        win = int.from_bytes(seg_pad[i:i + 6], "big")
+                        peek = (win >> (32 - (bp & 7))) & 0xFFFF
+                        ln = len_ac[peek]
+                        if ln == 0:
+                            raise JpegError("invalid Huffman code")
+                        rs = sym_ac[peek]
+                        s = rs & 15
+                        q = bp + ln
                         if s == 0:
-                            if r == 15:
+                            if q > seg_nbits:
+                                rdr.bitpos = bp
+                                rdr._overrun()
+                            bp = q
+                            if rs == 0xF0:
                                 kk += 16  # ZRL
                                 continue
                             break  # EOB
-                        kk += r
+                        if q + s > seg_nbits:
+                            rdr.bitpos = bp
+                            rdr._overrun()
+                        v = (win >> (48 - (q - 8 * i) - s)) \
+                            & ((1 << s) - 1)
+                        bp = q + s
+                        kk += rs >> 4
                         if kk > 63:
                             raise JpegError("AC index overflow")
-                        blk[kk] = _extend(rdr.read_bits(s), s)
+                        pos.append(base + kk)
+                        val.append(
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
                         kk += 1
+            c["pred"] = pred
         if dri:
             rst_left -= 1
+    for c in comps:
+        flat = c["coef"].reshape(-1)
+        flat[np.asarray(c["pos"], np.int64)] = np.asarray(c["val"],
+                                                          np.int64)
     # transform per component: dequantize, dezigzag handled at DQT load
     # (tables are in natural order; coefficients were stored in zigzag
     # slots) -> reorder coeff vectors, one einsum IDCT over all blocks
