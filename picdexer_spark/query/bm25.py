@@ -3309,13 +3309,36 @@ class SearchEngine:
                     "min_dl", "n", "doc_ids_enc", "tfs_enc", "dls_enc"]
         if any_phrase:
             pay_cols.append("pos_enc")
-        per_shard = (
+        grouped = (
             cand.select(*pay_cols)
             .join(F.broadcast(qterms), "term")
             .groupBy("shard_id", "query_id")
-            .applyInPandas(
-                score_query_shard, "query_id long, doc_id long, score double"
-            )
+        )
+        out_schema = "query_id long, rank int, doc_id long, score double"
+        if self._single_shard and not tomb_counts:
+            # one shard, no tombstones: each (shard, query) kernel's output
+            # IS that query's exact global top-k, already in final order
+            # (the kernels end in _topk's (score desc, doc_id asc)
+            # lexsort) — emit ranks directly and skip the per-query merge
+            # kernel and its exchange entirely
+            def score_query_ranked(pdf: pd.DataFrame) -> pd.DataFrame:
+                qid = int(pdf["query_id"].iat[0])
+                terms, mode, k, slop = spec_by_qid[qid]
+                blocks = _blocks_from_pdf(pdf)
+                ids, scores = _score_blocks(
+                    mode, sorted(set(terms)), list(terms), blocks, idf_map,
+                    avgdl, k, prune, slop=slop,
+                )
+                return pd.DataFrame({
+                    "query_id": qid,
+                    "rank": np.arange(1, ids.size + 1, dtype=np.int32),
+                    "doc_id": ids,
+                    "score": scores,
+                })
+
+            return grouped.applyInPandas(score_query_ranked, out_schema)
+        per_shard = grouped.applyInPandas(
+            score_query_shard, "query_id long, doc_id long, score double"
         )
         if tomb_counts:
             per_shard = per_shard.join(
@@ -3338,7 +3361,7 @@ class SearchEngine:
             })
 
         return per_shard.groupBy("query_id").applyInPandas(
-            topk_query, "query_id long, rank int, doc_id long, score double"
+            topk_query, out_schema
         )
 
 

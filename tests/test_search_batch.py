@@ -216,3 +216,31 @@ def test_rank_eval_metrics_match_python_reference(spark, built):
         eng.rank_eval(reqs, metric="f1")
     assert eng.rank_eval([], metric="precision") == \
         [("_overall", "precision", 0.0)]
+
+
+def test_batch_single_shard_fast_path_identical(spark, tmp_path_factory):
+    """On a single-shard tombstone-free index the batch path emits ranks
+    straight from the (shard, query) kernels (no per-query merge kernel);
+    rows must be identical to the general two-kernel path."""
+    pdf = gen_pages(400, seed=5)
+    idx = str(tmp_path_factory.mktemp("ssbatch"))
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(shard_range=1 << 16))
+    eng = SearchEngine(spark, idx)
+    assert eng._single_shard
+    queries = [
+        {"query_id": 0, "terms": ["w0", "w1"], "mode": "disjunctive", "k": 5},
+        {"query_id": 1, "terms": ["w0", "w2"], "mode": "conjunctive", "k": 4},
+        {"query_id": 2, "terms": ["w3"], "mode": "disjunctive", "k": 3},
+    ]
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in df.collect()
+        )
+
+    fast = rows(eng.search_batch(queries))
+    eng._single_shard = False
+    general = rows(eng.search_batch(queries))
+    assert fast == general and len(fast) == 12
